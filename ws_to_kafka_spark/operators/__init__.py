@@ -1,0 +1,19 @@
+"""Batch operator surface (SURVEY.md §2.3).
+
+Each module registers named queries into :mod:`registry`; the driver-facing
+``__spark_entry__.py`` exposes the registry as ``queries()`` /
+``oracle_sql()``. Import order only matters in that importing this package
+populates the registry.
+"""
+
+from . import (  # noqa: F401  (imports populate the registry)
+    relational,
+    scalar_functions,
+    windows,
+    dedup,
+    similarity,
+    text_analysis,
+    multimodal,
+    udfs,
+)
+from .registry import QUERIES, QuerySpec  # noqa: F401

@@ -1,0 +1,225 @@
+"""Scalar expression library: string / date / math / array / json / url.
+
+All JVM-side built-ins (``pyspark.sql.functions``) — no Python in the hot
+path, so every one of these stays inside whole-stage codegen and scales
+linearly with input splits.
+
+JSON parity note: the reference never parses payload JSON (frames are opaque
+bytes, ``/root/reference/src/wsclient.hpp:59``); parsing is an extension the
+batch surface adds (SURVEY.md §1.4). URL parsing parity: the reference's
+``Uri::Parse`` (``/root/reference/src/uri.hpp:13-81``) maps to the engine's
+``parse_url`` usage here, and to ``ws_to_kafka_spark.uri`` at the source
+level. The oracle *constructs* host/path/query independently from the same
+components, so it genuinely checks the parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                                   AS brand_upper,
+           LOWER(p_type)                                    AS type_lower,
+           LENGTH(p_name)                                   AS name_len,
+           SUBSTRING(p_name, 1, 8)                          AS name_prefix,
+           CONCAT(p_brand, ':', p_type)                     AS brand_type,
+           REPLACE(p_type, ' ', '_')                        AS type_snake,
+           regexp_extract(p_name, '^([a-zA-Z]+)', 1)        AS first_word,
+           split_part(p_type, ' ', 1)                       AS type_head,
+           CONTAINS(p_name, 'a')                            AS has_a,
+           TRIM(LPAD(p_brand, 12, ' '))                     AS brand_trim
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: case, length, substring, concat, replace, regexp,
+    split, contains, pad/trim."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_name", r"^([a-zA-Z]+)", 1).alias("first_word"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.col("p_name").contains("a").alias("has_a"),
+        F.trim(F.lpad("p_brand", 12, " ")).alias("brand_trim"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate)                    AS order_year,
+           EXTRACT(month FROM o_orderdate)                   AS order_month,
+           EXTRACT(day FROM o_orderdate)                     AS order_day,
+           EXTRACT(quarter FROM o_orderdate)                 AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE)    AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+                                                             AS days_to_eoy,
+           CAST(o_orderdate AS DATE) + 30                    AS due_date,
+           last_day(CAST(o_orderdate AS DATE))               AS month_end
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: extract, trunc, diff, add, last_day."""
+    orders = _t(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), odate).alias("days_to_eoy"),
+        F.date_add(odate, 30).alias("due_date"),
+        F.last_day(odate).alias("month_end"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 2)      AS net_price,
+           ABS(l_discount - 0.05)                            AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT)                  AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)                 AS qty_floor,
+           ROUND(SQRT(l_extendedprice), 6)                   AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6)                 AS price_ln,
+           ROUND(POWER(1 + l_tax, 2), 6)                     AS tax_sq,
+           CAST(l_orderkey % 7 AS BIGINT)                    AS key_mod,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE)           AS disc_sign,
+           GREATEST(l_quantity, 10.0)                        AS qty_floor10,
+           LEAST(l_discount, l_tax)                          AS min_rate
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: round/abs/ceil/floor/sqrt/ln/power/mod/sign/
+    greatest/least. Transcendentals are rounded to 6dp — libm vs JVM can
+    differ in the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_quantity", F.lit(10.0)).alias("qty_floor10"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                          AS n_words,
+           len(list_distinct(string_split(text, ' ')))           AS n_unique_words,
+           list_contains(string_split(text, ' '), 'data')        AS mentions_data,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+                                                                 AS first3_sorted,
+           string_split(text, ' ')[1]                            AS head_word
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions: split/size/distinct/contains/sort/slice/element_at —
+    all JVM higher-order functions, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_unique_words"),
+        F.array_contains(words, "data").alias("mentions_data"),
+        F.concat_ws(",", F.slice(F.sort_array(F.array_distinct(words)), 1, 3)).alias(
+            "first3_sorted"
+        ),
+        F.element_at(words, 1).alias("head_word"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                  AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_int,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_gt_50
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the opaque ``props`` payload — the batch-side
+    analogue of parsing the reference's opaque WS frames (which the reference
+    itself never does: /root/reference/src/wsclient.hpp:59)."""
+    events = _t(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return events.select(
+        "event_id",
+        k_str.alias("k_str"),
+        k_str.cast("long").alias("k_int"),
+        (k_str.cast("long") > 50).alias("k_gt_50"),
+    )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com'                      AS host,
+           '/docs/' || lang                              AS path,
+           'id=' || doc_id || '&src=' || source          AS query,
+           CAST(doc_id AS VARCHAR)                       AS qparam_id
+    FROM documents
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing parity with the reference's Uri::Parse
+    (/root/reference/src/uri.hpp:13-81): build a URL from fixture columns,
+    then parse host/path/query back out with ``parse_url``. The oracle
+    constructs the expected pieces directly, so any parser defect shows."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("?id="),
+        F.col("doc_id"),
+        F.lit("&src="),
+        F.col("source"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qparam_id"),
+    )

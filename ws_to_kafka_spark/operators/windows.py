@@ -1,0 +1,228 @@
+"""Window functions: ranking, analytic (lag/lead), frames, time windows.
+
+Determinism rules (so the oracle hash matches): every ``ROW_NUMBER``/
+``NTILE`` ordering is a total order (unique tiebreaker column appended);
+``RANK``/``DENSE_RANK`` may see ties because their outputs are
+tie-invariant; RANGE frames are tie-invariant by definition.
+
+Scale: a window partitioned by a key shuffles once on that key; the frame
+evaluation is then a local sort + scan. Time-window aggregations
+(`window()` / `session_window()`) are ordinary hash aggregates — the same
+code runs under Structured Streaming with a watermark (see
+``ws_to_kafka_spark.streaming``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .. import tables
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           RANK()       OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_orderdate AS DATE)) AS date_rank,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_orderdate AS DATE)) AS date_dense_rank,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS price_rn,
+           NTILE(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions: rank / dense_rank (tie-safe ordering),
+    row_number / ntile (total ordering)."""
+    orders = _t(spark, sf_dir, "orders")
+    by_date = W.partitionBy("o_orderstatus").orderBy(F.col("o_orderdate").cast("date"))
+    by_price_desc = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    by_price_asc = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(by_date).alias("date_rank"),
+        F.dense_rank().over(by_date).alias("date_dense_rank"),
+        F.row_number().over(by_price_desc).alias("price_rn"),
+        F.ntile(4).over(by_price_asc).alias("price_quartile"),
+    )
+
+
+@register(
+    "q_win_lag",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           ROUND(LAG(value)  OVER w, 4)                        AS prev_value,
+           ROUND(LEAD(value) OVER w, 4)                        AS next_value,
+           ROUND(FIRST_VALUE(value) OVER w, 4)                 AS first_val,
+           ROUND(LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS last_val,
+           CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions lag/lead/first/last over per-user event streams."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    prev_ts = F.lag("ts").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.round(F.first("value").over(w), 4).alias("first_val"),
+        F.round(F.last("value").over(w_full), 4).alias("last_val"),
+        (F.unix_timestamp(F.col("ts").cast("timestamp"))
+         - F.unix_timestamp(prev_ts.cast("timestamp"))).alias("secs_since_prev"),
+    )
+
+
+@register(
+    "q_win_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+           ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS sliding_avg_price,
+           COUNT(*) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_orderkey
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)          AS n_near_orders
+    FROM lineitem
+    """,
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running sum (ROWS unbounded), sliding 3-row average,
+    and a numeric RANGE frame (tie-invariant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = W.partitionBy("l_suppkey").orderBy(*order_cols)
+    w_range = (
+        W.partitionBy("l_suppkey").orderBy("l_orderkey").rangeBetween(-100, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_quantity").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_qty"),
+        F.round(
+            F.avg("l_extendedprice").over(w.rowsBetween(-2, 0)), 4
+        ).alias("sliding_avg_price"),
+        F.count("*").over(w_range).alias("n_near_orders"),
+    )
+
+
+@register(
+    "q_win_tumble",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*)               AS n_events,
+           ROUND(SUM(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_win_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    windowed aggregation — identical code runs under readStream+watermark)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_win_slide",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def q_win_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): each event lands in 2 windows.
+    The oracle expands the assignment explicitly."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_win_session",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gapped
+    )
+    SELECT user_id,
+           MIN(ts)              AS session_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) via ``session_window`` — the same
+    operator Structured Streaming uses for streaming sessionization. The
+    oracle derives sessions with the classic lag/gap/cumsum recipe."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )

@@ -1,0 +1,81 @@
+"""SparkSession factory and session tuning.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions sized to cores (not the 200 default), AQE on for runtime
+re-planning and skew handling, Arrow on for any pandas exchange, and the
+session timezone pinned to UTC so timestamp semantics match a UTC-naive
+oracle (DuckDB).
+
+``ensure_session_confs`` is separated out because the driver harness hands us
+an externally created ``SparkSession``; every conf it sets is dynamically
+settable so we can tune sessions we did not build.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and necessary) to set on an existing session.
+_RUNTIME_CONFS = {
+    # The driver fixtures store events.ts as parquet TIMESTAMP(NANOS) which
+    # Spark's vectorized reader rejects by default; read it as nanos-long and
+    # convert in the loader (see tables.load).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # UTC so TimestampType aligns with UTC-naive oracle timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing, skew-join splitting, broadcast demotion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            # Non-settable on this build — keep going; the loader copes.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "ws_to_kafka_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or ``*``.
+    Shuffle partitions default to 2x cores — enough parallelism for AQE to
+    coalesce down, without thousands of empty reducers at test scale. On a
+    real cluster these come from spark-submit; everything else in the engine
+    is partition-count agnostic.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(str(cpus)) * 2, 8)
+        except ValueError:
+            shuffle_partitions = 64
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_session_confs(spark)

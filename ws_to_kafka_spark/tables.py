@@ -1,0 +1,63 @@
+"""Fixture table loaders.
+
+The driver provides deterministic parquet tables under
+``/root/testdata/sf{0.001,0.01,0.1}/`` (see TESTDATA.md / FIXTURES.md).
+All loading funnels through :func:`load` so type quirks are normalized in
+exactly one place:
+
+* ``events.ts`` is parquet ``TIMESTAMP(NANOS)`` — Spark's reader rejects it,
+  so we read nanos-as-long and convert to microsecond ``TIMESTAMP_NTZ``
+  (lossless on these fixtures: the generator emits whole microseconds).
+* ``lineitem.l_shipdate`` / ``orders.o_orderdate`` arrive as
+  ``TIMESTAMP_NTZ`` already (parquet ms, isAdjustedToUTC=false).
+
+At 100 TB the same code path holds: parquet scans with predicate pushdown and
+column pruning; nothing here materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_session_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types (see module docstring)."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-long -> whole-microsecond TIMESTAMP_NTZ (session TZ is UTC,
+        # so the cast through TimestampType is value-preserving).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
