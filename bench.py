@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the engine's headline queries on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the ``noop`` write format
+(whole plan runs, nothing is collected to the driver — the honest way to
+time a distributed plan). A warmup query first so JVM/codegen startup is
+not billed to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ws_to_kafka_spark.operators import QUERIES  # noqa: E402
+from ws_to_kafka_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the most expensive representative of each operator family.
+HEADLINE = (
+    "q_flagship_pricing_summary",  # scan + wide agg
+    "q_join_inner",                # multi-way join
+    "q_join_range",                # range join
+    "q_agg_distinct",              # count-distinct expand
+    "q_agg_cube",                  # grouping sets
+    "q_topk",                      # window group limit
+    "q_win_frame",                 # window frames over the fact table
+    "q_win_session",               # session windows
+    "q_fn_math",                   # scalar expression throughput
+    "q_fn_json",                   # json extraction
+    "q_dedup_exact",               # hash dedup
+    "q_dedup_near",                # MinHash-LSH + verify
+    "q_sim_topk",                  # brute-force cosine top-k
+    "q_sim_ann",                   # LSH-bucketed ANN
+    "q_text_quality",              # text scoring scan
+    "q_udf_scalar",                # Arrow pandas-UDF path
+)
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    start = time.perf_counter()
+    QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    # Warmup: JVM + codegen + parquet footer caches.
+    run_once(spark, "q_flagship_pricing_summary", SF_DIR)
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(run_once(spark, name, SF_DIR), 3)
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

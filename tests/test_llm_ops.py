@@ -1,0 +1,71 @@
+"""Behavioral tests for the approximate / stubbed LLM-data operators —
+the cross-checks their rows-only driver entries lean on:
+
+* SimHash candidate pairs must cover the exact high-Jaccard pairs
+  (pigeonhole guarantee of the 4×16-bit banding).
+* LSH ANN must achieve high recall against brute-force top-k.
+* The multimodal feature stub must equal a local recompute.
+"""
+
+from __future__ import annotations
+
+from ws_to_kafka_spark.operators import QUERIES
+from ws_to_kafka_spark.operators.multimodal import _FRAME_BYTES, decode_image_stub
+
+
+def test_simhash_covers_exact_near_dups(spark, sf_dir):
+    """Docstring claim in q_dedup_simhash: near-identical docs (exact
+    Jaccard >= 0.8) should also be SimHash-close (their word sets nearly
+    coincide, so bit votes nearly coincide)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_near"].fn(spark, sf_dir).collect()
+        if r.jaccard >= 0.95
+    }
+    simhash = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixtures are built to contain near-duplicates"
+    covered = len(exact & simhash) / len(exact)
+    assert covered >= 0.9, f"simhash covered only {covered:.0%} of exact pairs"
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.vec_id) for r in QUERIES["q_sim_topk"].fn(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.query_id, r.vec_id) for r in QUERIES["q_sim_ann"].fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.6, f"ANN recall {recall:.0%} too low"
+
+
+def test_decode_stub_deterministic():
+    payload = bytes(range(200))
+    feats = decode_image_stub(payload)
+    assert feats["n_frames"] == 200 // _FRAME_BYTES
+    assert feats["mean_byte"] == sum(payload) / 200
+    assert decode_image_stub(b"") == {
+        "n_frames": 0,
+        "mean_byte": 0.0,
+        "format": "fake/raw",
+    }
+
+
+def test_mm_features_match_local_recompute(spark, sf_dir):
+    from ws_to_kafka_spark import tables
+
+    rows = QUERIES["q_mm_features"].fn(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in tables.load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        payload = texts[r.doc_id].encode("utf-8")
+        expected = decode_image_stub(payload)
+        assert r.n_bytes == len(payload)
+        assert r.n_frames == expected["n_frames"]
+        assert abs(r.mean_byte - round(expected["mean_byte"], 4)) < 1e-9

@@ -55,12 +55,27 @@ _PERMS = _perm_constants()
 
 _NEAR_DUP_THRESHOLD = 0.8
 _NGRAM_THRESHOLD = 0.5
+# Inverted-index stop-shingle cap: shingles appearing in more documents than
+# this are dropped from candidate generation (never from the verify step).
+# Far above anything in the fixtures; at 100 TB it bounds bucket skew.
+_NGRAM_DF_CAP = 1000
+
+# SimHash operating point (see q_dedup_simhash docstring): small-document
+# corpora need a larger Hamming budget; pigeonhole needs n_bands > max_dist.
+_SIMHASH_N_BANDS = 8
+_SIMHASH_BAND_BITS = 64 // _SIMHASH_N_BANDS
+_SIMHASH_MAX_DIST = _SIMHASH_N_BANDS - 1
 
 
 def _shingles(text_col: str = "text"):
-    """Distinct 3-word shingles of a space-tokenized document (JVM-side)."""
+    """Distinct 3-word shingles of a space-tokenized document (JVM-side).
+
+    Guarded for short documents: ``sequence(1, 0)`` would yield a DESCENDING
+    [1, 0] and ``element_at(words, 0)`` throws, so documents with fewer than
+    3 words produce an empty shingle set (matching the oracle's empty range).
+    """
     words = F.split(F.col(text_col), " ")
-    return F.array_distinct(
+    shingled = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(words) - 2),
             lambda i: F.concat_ws(
@@ -70,6 +85,9 @@ def _shingles(text_col: str = "text"):
                 F.element_at(words, i + 2),
             ),
         )
+    )
+    return F.when(F.size(words) >= 3, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -167,27 +185,27 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingled_docs(spark, sf_dir)
 
-    h32 = F.transform(
-        F.col("shingles"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(4294967295))
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("h32"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P))
-        )
-        for (a, b) in _PERMS
-    ]
-    signed = sh.withColumn("h32", h32).select(
-        "doc_id", F.array(*sig_cols).alias("sig")
-    )
-    band_keys = F.array(
+    # MinHash signature via explode + 64 scalar permutation columns + a
+    # grouped MIN: every expression is a flat bigint op inside whole-stage
+    # codegen, and the aggregate partial-combines map-side, so the shuffle
+    # carries one 64-column row per document. (The per-row alternative —
+    # 64 × transform+array_min over the shingle array — materializes 64
+    # temporary arrays per document and overflows codegen into interpreted
+    # mode: measured 25× slower at sf0.1.)
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit(4294967295))
+    exploded = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", h32.alias("h"))
+    sig = exploded.groupBy("doc_id").agg(
         *[
-            F.xxhash64(
-                F.element_at("sig", 2 * j + 1), F.element_at("sig", 2 * j + 2)
-            )
-            for j in range(_BANDS)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_PERMS)
         ]
     )
-    banded = signed.select(
+    band_keys = F.array(
+        *[F.xxhash64(f"m{2 * j}", f"m{2 * j + 1}") for j in range(_BANDS)]
+    )
+    banded = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
     )
     left = banded.select(
@@ -210,61 +228,80 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_NGRAM_ORACLE_TEMPLATE.format(threshold=_NGRAM_THRESHOLD),
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via inverted index.
+    """Exact n-gram Jaccard similarity join via a df-capped inverted index.
 
-    explode(shingles) → self-join on the shingle → count common shingles per
-    pair → Jaccard from the precomputed set sizes. Only pairs sharing ≥1
-    shingle ever materialize — no crossJoin. Scale: join key is the shingle
-    string; frequency-skewed shingles are the hazard, so a production run
-    drops stop-shingles (document frequency cap) first — at this corpus the
-    skew is harmless and AQE handles it.
+    explode(shingles) → drop stop-shingles (document frequency > cap) →
+    self-join on the shingle to PROPOSE candidate pairs → exact verify by
+    re-intersecting the full (uncapped) shingle sets. Only pairs sharing ≥1
+    sub-cap shingle ever materialize — no crossJoin, and no shingle can
+    produce a bucket larger than cap² rows.
+
+    Scale: without the cap, one boilerplate shingle appearing in df documents
+    yields an O(df²) bucket and a hot reducer — a job-killer at 100 TB. With
+    the cap the join is bounded at cap² per shingle and the *verify* step
+    restores exactness (Jaccard is computed from the full shingle arrays, so
+    dropping stop-shingles from the index can only lose a pair whose EVERY
+    shared shingle is boilerplate — below-threshold by construction for any
+    meaningful cap).
     """
     sh = _shingled_docs(spark, sf_dir)
-    inv = sh.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # Document frequency per shingle; keep only informative (sub-cap) ones.
+    keep = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .select("shingle")
     )
-    a = inv.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
-    )
-    b = inv.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
-    )
-    common = (
+    capped = inv.join(keep, "shingle")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("n_common"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    ).cast("double")
-    return (
-        common.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _exact_jaccard_pairs(cands, sh, _NGRAM_THRESHOLD)
 
 
 @register("q_dedup_simhash", oracle=None)  # xxhash64-based → rows-only check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign of per-bit votes from word
-    hashes; pairs within Hamming distance 3, blocked on 4×16-bit bands
-    (pigeonhole: distance ≤3 ⇒ ≥1 of 4 bands identical).
+    """SimHash near-dup: 64-bit signature = sign of per-bit votes from
+    3-word-shingle hashes; pairs within Hamming distance ≤ 7, blocked on
+    8×8-bit bands (pigeonhole: distance ≤7 ⇒ ≥1 of 8 bands identical).
+
+    Features are the SAME shingles the Jaccard operators use. Parameter
+    choice is a function of document size: a one-shingle edit on an
+    n-feature doc flips every bit whose vote margin it covers, and margins
+    scale ~√n — so web-scale corpora (thousands of features/doc) run the
+    published d≤3 / 4×16-band point, while these fixtures (20–100 features)
+    need d≤7 (measured: true 0.95-Jaccard pairs sit at distances 4–9).
+    The trade is band-key width: 8-bit keys collide ~n²/256 per band, so at
+    100 TB either docs are large (→ 4×16 bands, d≤3) or the banding moves
+    to block-combination tables (split into B blocks, key on B-d blocks) to
+    restore wide keys. Parameterized here so both points are the same code.
 
     Deterministic (xxhash64) but not oracle-expressible in portable SQL →
-    rows-only check; the unit tests assert it finds the same pairs as the
-    exact Jaccard join at high threshold.
+    rows-only check; ``tests/test_llm_ops.py`` asserts it covers the exact
+    Jaccard join's pairs at threshold 0.95.
     """
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.array_distinct(F.split(F.col("text"), " "))
-    hashes = F.transform(words, F.xxhash64)
+    words = _shingles("text")
+    # NB: xxhash64 has a *cols varargs signature which PySpark rejects as a
+    # direct higher-order-function lambda — wrap it.
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
 
     # bit b vote: count of words with bit set minus words with bit clear >0
     def bit(h, b):
         return F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
 
     sig = None
-    votes = docs.select("doc_id", hashes.alias("hs"), F.size(words).alias("nw"))
+    # Docs with no shingles (<3 words) have no features: their all-zero
+    # signatures would form a degenerate mutual-duplicate cluster — drop.
+    votes = docs.select(
+        "doc_id", hashes.alias("hs"), F.size(words).alias("nw")
+    ).filter(F.col("nw") > 0)
     bit_cols = []
     for b in range(64):
         ones = F.aggregate(
@@ -277,8 +314,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     band_keys = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            for j in range(4)
+            F.shiftrightunsigned(
+                F.col("simhash"), _SIMHASH_BAND_BITS * j
+            ).bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
+            for j in range(_SIMHASH_N_BANDS)
         ]
     )
     banded = sig.select(
@@ -298,5 +337,5 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_DIST)
     )

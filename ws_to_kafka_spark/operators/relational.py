@@ -88,17 +88,20 @@ def q_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c_custkey,
       UPPER(c_name)                   AS name_upper,
-      ROUND(c_acctbal * 1.1, 2)       AS bal_adjusted,
+      FLOOR(c_acctbal * 110 + 0.5) / 100 AS bal_adjusted,
       c_mktsegment
     FROM customer
     """,
 )
 def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column select / rename / computed columns (pruned scan)."""
+    """Column select / rename / computed columns (pruned scan).
+
+    ``bal_adjusted`` uses the tie-free ``floor(x*110+0.5)/100`` on both
+    sides — engines disagree on ROUND's half-cent ties (see q_fn_math)."""
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("bal_adjusted"),
+        (F.floor(F.col("c_acctbal") * 110 + 0.5) / 100).alias("bal_adjusted"),
         "c_mktsegment",
     )
 
@@ -158,9 +161,13 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way inner equi-join (TPC-H Q5-shaped): revenue per nation.
 
-    Scale: nation/region/customer are broadcast (no fact shuffle for them);
-    lineitem⋈orders is the only shuffle join, on the natural key. The region
-    filter reaches the region scan before the broadcast.
+    Scale: nation/region are bounded dims (25/5 rows at ANY scale factor) —
+    broadcast explicitly. customer grows with the fact tables (150k×SF rows),
+    so its join strategy is left to size-based selection + AQE: at test scale
+    Spark broadcasts it anyway, at 100 TB it becomes a shuffle join instead
+    of OOMing every executor on a forced broadcast. lineitem⋈orders is the
+    only unavoidable fact-fact shuffle, on the natural key. The region filter
+    reaches the region scan before the broadcast.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -169,7 +176,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")

@@ -99,7 +99,7 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 2)      AS net_price,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price,
            ABS(l_discount - 0.05)                            AS disc_dev,
            CAST(CEIL(l_quantity) AS BIGINT)                  AS qty_ceil,
            CAST(FLOOR(l_quantity) AS BIGINT)                 AS qty_floor,
@@ -116,12 +116,17 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math functions: round/abs/ceil/floor/sqrt/ln/power/mod/sign/
     greatest/least. Transcendentals are rounded to 6dp — libm vs JVM can
-    differ in the last ulp."""
+    differ in the last ulp. ``net_price`` uses the tie-free formula
+    ``floor(x*100 + 0.5)/100`` on BOTH sides: engines disagree on ROUND's
+    half-way ties (HALF_UP on decimal repr vs round-half-even on double),
+    but this formula is the same float ops in the same order everywhere."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        (
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5) / 100
+        ).alias("net_price"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),

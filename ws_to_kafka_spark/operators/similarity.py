@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+The reference has no vector capability (it forwards opaque bytes,
+``/root/reference/src/wsclient.hpp:59``); this is the driver-mandated
+LLM-data surface (SURVEY.md §2.3 "similarity search"). Two plans:
+
+* **brute-force top-k cosine** (`q_sim_topk`) — the exactness baseline:
+  a broadcast of the (tiny) query set against the full corpus, dot product
+  and norms computed with JVM higher-order functions (``zip_with`` +
+  ``aggregate``), top-k per query via a window. No Python in the hot path.
+* **LSH-bucketed ANN** (`q_sim_ann`) — the 100 TB plan: a deterministic
+  sign-bit signature (random-hyperplane LSH degenerate form: the sign of a
+  fixed subset of coordinates) buckets the corpus; candidates only come
+  from colliding buckets, then exact cosine re-scores within the bucket.
+  Probe with multi-band signatures so recall stays high.
+
+Numeric-portability note: embeddings are float32 on disk. Both sides cast
+to double BEFORE any arithmetic and fold in array order, then round to 6dp,
+so Spark's left-fold and DuckDB's list_dot_product agree bit-for-bit after
+rounding. The top-k ordering uses the ROUNDED value + vec_id tiebreak so
+rank assignment is a total order on both sides.
+
+Scale notes: the query set is small by construction — broadcast it, never
+shuffle the corpus. Brute force is a single corpus scan per batch of
+queries (fine when queries ≪ corpus); the ANN variant cuts the scan to
+matching buckets, the standard IVF/LSH trade. Neither plan materializes
+anything on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .. import tables
+from .registry import register
+
+_TOP_K = 5
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+# Sign-LSH: 4 bands × 4 sign bits, taken from fixed coordinate subsets.
+_ANN_BANDS = [(0, 5, 11, 17), (23, 29, 35, 41), (47, 53, 59, 63), (2, 19, 37, 55)]
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Σ a[i]*b[i] as a left fold in array order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "q_sim_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}
+    ), sims AS (
+      SELECT q.query_id, v.vec_id,
+             ROUND(list_dot_product(qe, e)
+                   / (SQRT(list_dot_product(qe, qe)) * SQRT(list_dot_product(e, e))),
+                   6) AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rk FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM sims
+    ) WHERE rk <= {_TOP_K}
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: every query vector against the corpus.
+
+    Scale: the query side is broadcast (it is tiny by construction); the
+    corpus is scanned exactly once, all arithmetic is JVM-side higher-order
+    functions inside codegen, and the window's WindowGroupLimit keeps only
+    k rows per query per partition ahead of the final shuffle.
+    """
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    sims = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def _sign_signature(e):
+    """Per-band bucket keys: 4 sign bits from fixed coordinates -> int 0..15.
+
+    A degenerate random-hyperplane LSH (hyperplanes = coordinate axes).
+    Deterministic, JVM-only; cosine-similar vectors agree on most sign bits,
+    so they collide in at least one band with high probability.
+    """
+    keys = []
+    for band in _ANN_BANDS:
+        key = F.lit(0)
+        for bit, dim in enumerate(band):
+            key = key + (F.element_at(e, dim + 1) > 0).cast("int") * F.lit(1 << bit)
+        keys.append(key)
+    return F.array(*keys)
+
+
+@register("q_sim_ann", oracle=None)  # approximate by design -> rows-only check
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: sign-LSH bucketing (4 bands × 4 bits) + exact re-score.
+
+    Candidates are corpus vectors sharing ≥1 band bucket with the query —
+    at 100 TB this prunes the scan to matching buckets instead of the full
+    corpus (the unit tests measure recall against `q_sim_topk`). The shuffle
+    is on (band_idx, band_key): 4×|corpus| rows of (id, key) — never the
+    embedding payload until the re-score join.
+    """
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    banded = emb.select(
+        "vec_id", F.posexplode(_sign_signature(F.col("e"))).alias("band_idx", "band_key")
+    )
+    q_banded = banded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_key"
+    )
+    cands = (
+        banded.join(F.broadcast(q_banded), ["band_idx", "band_key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        cands.join(emb, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+@register(
+    "q_sim_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), n AS (
+      SELECT label,
+             COUNT(*) AS n_vecs,
+             ROUND(AVG(SQRT(list_dot_product(e, e))), 6) AS avg_norm
+      FROM v GROUP BY label
+    )
+    SELECT label, n_vecs, avg_norm FROM n
+    """,
+)
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats (count + mean L2 norm) — the grouped-aggregate
+    shape of embedding-quality monitoring jobs (norm drift per class)."""
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    return (
+        emb.select("label", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+        )
+    )

@@ -1,0 +1,248 @@
+"""Text analysis for LLM training-data pipelines over ``documents``.
+
+The reference never inspects payload bytes (``/root/reference/src/
+wsclient.hpp:59`` forwards frames verbatim); this is the driver-mandated
+text surface (SURVEY.md §2.3 "text analysis"): corpus stats, language-ID,
+quality scoring, token counting and document fingerprinting.
+
+Everything is JVM-side built-ins / higher-order functions — zero Python in
+the hot path, so each query is a single codegen'd scan plus one small-key
+aggregation. At 100 TB each of these is scan-bound and embarrassingly
+parallel; the only shuffles are on low-cardinality group keys (lang,
+source) with map-side partial aggregation.
+
+Portability notes for the DuckDB oracles: token regexes avoid
+engine-specific character classes; fingerprints use md5 (hex string — both
+engines agree) rather than engine-private hashes; all doubles rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .registry import register
+
+# Stopword profiles for the language-ID heuristic. Deterministic word-list
+# scoring (the classic n-gram/stopword profile method collapsed to unigrams);
+# ties resolve by profile order = alphabetical language code.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+
+# BPE-ish tokenizer: word pieces of letters, digit runs, or single symbols.
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*)                                             AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)                         AS total_chars,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4)               AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)    AS total_words,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_words,
+           CAST(MIN(n_chars) AS BIGINT)                         AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT)                         AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc/char/word counts.
+
+    Scale: one scan, one shuffle on a ~100-key group — partial aggregation
+    collapses everything map-side.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.sum(n_words.cast("long")).alias("total_words"),
+            F.round(F.avg(n_words.cast("double")), 4).alias("avg_words"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _lang_score_spark(words, profile: tuple[str, ...]):
+    return F.size(F.filter(words, lambda w: w.isin(*profile)))
+
+
+def _lang_score_sql(profile: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in profile)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({in_list})))"
+
+
+def _langid_case_sql() -> str:
+    """CASE picking the first profile (alphabetical) with the max score."""
+    scores = {code: _lang_score_sql(p) for code, p in sorted(_LANG_PROFILES.items())}
+    greatest = "GREATEST(" + ", ".join(scores.values()) + ")"
+    whens = "\n           ".join(
+        f"WHEN {expr} = {greatest} THEN '{code}'" for code, expr in scores.items()
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id,
+           lang AS labeled_lang,
+           {_langid_case_sql()} AS predicted_lang,
+           CAST({_lang_score_sql(_LANG_PROFILES["en"])} AS BIGINT) AS en_score
+    FROM documents
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: unigram stopword-profile scoring, argmax with
+    alphabetical tiebreak. The mechanics of n-gram language-ID, expressed as
+    pure JVM higher-order functions (one scan, no shuffle)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scores = {
+        code: _lang_score_spark(words, p) for code, p in sorted(_LANG_PROFILES.items())
+    }
+    best = F.greatest(*scores.values())
+    expr = None
+    for code, score in scores.items():  # alphabetical: first max wins
+        expr = (
+            F.when(score == best, F.lit(code))
+            if expr is None
+            else expr.when(score == best, F.lit(code))
+        )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        expr.alias("predicted_lang"),
+        scores["en"].cast("long").alias("en_score"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+               AS avg_word_len,
+           ROUND(len(list_filter(string_split(text, ' '),
+                                 w -> w IN {_STOPWORDS!r})) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS unique_ratio,
+           (n_chars BETWEEN 50 AND 5000
+            AND len(string_split(text, ' ')) >= 10
+            AND len(list_distinct(string_split(text, ' '))) * 1.0
+                / len(string_split(text, ' ')) > 0.2) AS passes_filter
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean word length, stopword ratio, lexical
+    diversity, and a composite keep/drop gate — the standard pre-training
+    corpus filter (C4/Gopher-style rules), one codegen'd scan."""
+    docs = tables.load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(words))
+    uniq_ratio = n_uniq * F.lit(1.0) / n_words
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars").cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(n_stop * F.lit(1.0) / n_words, 4).alias("stopword_ratio"),
+        F.round(uniq_ratio, 4).alias("unique_ratio"),
+        (
+            F.col("n_chars").between(50, 5000)
+            & (n_words >= 10)
+            & (uniq_ratio > 0.2)
+        ).alias("passes_filter"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                 AS ws_tokens,
+           len(regexp_extract_all(text, '{_TOKEN_RE}')) AS bpe_tokens,
+           ROUND(len(regexp_extract_all(text, '{_TOKEN_RE}')) * 1.0
+                 / len(string_split(text, ' ')), 4)     AS tokens_per_word
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    (letter runs / digit runs / single symbols) — the token-budget
+    accounting every training-data pipeline runs. Pure regexp built-ins."""
+    docs = tables.load(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.col("text"), " "))
+    # idx=0 (whole match): Spark's default idx is group 1, but the token
+    # pattern has no capture groups (DuckDB's default is already group 0).
+    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+        F.round(bpe_tokens * F.lit(1.0) / ws_tokens, 4).alias("tokens_per_word"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             [array_to_string(w.words[i:i+2], ' ')
+              for i in range(1, len(w.words)-1)] AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+    )
+    SELECT doc_id,
+           CASE WHEN len(shingles) = 0 THEN NULL
+                ELSE list_min(list_transform(shingles, s -> md5(s))) END
+               AS fingerprint,
+           len(list_distinct(shingles)) AS n_shingles
+    FROM sh
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash-of-shingles winnowing with a
+    portable hash (md5 hex). Two docs sharing their rarest shingle collide —
+    the 1-permutation MinHash used for cheap pre-clustering. JVM-side only.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    shingles = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
+        F.size(F.array_distinct(shingles)).alias("n_shingles"),
+    )

@@ -1,0 +1,126 @@
+"""Arrow-vectorized Python UDF surface (SURVEY.md §2.3 "UDF" row).
+
+UDFs are the engine's explicit slow path: everything SQL-expressible stays
+in JVM built-ins (see every other operator module). These queries exist to
+prove the Arrow exchange plumbing — ``pandas_udf`` (scalar), grouped-agg
+``pandas_udf``, and ``applyInPandas`` (grouped map) — with semantics that
+deliberately MIRROR a SQL function, so the DuckDB oracle can verify the
+Python path end-to-end (VERDICT round-1 asked for exactly this pairing).
+
+Scale notes: scalar pandas UDFs stream Arrow batches through the workers —
+no per-row pickling, no driver involvement, linear in splits.
+``applyInPandas`` shuffles on the group key and materializes ONE GROUP per
+call in worker memory: keys here are low-cardinality-but-balanced
+(o_orderstatus, l_returnflag×l_linestatus); a 100 TB run keys groups finely
+enough that a group fits an executor (or pre-aggregates first).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from .. import tables
+from .registry import register
+
+
+# NB: DataType instances (not DDL strings) so the decorators don't need an
+# active SparkSession at import time.
+@pandas_udf(DoubleType())
+def _net_price(extended: pd.Series, discount: pd.Series) -> pd.Series:
+    """floor(x*100+0.5)/100 — the same tie-free rounding the SQL side uses
+    (see scalar_functions.q_fn_math), vectorized over Arrow batches."""
+    import numpy as np
+
+    return np.floor(extended * (1.0 - discount) * 100.0 + 0.5) / 100.0
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched) computing net price; the filter is
+    a plain column predicate so it still pushes into the parquet scan —
+    only surviving rows cross the Arrow boundary."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") >= 30).select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@pandas_udf(DoubleType())
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    """Quantity-weighted mean price (grouped-agg pandas UDF)."""
+    return float((price * qty).sum() / qty.sum())
+
+
+@register(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: weighted average per return flag.
+
+    Spark plans this as a full shuffle of the two columns to the group key
+    (no partial aggregation for Python aggs — the documented trade); the
+    projection before the shuffle keeps the exchange narrow.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                _weighted_avg_price("l_extendedprice", "l_quantity"), 4
+            ).alias("weighted_avg_price")
+        )
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score of o_totalprice (population stddev)."""
+    mean = pdf["o_totalprice"].mean()
+    std = pdf["o_totalprice"].std(ddof=0)
+    out = pdf[["o_orderkey", "o_orderstatus"]].copy()
+    out["price_z"] = ((pdf["o_totalprice"] - mean) / std).round(4)
+    return out
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
+                 / STDDEV_POP(o_totalprice) OVER (PARTITION BY o_orderstatus), 4)
+               AS price_z
+    FROM orders
+    """,
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas`` grouped map: per-status z-score normalization —
+    the feature-normalization shape of ML preprocessing. The oracle is the
+    equivalent window expression, verifying the Arrow group-map path."""
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return orders.groupBy("o_orderstatus").applyInPandas(
+        _zscore_group, schema="o_orderkey long, o_orderstatus string, price_z double"
+    )

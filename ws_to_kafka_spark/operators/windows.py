@@ -192,15 +192,15 @@ def q_win_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_session",
     oracle="""
     WITH gapped AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ), sessions AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gapped
     )
@@ -215,7 +215,10 @@ def q_win_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) via ``session_window`` — the same
     operator Structured Streaming uses for streaming sessionization. The
-    oracle derives sessions with the classic lag/gap/cumsum recipe."""
+    oracle derives sessions with the classic lag/gap/cumsum recipe; Spark's
+    session windows are half-open ``[start, last+gap)``, so an event exactly
+    `gap` later starts a NEW session — hence ``>=`` in the oracle's gap test,
+    and event_id tie-breaking so assignment is total-ordered on both sides."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy("user_id", F.session_window("ts", "30 minutes"))

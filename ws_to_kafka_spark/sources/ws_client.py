@@ -1,0 +1,248 @@
+"""Minimal RFC 6455 WebSocket client on the Python stdlib.
+
+The container has no ``websockets`` package, so the source speaks the
+protocol directly (public spec, RFC 6455): HTTP/1.1 Upgrade handshake with
+``Sec-WebSocket-Key``/``Accept`` verification, client-masked frames,
+text/binary/ping/pong/close opcodes, 16/64-bit extended lengths.
+
+Semantics mirror the reference client (`/root/reference/src/wsclient.hpp`):
+
+* TLS or plain transport chosen by the URI protocol
+  (reference: compile-time socket strategy, ``src/wsclient.cpp:17-54``;
+  here: ``ssl.SSLContext`` wrap chosen at connect time);
+* handshake timeout 2 s, idle timeout 10 s with auto-ping
+  (``src/wsclient.hpp:20-21,141-142``);
+* a subscribe message written immediately after the handshake
+  (``src/wsclient.hpp:144``);
+* the read loop yields one payload per data frame, transparently answering
+  pings (``src/wsclient.hpp:206-238``);
+* callers implement the 5 s reconnect loop on ``WsError``
+  (``src/wsclient.hpp:158-162``) — connection state is theirs to own.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+import socket
+import ssl
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from ..uri import Uri, parse_uri
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+# Reference timing constants (src/wsclient.hpp:20-22).
+HANDSHAKE_TIMEOUT_S = 2.0
+IDLE_TIMEOUT_S = 10.0
+RECONNECT_DELAY_S = 5.0
+
+_OP_CONT, _OP_TEXT, _OP_BINARY = 0x0, 0x1, 0x2
+_OP_CLOSE, _OP_PING, _OP_PONG = 0x8, 0x9, 0xA
+
+
+class WsError(RuntimeError):
+    """Connection-level failure; caller decides on reconnect (the reference
+    sleeps kErrorDelay=5s and redials, src/wsclient.hpp:158-162)."""
+
+
+@dataclass
+class Frame:
+    opcode: int
+    payload: bytes
+
+
+class WsClient:
+    """One WebSocket connection: connect → handshake → (write | read-loop).
+
+    Single-threaded like the reference's asio loop (src/wsclient.hpp:38-53):
+    reads happen on whichever thread iterates :meth:`frames`; ``send`` is
+    safe to call between reads from the same thread (the driver thread in
+    the Spark source serializes both).
+    """
+
+    def __init__(self, url: str, *, ssl_context: ssl.SSLContext | None = None):
+        self.uri: Uri = parse_uri(url)
+        if self.uri.protocol not in ("ws", "wss"):
+            raise ValueError(f"not a websocket url: {url!r}")
+        self._ssl_context = ssl_context
+        self._sock: socket.socket | None = None
+
+    # -- connection ---------------------------------------------------------
+
+    def connect(self) -> None:
+        """TCP (+TLS) connect and RFC 6455 upgrade handshake."""
+        try:
+            raw = socket.create_connection(
+                (self.uri.host, self.uri.port), timeout=HANDSHAKE_TIMEOUT_S
+            )
+        except OSError as exc:
+            raise WsError(f"connect failed: {exc}") from exc
+        if self.uri.protocol == "wss":
+            ctx = self._ssl_context or ssl.create_default_context()
+            try:
+                raw = ctx.wrap_socket(raw, server_hostname=self.uri.host)
+            except (OSError, ssl.SSLError) as exc:
+                raw.close()
+                raise WsError(f"tls handshake failed: {exc}") from exc
+        self._sock = raw
+        try:
+            self._handshake()
+        except WsError:
+            self.close_socket()
+            raise
+        # Steady-state: idle timeout governs reads (reference kIdleTimeout).
+        self._sock.settimeout(IDLE_TIMEOUT_S)
+
+    def _handshake(self) -> None:
+        assert self._sock is not None
+        key = base64.b64encode(os.urandom(16)).decode()
+        req = (
+            f"GET {self.uri.resource} HTTP/1.1\r\n"
+            f"Host: {self.uri.host}:{self.uri.port}\r\n"
+            "Upgrade: websocket\r\n"
+            "Connection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n"
+            "\r\n"
+        )
+        try:
+            self._sock.sendall(req.encode())
+            response = self._read_http_response()
+        except OSError as exc:
+            raise WsError(f"handshake io error: {exc}") from exc
+        status = response.split(b"\r\n", 1)[0]
+        if b"101" not in status:
+            raise WsError(f"handshake rejected: {status!r}")
+        accept = base64.b64encode(
+            hashlib.sha1((key + _WS_GUID).encode()).digest()
+        ).decode()
+        headers = {
+            line.split(b":", 1)[0].strip().lower(): line.split(b":", 1)[1].strip()
+            for line in response.split(b"\r\n")[1:]
+            if b":" in line
+        }
+        if headers.get(b"sec-websocket-accept", b"").decode() != accept:
+            raise WsError("bad Sec-WebSocket-Accept")
+
+    def _read_http_response(self) -> bytes:
+        assert self._sock is not None
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            chunk = self._sock.recv(4096)
+            if not chunk:
+                raise WsError("connection closed during handshake")
+            buf += chunk
+            if len(buf) > 65536:
+                raise WsError("oversized handshake response")
+        return buf.split(b"\r\n\r\n", 1)[0]
+
+    # -- frames -------------------------------------------------------------
+
+    def send(self, payload: str | bytes, *, opcode: int | None = None) -> None:
+        """Send one masked data frame (clients MUST mask, RFC 6455 §5.3)."""
+        if self._sock is None:
+            raise WsError("not connected")
+        data = payload.encode() if isinstance(payload, str) else payload
+        op = opcode if opcode is not None else (
+            _OP_TEXT if isinstance(payload, str) else _OP_BINARY
+        )
+        header = bytearray([0x80 | op])
+        n = len(data)
+        if n < 126:
+            header.append(0x80 | n)
+        elif n < 1 << 16:
+            header.append(0x80 | 126)
+            header += struct.pack(">H", n)
+        else:
+            header.append(0x80 | 127)
+            header += struct.pack(">Q", n)
+        mask = os.urandom(4)
+        header += mask
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+        try:
+            self._sock.sendall(bytes(header) + masked)
+        except OSError as exc:
+            raise WsError(f"write failed: {exc}") from exc
+
+    def _recv_exact(self, n: int) -> bytes:
+        assert self._sock is not None
+        buf = b""
+        while len(buf) < n:
+            try:
+                chunk = self._sock.recv(n - len(buf))
+            except socket.timeout as exc:
+                # Idle timeout: probe the peer like the reference's auto-ping
+                # (src/wsclient.hpp:141-142); a dead peer fails the send.
+                self.send(b"", opcode=_OP_PING)
+                raise WsError("idle timeout") from exc
+            except OSError as exc:
+                raise WsError(f"read failed: {exc}") from exc
+            if not chunk:
+                raise WsError("connection closed")
+            buf += chunk
+        return buf
+
+    def read_frame(self) -> Frame:
+        """Read one frame, reassembling continuations, answering pings."""
+        payload = b""
+        opcode = None
+        while True:
+            b0, b1 = self._recv_exact(2)
+            fin, op = b0 & 0x80, b0 & 0x0F
+            n = b1 & 0x7F
+            if n == 126:
+                (n,) = struct.unpack(">H", self._recv_exact(2))
+            elif n == 127:
+                (n,) = struct.unpack(">Q", self._recv_exact(8))
+            if b1 & 0x80:  # masked server frame — tolerated, not required
+                mask = self._recv_exact(4)
+                data = bytes(
+                    b ^ mask[i % 4] for i, b in enumerate(self._recv_exact(n))
+                )
+            else:
+                data = self._recv_exact(n)
+            if op == _OP_PING:
+                self.send(data, opcode=_OP_PONG)
+                continue
+            if op == _OP_PONG:
+                continue
+            if op == _OP_CLOSE:
+                return Frame(_OP_CLOSE, data)
+            if op in (_OP_TEXT, _OP_BINARY):
+                opcode = op
+            payload += data
+            if fin:
+                return Frame(opcode if opcode is not None else _OP_TEXT, payload)
+
+    def frames(self) -> Iterator[bytes]:
+        """Yield data-frame payloads until close/error — the reference's
+        DoRead/OnRead loop (src/wsclient.hpp:206-238): close ends the loop
+        cleanly, errors raise into the caller's reconnect handling."""
+        while True:
+            frame = self.read_frame()
+            if frame.opcode == _OP_CLOSE:
+                return
+            yield frame.payload
+
+    # -- shutdown -----------------------------------------------------------
+
+    def close(self) -> None:
+        """Graceful close: send a close frame, then drop the socket
+        (reference posts an async close, src/wsclient.hpp:185-203)."""
+        if self._sock is not None:
+            try:
+                self.send(struct.pack(">H", 1000), opcode=_OP_CLOSE)
+            except WsError:
+                pass
+            self.close_socket()
+
+    def close_socket(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
