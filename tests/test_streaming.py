@@ -1,0 +1,236 @@
+"""Streaming parity tests (SURVEY.md §5.2): the WebSocket client against a
+local recording server, the full Spark pipeline into a memory sink, and the
+streaming analytics operators driven through the WebSocket source.
+
+Reference behaviors asserted: subscribe message sent on (re)connect
+(/root/reference/src/wsclient.hpp:144), frames forwarded verbatim
+(src/main.cpp:48-50), interval messages re-sent periodically
+(src/main.cpp:54-62), reconnect after a server drop
+(src/wsclient.hpp:158-162).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from tests.ws_server import RecordingWsServer
+from ws_to_kafka_spark.config import PipelineConfig
+from ws_to_kafka_spark.sources.ws_client import WsClient
+from ws_to_kafka_spark.sources.websocket import _FeedWorker
+from ws_to_kafka_spark.streaming import start_pipeline
+from ws_to_kafka_spark.streaming.observability import PipelineListener
+
+
+def wait_until(cond, timeout=15.0, step=0.1):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if cond():
+            return True
+        time.sleep(step)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Client level (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_client_receives_frames_and_subscribes():
+    server = RecordingWsServer(frames_per_connection=[b"f1", b"f2", b"f3"])
+    try:
+        client = WsClient(server.url)
+        client.connect()
+        client.send('{"action":"subscribe"}')
+        got = []
+        for payload in client.frames():
+            got.append(payload)
+            if len(got) == 3:
+                break
+        assert got == [b"f1", b"f2", b"f3"]
+        assert wait_until(lambda: server.received == [b'{"action":"subscribe"}'])
+        client.close()
+    finally:
+        server.close()
+
+
+def test_feed_worker_reconnects_and_resubscribes():
+    """Abrupt drop after 1 frame → worker must redial and re-send the
+    subscription (reference re-subscribes on every reconnect)."""
+    server = RecordingWsServer(
+        frames_per_connection=[b"a", b"b"], drop_after_frames=1
+    )
+    worker = _FeedWorker(
+        url=server.url,
+        subscribe="SUB",
+        interval_seconds=0.0,
+        interval_messages=(),
+        reconnect_delay=0.2,  # keep the test fast; production default is 5 s
+    )
+    try:
+        worker.start()
+        assert wait_until(lambda: server.connections >= 2), "no reconnect"
+        assert wait_until(lambda: server.received.count(b"SUB") >= 2), (
+            "subscribe not re-sent after reconnect"
+        )
+        # frames from both connections all landed in the buffer
+        assert wait_until(
+            lambda: [r.value for r in worker.snapshot(0)[0]][:3] == ["a", "a", "b"]
+        )
+    finally:
+        worker.stop()
+        server.close()
+
+
+def test_interval_messages_resent_periodically():
+    server = RecordingWsServer()
+    worker = _FeedWorker(
+        url=server.url,
+        subscribe=None,
+        interval_seconds=0.15,
+        interval_messages=("T1", "T2"),
+    )
+    try:
+        worker.start()
+        assert wait_until(lambda: server.received.count(b"T1") >= 2)
+        assert server.received.count(b"T2") >= 1
+        # fixed-rate ordering: T1 always precedes T2 within a burst
+        first_t1 = server.received.index(b"T1")
+        assert b"T2" in server.received[first_t1 + 1:]
+    finally:
+        worker.stop()
+        server.close()
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline: websocket source → select(value,key,ts) → memory sink
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def event_frames():
+    return [
+        json.dumps(
+            {"event_id": i, "user_id": i % 3, "value": float(i), "ts_ms": 1704067200000 + i * 60000}
+        ).encode()
+        for i in range(12)
+    ]
+
+
+def test_pipeline_end_to_end_memory_sink(spark, tmp_path, event_frames):
+    server = RecordingWsServer(frames_per_connection=event_frames)
+    listener = PipelineListener()
+    spark.streams.addListener(listener)
+    config = PipelineConfig(
+        url=server.url,
+        brokers="",
+        topic="",
+        key="feed-key",
+        subscribe_message='{"action":"subscribe"}',
+    )
+    query = start_pipeline(
+        spark,
+        config,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink_format="memory",
+        query_name="ws_pipe_test",
+    )
+    try:
+        assert wait_until(
+            lambda: spark.sql("SELECT COUNT(*) c FROM ws_pipe_test").first().c >= 12,
+            timeout=60,
+        ), "rows never arrived in the memory sink"
+        rows = spark.sql("SELECT * FROM ws_pipe_test").collect()
+        # O5-O7: verbatim value, static key, processing-time timestamp
+        assert {r.key for r in rows} == {"feed-key"}
+        assert list(rows[0].__fields__) == ["value", "key", "timestamp"]
+        payloads = sorted(json.loads(r.value)["event_id"] for r in rows)
+        assert payloads == list(range(12))
+        assert all(r.timestamp is not None for r in rows)
+        # O13: the listener saw progress with input rows
+        assert wait_until(lambda: listener.rows_seen >= 12, timeout=30)
+        # subscribe reached the server before any frame
+        assert server.received[0] == b'{"action":"subscribe"}'
+    finally:
+        query.stop()
+        spark.streams.removeListener(listener)
+        server.close()
+
+
+# ---------------------------------------------------------------------------
+# Streaming analytics ops driven through the WebSocket source
+# ---------------------------------------------------------------------------
+
+def _typed_stream(spark, url):
+    from pyspark.sql import functions as F
+    from ws_to_kafka_spark.sources.websocket import register_websocket_source
+
+    register_websocket_source(spark)
+    raw = spark.readStream.format("websocket").option("url", url).load()
+    parsed = raw.select(
+        F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("value", "$.value").cast("double").alias("value"),
+        F.timestamp_millis(
+            F.get_json_object("value", "$.ts_ms").cast("long")
+        ).alias("ts"),
+    )
+    return parsed
+
+
+def test_streaming_dedup_keeps_first(spark, tmp_path, event_frames):
+    from ws_to_kafka_spark.streaming.ops import streaming_dedup
+
+    # duplicate every frame — dedup on event_id must halve it
+    server = RecordingWsServer(
+        frames_per_connection=[f for fr in event_frames for f in (fr, fr)]
+    )
+    stream = streaming_dedup(
+        _typed_stream(spark, server.url), keys=["event_id"], watermark="1 hour"
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert wait_until(
+            lambda: spark.sql("SELECT COUNT(*) c FROM dedup_test").first().c >= 12,
+            timeout=60,
+        )
+        time.sleep(2)  # allow any (wrong) extra rows to surface
+        ids = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
+        assert sorted(ids) == list(range(12)), "duplicates leaked through"
+    finally:
+        query.stop()
+        server.close()
+
+
+def test_stateful_running_max(spark, tmp_path, event_frames):
+    from ws_to_kafka_spark.streaming.ops import stateful_running_max
+
+    server = RecordingWsServer(frames_per_connection=event_frames)
+    stream = stateful_running_max(_typed_stream(spark, server.url))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # final per-user state must match the batch aggregate: users 0,1,2
+        # each see 4 events; max value = largest event_id in their residue
+        def final_state_ok():
+            rows = spark.sql(
+                "SELECT user_id, MAX(n_events) n, MAX(max_value) m "
+                "FROM stateful_test GROUP BY user_id"
+            ).collect()
+            got = {r.user_id: (r.n, r.m) for r in rows}
+            return got == {0: (4, 9.0), 1: (4, 10.0), 2: (4, 11.0)}
+
+        assert wait_until(final_state_ok, timeout=60), "stateful agg never converged"
+    finally:
+        query.stop()
+        server.close()

@@ -1,0 +1,185 @@
+"""Minimal RFC 6455 WebSocket *server* for tests (stdlib only).
+
+Implements just enough protocol to exercise the client/source behaviors
+SURVEY.md §5.2 lists: records the subscription message received on connect,
+emits configured frames, records periodic control messages, and can drop
+the connection once to force the client's reconnect path.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import socket
+import struct
+import threading
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+class RecordingWsServer:
+    """One-connection-at-a-time WS server recording everything it sees."""
+
+    def __init__(self, frames_per_connection: list[bytes] | None = None,
+                 drop_after_frames: int | None = None):
+        self.received: list[bytes] = []          # all client data frames
+        self.connections = 0
+        self.frames_per_connection = frames_per_connection or []
+        #: if set, close the socket abruptly after sending this many frames
+        #: on the FIRST connection (to test the 5 s reconnect loop).
+        self.drop_after_frames = drop_after_frames
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(4)
+        self.port = self._sock.getsockname()[1]
+        self.url = f"ws://127.0.0.1:{self.port}/feed"
+        self._stop = threading.Event()
+        self._send_cv = threading.Condition()
+        self._extra_frames: list[bytes] = []
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    # -- test API -----------------------------------------------------------
+
+    def push_frame(self, payload: bytes) -> None:
+        """Queue an extra frame for the currently-connected client."""
+        with self._send_cv:
+            self._extra_frames.append(payload)
+            self._send_cv.notify()
+
+    def close(self) -> None:
+        self._stop.set()
+        with self._send_cv:
+            self._send_cv.notify_all()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    # -- protocol -----------------------------------------------------------
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            self.connections += 1
+            first = self.connections == 1
+            try:
+                self._handle(conn, drop=first and self.drop_after_frames is not None)
+            except OSError:
+                pass
+            finally:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+
+    def _handle(self, conn: socket.socket, drop: bool) -> None:
+        conn.settimeout(0.2)
+        self._handshake(conn)
+        sent = 0
+        reader = threading.Thread(
+            target=self._read_loop, args=(conn,), daemon=True
+        )
+        reader.start()
+        for payload in self.frames_per_connection:
+            self._send_frame(conn, payload)
+            sent += 1
+            if drop and sent >= (self.drop_after_frames or 0):
+                conn.close()  # abrupt drop — no close frame
+                return
+        while not self._stop.is_set():
+            with self._send_cv:
+                if not self._extra_frames:
+                    self._send_cv.wait(timeout=0.2)
+                frames, self._extra_frames = self._extra_frames, []
+            for payload in frames:
+                self._send_frame(conn, payload)
+            if not reader.is_alive():
+                return
+
+    def _handshake(self, conn: socket.socket) -> None:
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += conn.recv(4096)
+        key = ""
+        for line in buf.split(b"\r\n"):
+            if line.lower().startswith(b"sec-websocket-key:"):
+                key = line.split(b":", 1)[1].strip().decode()
+        accept = base64.b64encode(
+            hashlib.sha1((key + _WS_GUID).encode()).digest()
+        ).decode()
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+            ).encode()
+        )
+
+    def _read_loop(self, conn: socket.socket) -> None:
+        """Record client data frames; answer nothing (pings come masked and
+        are rare in these tests)."""
+        buf = b""
+        while not self._stop.is_set():
+            try:
+                chunk = conn.recv(4096)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            if not chunk:
+                return
+            buf += chunk
+            buf = self._drain_frames(buf)
+
+    def _drain_frames(self, buf: bytes) -> bytes:
+        while True:
+            if len(buf) < 2:
+                return buf
+            b0, b1 = buf[0], buf[1]
+            op = b0 & 0x0F
+            masked = bool(b1 & 0x80)
+            n = b1 & 0x7F
+            idx = 2
+            if n == 126:
+                if len(buf) < 4:
+                    return buf
+                (n,) = struct.unpack(">H", buf[2:4])
+                idx = 4
+            elif n == 127:
+                if len(buf) < 10:
+                    return buf
+                (n,) = struct.unpack(">Q", buf[2:10])
+                idx = 10
+            need = idx + (4 if masked else 0) + n
+            if len(buf) < need:
+                return buf
+            if masked:
+                mask = buf[idx: idx + 4]
+                data = bytes(
+                    b ^ mask[i % 4]
+                    for i, b in enumerate(buf[idx + 4: idx + 4 + n])
+                )
+            else:
+                data = buf[idx: idx + n]
+            if op in (0x1, 0x2):  # text/binary
+                self.received.append(data)
+            buf = buf[need:]
+
+    def _send_frame(self, conn: socket.socket, payload: bytes) -> None:
+        header = bytearray([0x81])  # FIN + text
+        n = len(payload)
+        if n < 126:
+            header.append(n)
+        elif n < 1 << 16:
+            header.append(126)
+            header += struct.pack(">H", n)
+        else:
+            header.append(127)
+            header += struct.pack(">Q", n)
+        conn.sendall(bytes(header) + payload)

@@ -16,4 +16,5 @@ from . import (  # noqa: F401  (imports populate the registry)
     multimodal,
     udfs,
 )
+from ..streaming import ops as streaming_ops  # noqa: F401  (batch twins)
 from .registry import QUERIES, QuerySpec  # noqa: F401

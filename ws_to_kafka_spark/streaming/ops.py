@@ -1,0 +1,184 @@
+"""Streaming analytics operators: watermarks, streaming dedup, stateful agg
+(SURVEY.md §2.3 "streaming" rows).
+
+Each operator is a function over a (streaming or batch) DataFrame — under
+Structured Streaming the SAME expression runs incrementally with state;
+the batch twins are registered as driver-checkable queries, and
+``tests/test_streaming.py`` drives the streaming forms end-to-end through
+the WebSocket source → memory sink.
+
+The reference has no event-time concept at all (timestamps are producer
+wall clock, ``/root/reference/src/kafka_producer.cpp:41-42``); these are
+the driver-mandated extension surface.
+
+Scale notes: watermarking bounds state (without it, windowed state grows
+forever at 100 TB/day); streaming dedup keys state by the dedup key only —
+key design (user_id, event_id) keeps per-key state O(1); the stateful
+``applyInPandasWithState`` operator shuffles once on the group key and
+stores one small tuple per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .. import tables
+from ..operators.registry import register
+
+DEFAULT_WATERMARK = "1 hour"
+
+
+# ---------------------------------------------------------------------------
+# Streaming builders (applied to streaming DataFrames in tests/production)
+# ---------------------------------------------------------------------------
+
+def watermarked_tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window agg with late-data drop: rows later than
+    the watermark behind max(event time) are discarded and their windows
+    finalized — the streaming form of ``q_win_tumble``."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keep the first occurrence per key; state expires with the watermark
+    (``dropDuplicatesWithinWatermark`` — unbounded-state-safe, unlike plain
+    ``dropDuplicates`` which at 100 TB/day grows state forever)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_running_max(
+    events: DataFrame,
+    ts_col: str = "ts",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful aggregation via ``applyInPandasWithState``: per-user
+    running max value + event count carried across microbatches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch twins — driver-checkable against the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ROUND(value, 4) AS value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user_id, event_type) — the deterministic batch
+    twin of ``streaming_dedup`` (streaming keeps the first arrival; batch
+    defines "first" by event time with an event_id tiebreaker).
+
+    Scale: one shuffle on the dedup key; WindowGroupLimit prunes to one row
+    per key per partition before the exchange.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id", F.round("value", 4).alias("value")
+        )
+    )
+
+
+@register(
+    "q_stream_late_drop",
+    oracle="""
+    WITH marked AS (
+      SELECT ts, user_id, value,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS max_ts_so_far
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+    FROM marked
+    WHERE ts >= max_ts_so_far - INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics as a batch query: drop events more than 1 hour
+    behind the running max event time (arrival order = event_id order),
+    then window-count the survivors — exactly what
+    ``watermarked_tumbling_counts`` computes incrementally."""
+    events = tables.load(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    survivors = events.withColumn("max_ts_so_far", F.max("ts").over(w)).filter(
+        F.col("ts") >= F.col("max_ts_so_far") - F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        survivors.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "q_stream_running_max",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of ``stateful_running_max`` after the whole stream: the
+    batch equivalence that pins the custom stateful operator's semantics
+    (the streaming test asserts its last update per key equals this)."""
+    events = tables.load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
