@@ -1,0 +1,34 @@
+"""Scan-layer tests: parquet type normalization, JSON/CSV readers."""
+
+from __future__ import annotations
+
+from ws_to_kafka_spark import tables
+
+
+def test_events_ts_normalized_to_timestamp(spark, sf_dir):
+    events = tables.load(spark, sf_dir, "events")
+    assert dict(events.dtypes)["ts"] == "timestamp_ntz"
+    assert events.count() > 0
+
+
+def test_load_all_names(spark, sf_dir):
+    dfs = tables.load_all(spark, sf_dir)
+    assert set(dfs) == set(tables.TABLE_NAMES)
+
+
+def test_read_json_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "j")
+    df = spark.range(5).selectExpr("id", "id * 2 AS dbl")
+    df.write.json(p)
+    back = tables.read_json(spark, p, schema="id long, dbl long")
+    assert back.count() == 5
+    assert sorted(r.dbl for r in back.collect()) == [0, 2, 4, 6, 8]
+
+
+def test_read_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "c")
+    spark.range(4).selectExpr("id", "concat('n', id) AS name").write.option(
+        "header", "true"
+    ).csv(p)
+    back = tables.read_csv(spark, p, schema="id long, name string")
+    assert sorted(r.name for r in back.collect()) == ["n0", "n1", "n2", "n3"]

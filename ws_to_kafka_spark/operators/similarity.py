@@ -170,6 +170,94 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_DUP_THRESHOLD = 0.4  # fixtures are random vectors; max cosine ≈ 0.5
+
+
+def _band_key_sql(band: tuple[int, ...]) -> str:
+    """DuckDB expression mirroring _sign_signature for one band (1-indexed
+    arrays; generated from the same _ANN_BANDS constants so the two sides
+    cannot drift)."""
+    return " + ".join(
+        f"CAST(e[{dim + 1}] > 0 AS INT) * {1 << bit}" for bit, dim in enumerate(band)
+    )
+
+
+def _embed_oracle() -> str:
+    bands_sql = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {i} AS band_idx, {_band_key_sql(band)} AS band_key FROM v"
+        for i, band in enumerate(_ANN_BANDS)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), bands AS (
+      {bands_sql}
+    ), cands AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND(list_dot_product(va.e, vb.e)
+                 / (SQRT(list_dot_product(va.e, va.e))
+                    * SQRT(list_dot_product(vb.e, vb.e))), 6) AS cosine
+    FROM cands
+    JOIN v va ON va.vec_id = vec_a
+    JOIN v vb ON vb.vec_id = vec_b
+    WHERE ROUND(list_dot_product(va.e, vb.e)
+                / (SQRT(list_dot_product(va.e, va.e))
+                   * SQRT(list_dot_product(vb.e, vb.e))), 6)
+          >= {_EMBED_DUP_THRESHOLD}
+    """
+
+
+@register("q_dedup_embed", oracle=_embed_oracle())
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH blocking + exact cosine verify —
+    the vector-space member of the dedup family (semantic duplicates that
+    text shingling can't see).
+
+    The DuckDB oracle replicates the SAME blocking scheme (sign-bit band
+    keys generated from one shared constant table), so the driver check
+    verifies the full approximate pipeline end-to-end, not just the verify
+    step. Scale: candidates come from a shuffle on (band_idx, band_key) —
+    never an all-pairs join; the exact re-score touches only colliding
+    pairs. The embedding payload joins back in only for the verify step.
+    """
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    banded = emb.select(
+        "vec_id", F.posexplode(_sign_signature(F.col("e"))).alias("band_idx", "band_key")
+    )
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _EMBED_DUP_THRESHOLD)
+    )
+
+
 @register(
     "q_sim_pairs",
     oracle="""

@@ -62,8 +62,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan, one shuffle on a ~100-key group — partial aggregation
     collapses everything map-side.
     """
-    docs = tables.load(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.col("text"), " "))
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars", F.size(F.split("text", " ")).alias("nw")
+    )
+    n_words = F.col("nw")
     return (
         docs.groupBy("lang", "source")
         .agg(
@@ -111,8 +113,10 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: unigram stopword-profile scoring, argmax with
     alphabetical tiebreak. The mechanics of n-gram language-ID, expressed as
     pure JVM higher-order functions (one scan, no shuffle)."""
-    docs = tables.load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    words = F.col("w")  # materialized once; scores only re-scan the array
     scores = {
         code: _lang_score_spark(words, p) for code, p in sorted(_LANG_PROFILES.items())
     }
@@ -156,8 +160,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean word length, stopword ratio, lexical
     diversity, and a composite keep/drop gate — the standard pre-training
     corpus filter (C4/Gopher-style rules), one codegen'd scan."""
-    docs = tables.load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("w")
+    )
+    words = F.col("w")
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
     n_uniq = F.size(F.array_distinct(words))
@@ -192,11 +198,15 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens vs a BPE-ish regex tokenizer
     (letter runs / digit runs / single symbols) — the token-budget
     accounting every training-data pipeline runs. Pure regexp built-ins."""
-    docs = tables.load(spark, sf_dir, "documents")
-    ws_tokens = F.size(F.split(F.col("text"), " "))
-    # idx=0 (whole match): Spark's default idx is group 1, but the token
-    # pattern has no capture groups (DuckDB's default is already group 0).
-    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("nw"),
+        # idx=0 (whole match): Spark's default idx is group 1, but the token
+        # pattern has no capture groups (DuckDB's default is already group 0).
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)).alias("nb"),
+    )
+    ws_tokens = F.col("nw")
+    bpe_tokens = F.col("nb")
     return docs.select(
         "doc_id",
         ws_tokens.alias("ws_tokens"),
@@ -227,22 +237,16 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hash (md5 hex). Two docs sharing their rarest shingle collide —
     the 1-permutation MinHash used for cheap pre-clustering. JVM-side only.
     """
+    from .dedup import _with_shingles
+
     docs = tables.load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    shingles = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    # Tokenize/shingle via materialized columns (see dedup._shingles_of_words:
+    # inline split expressions re-tokenize per element reference).
+    sh = _with_shingles(docs)
+    return sh.select(
         "doc_id",
-        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
-        F.size(F.array_distinct(shingles)).alias("n_shingles"),
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(s))
+        ).alias("fingerprint"),
+        F.size(F.array_distinct("shingles")).alias("n_shingles"),
     )
