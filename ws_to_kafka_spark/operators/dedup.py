@@ -29,6 +29,7 @@ are unaffected.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -250,34 +251,44 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_NGRAM_ORACLE_TEMPLATE.format(threshold=_NGRAM_THRESHOLD),
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via a df-capped inverted index.
+    """Exact n-gram Jaccard join: prefix-filtered inverted index + verify.
 
-    explode(shingles) → drop stop-shingles (document frequency > cap) →
-    self-join on the shingle to PROPOSE candidate pairs → exact verify by
-    re-intersecting the full (uncapped) shingle sets. Only pairs sharing ≥1
-    sub-cap shingle ever materialize — no crossJoin, and no shingle can
-    produce a bucket larger than cap² rows.
+    The PPJoin-family prefix filter (Chaudhuri et al.'s SSJoin / Xiao et
+    al.'s PPJoin, both published): order every document's shingles by
+    ascending global document frequency (rarest first, (df, shingle) as a
+    total order shared by all docs) and index only each doc's first
+    ``⌊n·(1-t)⌋ + 1`` shingles. Two sets with Jaccard ≥ t must overlap in
+    at least ``n·(1-t)+1`` positions of that shared order, so every
+    qualifying pair still collides on ≥1 *prefix* shingle — candidates stay
+    exact while the index (a) shrinks ~2× at t=0.5 and (b) is dominated by
+    RARE shingles, collapsing the O(df²) hot buckets that raw
+    all-shingles indexing produces. A df cap on top bounds the worst case
+    (a shingle so common it appears in >cap prefixes is dropped; any
+    qualifying pair it alone connects is boilerplate-only by construction).
 
-    Scale: without the cap, one boilerplate shingle appearing in df documents
-    yields an O(df²) bucket and a hot reducer — a job-killer at 100 TB. With
-    the cap the join is bounded at cap² per shingle and the *verify* step
-    restores exactness (Jaccard is computed from the full shingle arrays, so
-    dropping stop-shingles from the index can only lose a pair whose EVERY
-    shared shingle is boilerplate — below-threshold by construction for any
-    meaningful cap).
+    Scale: the only shuffles are (shingle → df), the prefix self-join on
+    rare keys, and the verify join of candidate pairs against the full
+    shingle arrays — no crossJoin anywhere; skew is bounded by the cap.
     """
     sh = _shingled_docs(spark, sf_dir)
     inv = _explode_shingles(sh)
-    # Document frequency per shingle; keep only informative (sub-cap) ones.
-    keep = (
-        inv.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _NGRAM_DF_CAP)
-        .select("shingle")
+    df_per_shingle = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        inv.join(df_per_shingle, "shingle")
+        .join(sh.select("doc_id", "n_sh"), "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
     )
-    capped = inv.join(keep, "shingle")
-    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    prefix = ranked.filter(
+        (F.col("pos") <= F.floor(F.col("n_sh") * (1.0 - _NGRAM_THRESHOLD)) + 1)
+        & (F.col("df") <= _NGRAM_DF_CAP)
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
     cands = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
