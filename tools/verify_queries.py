@@ -37,6 +37,8 @@ def _norm(v):
         return round(v, 6)
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     return v
 
 

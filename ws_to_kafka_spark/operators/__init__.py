@@ -15,6 +15,7 @@ from . import (  # noqa: F401  (imports populate the registry)
     text_analysis,
     multimodal,
     udfs,
+    analytics_ext,
 )
 from ..streaming import ops as streaming_ops  # noqa: F401  (batch twins)
 from .registry import QUERIES, QuerySpec  # noqa: F401

@@ -1,0 +1,210 @@
+"""Extended OLAP surface: percentiles, pivot, distribution windows,
+ordered collect, map functions, and the SQL-text API.
+
+These round out the batch surface beyond SURVEY.md §2.3's core rows with
+the analytics any warehouse user expects. All JVM built-ins; the SQL-text
+query proves the engine's ``spark.sql`` path end-to-end (views registered
+by :func:`ws_to_kafka_spark.tables.register_views`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .. import tables
+from .registry import register
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4)       AS qty_median,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS price_p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90/p99) per group — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share linear
+    interpolation, so values agree to rounding.
+
+    Scale: exact percentiles need the full value multiset per group (sort
+    based) — fine on bounded groups like these; an unbounded-cardinality
+    rollup at 100 TB switches to ``approx_percentile`` (t-digest sketch,
+    mergeable map-side) at the cost of oracle exactness.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("qty_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("price_p99"),
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS status_f,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS status_o,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority × status. The pivot
+    values are declared explicitly — at scale an implicit pivot runs an
+    extra distinct-collect over the data to discover columns."""
+    orders = tables.load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "q_win_dist",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) — both
+    tie-invariant, so no tiebreaker column is needed."""
+    orders = tables.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys,
+           COUNT(*)                                         AS n_supps
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect: supplier keys per nation, SORTED then serialized to
+    a canonical string (collect_list order is nondeterministic under
+    parallelism — sorting makes the collect comparable, and the string form
+    is hash-portable across engines' array representations)."""
+    nation = tables.load(spark, sf_dir, "nation").select("n_nationkey")
+    supp = tables.load(spark, sf_dir, "supplier").select("s_nationkey", "s_suppkey")
+    return (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("s_suppkey"))).alias(
+                "supp_keys"
+            ),
+            F.count("*").alias("n_supps"),
+        )
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT p_partkey,
+           p_brand                   AS brand_val,
+           CAST(p_size AS BIGINT)    AS size_val,
+           2                         AS n_keys,
+           TRUE                      AS has_brand
+    FROM part
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: build a map column, then read it back by key /
+    cardinality / key-membership. The oracle states the expected values
+    directly, so any map-construction or access defect shows."""
+    part = tables.load(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    return part.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "size").cast("long").alias("size_val"),
+        F.size(m).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "brand").alias("has_brand"),
+    )
+
+
+@register(
+    "q_sql_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue query through the SQL-TEXT API
+    (``spark.sql`` over registered views) — proving the engine's SQL
+    entry point end-to-end, not just the DataFrame builder. The plan is
+    identical to the DataFrame form: Catalyst sees one logical plan."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "q_subquery",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated-EXISTS subqueries through the SQL API. Catalyst
+    rewrites the scalar subquery to a broadcast of one row and the EXISTS
+    to a left-semi join — no per-row re-execution."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """
+    )
