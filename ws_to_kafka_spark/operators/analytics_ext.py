@@ -50,9 +50,9 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT o_orderpriority,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS status_f,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS status_o,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS status_p
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_p
     FROM orders
     GROUP BY o_orderpriority
     """,

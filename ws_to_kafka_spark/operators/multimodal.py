@@ -80,7 +80,8 @@ def with_payload(docs: DataFrame) -> DataFrame:
         payload.alias("payload"),
         F.struct(
             F.lit("text/plain").alias("mime"),
-            F.octet_length(payload).alias("n_bytes"),
+            # long: DuckDB's octet_length is BIGINT — keep both sides aligned
+            F.octet_length(payload).cast("long").alias("n_bytes"),
             F.sha2(payload, 256).alias("digest"),
         ).alias("meta"),
     )

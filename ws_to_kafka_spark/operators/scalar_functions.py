@@ -51,7 +51,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.lower("p_type").alias("type_lower"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
@@ -162,8 +162,8 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.col("w")  # materialized once — inline split would re-tokenize
     return docs.select(
         "doc_id",
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_unique_words"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique_words"),
         F.array_contains(words, "data").alias("mentions_data"),
         F.concat_ws(",", F.slice(F.sort_array(F.array_distinct(words)), 1, 3)).alias(
             "first3_sorted"

@@ -103,7 +103,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        sims.withColumn("rk", F.row_number().over(w))
+        sims.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "vec_id", "cosine", "rk")
     )
@@ -164,7 +164,7 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "vec_id", "cosine", "rk")
     )

@@ -171,7 +171,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.col("n_chars").alias("n_chars"),
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(F.col("n_chars").cast("double") / n_words, 4).alias("avg_word_len"),
         F.round(n_stop * F.lit(1.0) / n_words, 4).alias("stopword_ratio"),
         F.round(uniq_ratio, 4).alias("unique_ratio"),
@@ -209,8 +209,8 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_tokens = F.col("nb")
     return docs.select(
         "doc_id",
-        ws_tokens.alias("ws_tokens"),
-        bpe_tokens.alias("bpe_tokens"),
+        ws_tokens.cast("long").alias("ws_tokens"),
+        bpe_tokens.cast("long").alias("bpe_tokens"),
         F.round(bpe_tokens * F.lit(1.0) / ws_tokens, 4).alias("tokens_per_word"),
     )
 
@@ -248,5 +248,5 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(
             F.transform(F.col("shingles"), lambda s: F.md5(s))
         ).alias("fingerprint"),
-        F.size(F.array_distinct("shingles")).alias("n_shingles"),
+        F.size(F.array_distinct("shingles")).cast("long").alias("n_shingles"),
     )

@@ -46,13 +46,14 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     by_price_asc = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    # long casts: DuckDB's ranking functions all return BIGINT
     return orders.select(
         "o_orderkey",
         "o_orderstatus",
-        F.rank().over(by_date).alias("date_rank"),
-        F.dense_rank().over(by_date).alias("date_dense_rank"),
-        F.row_number().over(by_price_desc).alias("price_rn"),
-        F.ntile(4).over(by_price_asc).alias("price_quartile"),
+        F.rank().over(by_date).cast("long").alias("date_rank"),
+        F.dense_rank().over(by_date).cast("long").alias("date_dense_rank"),
+        F.row_number().over(by_price_desc).cast("long").alias("price_rn"),
+        F.ntile(4).over(by_price_asc).cast("long").alias("price_quartile"),
     )
 
 
