@@ -157,6 +157,41 @@ def test_pipeline_end_to_end_memory_sink(spark, tmp_path, event_frames):
         server.close()
 
 
+def test_pipeline_foreach_batch_parquet(spark, tmp_path, event_frames):
+    """foreachBatch escape hatch: microbatches land in parquet — the
+    connector-less sink path (SURVEY.md §2.3 'foreachBatch' row)."""
+    server = RecordingWsServer(frames_per_connection=event_frames)
+    out = str(tmp_path / "out")
+    config = PipelineConfig(url=server.url, brokers="", topic="", key="fb")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    query = start_pipeline(
+        spark,
+        config,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        foreach_batch=write_batch,
+        query_name="fb_test",
+    )
+    try:
+        assert wait_until(
+            lambda: _parquet_rows(spark, out) >= 12, timeout=60
+        ), "foreachBatch never wrote 12 rows"
+        rows = spark.read.parquet(out).collect()
+        assert {r.key for r in rows} == {"fb"}
+    finally:
+        query.stop()
+        server.close()
+
+
+def _parquet_rows(spark, path) -> int:
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
+
+
 # ---------------------------------------------------------------------------
 # Streaming analytics ops driven through the WebSocket source
 # ---------------------------------------------------------------------------

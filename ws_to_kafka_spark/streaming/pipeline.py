@@ -70,18 +70,23 @@ def start_pipeline(
     sink_format: str = "kafka",
     query_name: str = "ws_to_kafka",
     trigger_interval: str | None = None,
+    foreach_batch=None,
 ) -> StreamingQuery:
     """Start the full pipeline. ``sink_format='kafka'`` is production
     (needs the Kafka connector on the classpath); ``'memory'`` runs the
     identical plan into an in-memory table for tests/CI, mirroring how the
-    reference is exercised without a broker."""
+    reference is exercised without a broker; passing ``foreach_batch``
+    routes every microbatch through a callable ``(DataFrame, batch_id)`` —
+    the escape hatch for sinks without a native connector."""
     stream = build_stream(spark, config)
     writer = stream.writeStream.queryName(query_name).option(
         "checkpointLocation", checkpoint_dir
     )
     if trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
-    if sink_format == "kafka":
+    if foreach_batch is not None:
+        writer = writer.foreachBatch(foreach_batch)
+    elif sink_format == "kafka":
         writer = (
             writer.format("kafka")
             .option("kafka.bootstrap.servers", config.brokers)
