@@ -187,6 +187,102 @@ def q_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id,
+           p.ts AS purchase_ts,
+           s.ts AS signup_ts,
+           CAST(date_diff('second', s.ts, p.ts) AS BIGINT) AS secs_since_signup
+    FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest signup at-or-before
+    it, per user — the time-series operator Spark lacks natively (the
+    reference lacks everything; this is SURVEY §2.3 custom-operator
+    territory, oracle'd against DuckDB's native ASOF JOIN).
+
+    Implemented as the scalable union + window-carry form: tag both sides,
+    sort by (ts, side) within the user partition, and carry the last seen
+    right-side timestamp forward. ONE shuffle on the join key and a local
+    sort — no range join, no per-row probe, state is O(1) per key. This is
+    the distributed as-of plan that survives 100 TB; a naive
+    range-join/backward-probe formulation is quadratic in events per user.
+    The (ts, is_purchase) sort order puts signups first at equal
+    timestamps, giving the inclusive ``purchase.ts >= signup.ts`` match.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p")
+    )
+    u = p.unionByName(s)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    signup_ts = F.last(
+        F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        u.withColumn("signup_ts", signup_ts)
+        .filter((F.col("is_p") == 1) & F.col("signup_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "signup_ts",
+            (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("signup_ts").cast("timestamp"))
+            ).alias("secs_since_signup"),
+        )
+    )
+
+
+@register(
+    "q_agg_approx_pct",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile contract check (like q_agg_approx for HLL):
+    the sketch estimate must land within 5% of the exact median. The
+    sketch (``approx_percentile``) is the 100 TB path — mergeable
+    map-side, bounded memory — while exact percentiles sort per group."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+                "exact_median"
+            ),
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("approx_median"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            (
+                F.abs(F.col("approx_median") - F.col("exact_median"))
+                <= 0.05 * F.col("exact_median")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+@register(
     "q_subquery",
     oracle="""
     SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
