@@ -41,6 +41,8 @@ HEADLINE = (
     "q_dedup_near",                # MinHash-LSH + verify
     "q_sim_topk",                  # brute-force cosine top-k
     "q_sim_ann",                   # LSH-bucketed ANN
+    "q_dedup_embed",               # embedding near-dup (sign-LSH + verify)
+    "q_join_asof",                 # as-of join (union + window carry)
     "q_text_quality",              # text scoring scan
     "q_udf_scalar",                # Arrow pandas-UDF path
 )

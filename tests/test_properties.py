@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the hand-rolled components:
+the RFC 6455 frame codec and the URI parser — the two places where a
+byte-level bug would silently corrupt the stream.
+"""
+
+from __future__ import annotations
+
+import socket
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.ws_server import RecordingWsServer
+from ws_to_kafka_spark.sources.ws_client import WsClient
+from ws_to_kafka_spark.uri import parse_uri
+
+
+class _CodecHarness:
+    """Round-trip: client-side masked encoder → server-side decoder,
+    over a real socketpair (no network)."""
+
+    def __init__(self) -> None:
+        self.server = RecordingWsServer()
+
+    def roundtrip(self, payloads: list[bytes]) -> list[bytes]:
+        a, b = socket.socketpair()
+        try:
+            client = WsClient("ws://placeholder/")
+            client._sock = a
+            for p in payloads:
+                client.send(p)
+            a.shutdown(socket.SHUT_WR)
+            buf = bytearray()
+            while True:
+                chunk = b.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+            self.server.received.clear()
+            rest = self.server._drain_frames(bytes(buf))
+            assert rest == b"", "decoder left partial bytes on a complete stream"
+            return list(self.server.received)
+        finally:
+            a.close()
+            b.close()
+            client._sock = None
+
+    def close(self) -> None:
+        self.server.close()
+
+
+# Sizes straddle the 7-bit (<126), 16-bit (126..65535), 64-bit length forms.
+_payloads = st.lists(
+    st.binary(min_size=0, max_size=70000),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_payloads)
+def test_frame_codec_roundtrip(payloads):
+    h = _CodecHarness()
+    try:
+        assert h.roundtrip(payloads) == payloads
+    finally:
+        h.close()
+
+
+_hosts = st.from_regex(r"[a-z][a-z0-9\-]{0,20}(\.[a-z][a-z0-9\-]{0,10}){0,3}", fullmatch=True)
+_paths = st.from_regex(r"(/[A-Za-z0-9._~\-]{0,12}){0,4}", fullmatch=True)
+_queries = st.from_regex(r"([a-z]{1,8}=[A-Za-z0-9]{0,10}(&[a-z]{1,8}=[A-Za-z0-9]{0,10}){0,3})?", fullmatch=True)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    proto=st.sampled_from(["ws", "wss", "http", "https"]),
+    host=_hosts,
+    port=st.one_of(st.none(), st.integers(min_value=1, max_value=65535)),
+    path=_paths,
+    query=_queries,
+)
+def test_uri_parse_roundtrip(proto, host, port, path, query):
+    raw = f"{proto}://{host}"
+    if port is not None:
+        raw += f":{port}"
+    raw += path
+    if query:
+        raw += f"?{query}"
+    u = parse_uri(raw)
+    assert u.protocol == proto
+    assert u.host == host
+    # default ports per the reference's table (src/uri.hpp:72-79)
+    expected_port = port if port is not None else {"ws": 80, "http": 80, "wss": 443, "https": 443}[proto]
+    assert u.port == expected_port
+    assert u.path == (path or "/")
+    assert u.query_string == query
+    # resource is what goes on the GET line (src/uri.hpp:66-70)
+    assert u.resource == (u.path + (f"?{query}" if query else ""))
