@@ -242,6 +242,61 @@ def test_streaming_dedup_keeps_first(spark, tmp_path, event_frames):
         server.close()
 
 
+def test_stream_stream_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from ws_to_kafka_spark.streaming.ops import stream_stream_join
+
+    # user 1: signup at t0, purchase 30 min later (joins); user 2:
+    # purchase 2 h after signup (outside the 1 h window — must not join).
+    base = 1704067200000
+    mk = lambda i, u, ty, off_min: json.dumps(
+        {"event_id": i, "user_id": u, "value": 1.0, "ts_ms": base + off_min * 60000, "event_type": ty}
+    ).encode()
+    frames = [
+        mk(1, 1, "signup", 0),
+        mk(2, 1, "purchase", 30),
+        mk(3, 2, "signup", 0),
+        mk(4, 2, "purchase", 120),
+    ]
+    server = RecordingWsServer(frames_per_connection=frames)
+    # _typed_stream doesn't parse event_type — parse the fields needed here
+    from ws_to_kafka_spark.sources.websocket import register_websocket_source
+
+    register_websocket_source(spark)
+    raw = spark.readStream.format("websocket").option("url", server.url).load()
+    parsed = raw.select(
+        F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("value", "$.event_type").alias("event_type"),
+        F.timestamp_millis(
+            F.get_json_object("value", "$.ts_ms").cast("long")
+        ).alias("ts"),
+    )
+    joined = stream_stream_join(
+        parsed.filter(F.col("event_type") == "purchase"),
+        parsed.filter(F.col("event_type") == "signup"),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert wait_until(
+            lambda: spark.sql("SELECT COUNT(*) c FROM ssj_test").first().c >= 1,
+            timeout=60,
+        ), "stream-stream join produced nothing"
+        time.sleep(3)
+        rows = spark.sql("SELECT * FROM ssj_test").collect()
+        assert {(r.purchase_id, r.signup_id) for r in rows} == {(2, 1)}, (
+            "only user 1's in-window pair should join"
+        )
+    finally:
+        query.stop()
+        server.close()
+
+
 def test_stateful_running_max(spark, tmp_path, event_frames):
     from ws_to_kafka_spark.streaming.ops import stateful_running_max
 

@@ -88,17 +88,24 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k rows per query per partition ahead of the final shuffle.
     """
     emb = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
-    )
+        "vec_id",
+        _as_double("embedding").alias("e"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
     )
+    # norms precomputed per vector (one corpus scan), not per pair — the
+    # verify fold then does exactly one dot product per candidate.
     sims = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -150,16 +157,21 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()
     )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    with_norm = emb.withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    queries = with_norm.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
     )
     scored = (
-        cands.join(emb, "vec_id")
+        cands.join(with_norm, "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))

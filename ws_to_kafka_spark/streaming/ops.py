@@ -96,6 +96,32 @@ def stateful_running_max(
     )
 
 
+def stream_stream_join(
+    purchases: DataFrame,
+    signups: DataFrame,
+    window: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user signups in
+    the preceding ``window``. Both sides carry watermarks and the join
+    condition is time-bounded — REQUIRED for streaming: they let the engine
+    expire buffered rows, keeping state O(window), not O(stream)."""
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    s = signups.withWatermark("ts", watermark).alias("s")
+    return p.join(
+        s,
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("s.ts") <= F.col("p.ts"))
+        & (F.col("s.ts") > F.col("p.ts") - F.expr(f"INTERVAL {window}")),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("s.ts").alias("signup_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch twins — driver-checkable against the DuckDB oracle
 # ---------------------------------------------------------------------------
@@ -160,6 +186,44 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         survivors.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
         .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           p.ts       AS purchase_ts,
+           s.event_id AS signup_id,
+           s.ts       AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts
+     AND s.ts >  p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`stream_stream_join` — identical join condition
+    over the full events table (batch needs no watermark: the interval
+    bound alone keeps the equi-join's residual filter cheap; the shuffle
+    key is user_id either way)."""
+    ev = tables.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    p, s = purchases.alias("p"), signups.alias("s")
+    return p.join(
+        s,
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("s.ts") <= F.col("p.ts"))
+        & (F.col("s.ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("s.ts").alias("signup_ts"),
     )
 
 
