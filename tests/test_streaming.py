@@ -83,6 +83,30 @@ def test_feed_worker_reconnects_and_resubscribes():
         server.close()
 
 
+def test_idle_feed_stays_connected():
+    """A healthy-but-quiet feed must NOT be torn down: after the 10 s idle
+    timeout the client pings, the server pongs, and the SAME connection
+    keeps delivering later frames (reference keep-alive semantics,
+    src/wsclient.hpp:20,141-142). A regression here duplicates every
+    frame on idle streams via redial."""
+    server = RecordingWsServer(frames_per_connection=[b"early"])
+    worker = _FeedWorker(
+        url=server.url, subscribe=None, interval_seconds=0.0, interval_messages=()
+    )
+    try:
+        worker.start()
+        assert wait_until(lambda: len(worker.snapshot(0)[0]) == 1)
+        time.sleep(12)  # cross the idle-timeout boundary
+        server.push_frame(b"late")
+        assert wait_until(
+            lambda: [r.value for r in worker.snapshot(0)[0]] == ["early", "late"]
+        ), "late frame lost or duplicated after idle interval"
+        assert server.connections == 1, "client redialed a healthy idle feed"
+    finally:
+        worker.stop()
+        server.close()
+
+
 def test_interval_messages_resent_periodically():
     server = RecordingWsServer()
     worker = _FeedWorker(

@@ -122,8 +122,8 @@ class RecordingWsServer:
         )
 
     def _read_loop(self, conn: socket.socket) -> None:
-        """Record client data frames; answer nothing (pings come masked and
-        are rare in these tests)."""
+        """Record client data frames; answer pings with pongs (RFC 6455
+        §5.5.2-§5.5.3 — keeps idle clients from failing their keep-alive)."""
         buf = b""
         while not self._stop.is_set():
             try:
@@ -135,9 +135,9 @@ class RecordingWsServer:
             if not chunk:
                 return
             buf += chunk
-            buf = self._drain_frames(buf)
+            buf = self._drain_frames(buf, conn)
 
-    def _drain_frames(self, buf: bytes) -> bytes:
+    def _drain_frames(self, buf: bytes, conn: socket.socket | None = None) -> bytes:
         while True:
             if len(buf) < 2:
                 return buf
@@ -169,6 +169,12 @@ class RecordingWsServer:
                 data = buf[idx: idx + n]
             if op in (0x1, 0x2):  # text/binary
                 self.received.append(data)
+            elif op == 0x9 and conn is not None:  # ping → pong, same payload
+                header = bytearray([0x8A, len(data)])
+                try:
+                    conn.sendall(bytes(header) + data)
+                except OSError:
+                    pass
             buf = buf[need:]
 
     def _send_frame(self, conn: socket.socket, payload: bytes) -> None:

@@ -103,9 +103,27 @@ def _with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", _shingles_of_words(F.col("w")).alias("shingles"))
 
 
+#: Persisted shingle index per (session, sf_dir). The dedup operators each
+#: consume the shingled corpus from several plan branches (signature path +
+#: both verify sides), and Spark recomputes a subtree per consumer — so the
+#: index is persisted once and shared, the materialized-shingle-table
+#: pattern every production dedup pipeline uses (at 100 TB this is a
+#: deliberate disk-backed materialization, sized ~tokens × ~1.1).
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark.storagelevel import StorageLevel
+
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    return _with_shingles(docs).withColumn("n_sh", F.size("shingles"))
+    sh = _with_shingles(docs).withColumn("n_sh", F.size("shingles"))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 def _explode_shingles(sh: DataFrame) -> DataFrame:

@@ -171,19 +171,28 @@ class WsClient:
     def _recv_exact(self, n: int) -> bytes:
         assert self._sock is not None
         buf = b""
+        probed = False
         while len(buf) < n:
             try:
                 chunk = self._sock.recv(n - len(buf))
             except socket.timeout as exc:
-                # Idle timeout: probe the peer like the reference's auto-ping
-                # (src/wsclient.hpp:141-142); a dead peer fails the send.
+                # Idle timeout → probe with a ping and keep reading; only a
+                # SECOND silent interval fails the connection. This is the
+                # reference's auto-ping keep-alive (src/wsclient.hpp:20,
+                # 141-142: idle pings, and the error path only fires when
+                # the peer stays silent) — failing on the FIRST quiet 10 s
+                # would tear down and redial perfectly healthy idle feeds.
+                if probed:
+                    raise WsError("idle timeout (no traffic after ping)") from exc
                 self.send(b"", opcode=_OP_PING)
-                raise WsError("idle timeout") from exc
+                probed = True
+                continue
             except OSError as exc:
                 raise WsError(f"read failed: {exc}") from exc
             if not chunk:
                 raise WsError("connection closed")
             buf += chunk
+            probed = False
         return buf
 
     def read_frame(self) -> Frame:
