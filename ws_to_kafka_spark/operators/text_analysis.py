@@ -216,6 +216,91 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 1) IN ('0')      THEN 'val'
+                WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'test'
+                ELSE 'train' END AS split,
+           substr(md5(text), 1, 2) AS bucket
+    FROM documents
+    """,
+)
+def q_text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by CONTENT hash — the reproducible
+    held-out-split op every training pipeline needs: membership depends
+    only on the text (stable across reshuffles/re-crawls, and exact dups
+    always co-locate in one split, preventing trivial leakage).
+    val ≈ 1/16, test ≈ 2/16 via the first hex digit of md5."""
+    docs = tables.load(spark, sf_dir, "documents")
+    first = F.substring(F.md5("text"), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(first.isin("0"), "val")
+        .when(first.isin("1", "2"), "test")
+        .otherwise("train")
+        .alias("split"),
+        F.substring(F.md5("text"), 1, 2).alias("bucket"),
+    )
+
+
+@register(
+    "q_text_contamination",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'eval' ELSE 'train' END AS split,
+             [array_to_string(w.words[i:i+2], ' ')
+              for i in range(1, len(w.words)-1)] AS shingles
+      FROM (SELECT doc_id, md5(text) AS h, text, string_split(text, ' ') AS words
+            FROM documents) w
+    ), fp AS (
+      SELECT doc_id, split,
+             list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+      FROM sh WHERE len(shingles) > 0
+    )
+    SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc
+    FROM (SELECT * FROM fp WHERE split = 'eval') e
+    JOIN (SELECT * FROM fp WHERE split = 'train') t
+      ON e.fingerprint = t.fingerprint
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination check: eval documents whose winnowing
+    fingerprint (min-md5 shingle, see q_text_fingerprint) collides with a
+    train document — the decontamination sweep run before every eval.
+
+    Scale: the join key is the fingerprint (uniform hash — no skew), each
+    side is one row per doc; a full n-gram-overlap sweep would use the
+    prefix-filtered index from q_dedup_ngram instead.
+    """
+    from .dedup import _with_shingles
+
+    docs = tables.load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5("text"), 1, 1) == "0", "eval"
+    ).otherwise("train")
+    tagged = docs.select("doc_id", "text", split.alias("split"))
+    sh = _with_shingles(tagged).join(
+        tagged.select("doc_id", "split"), "doc_id"
+    )
+    fp = sh.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        "split",
+        F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s))).alias(
+            "fingerprint"
+        ),
+    )
+    ev = fp.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "fingerprint"
+    )
+    tr = fp.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "fingerprint"
+    )
+    return ev.join(tr, "fingerprint").select("eval_doc", "train_doc")
+
+
+@register(
     "q_text_fingerprint",
     oracle="""
     WITH sh AS (
