@@ -274,30 +274,39 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is one row per doc; a full n-gram-overlap sweep would use the
     prefix-filtered index from q_dedup_ngram instead.
     """
-    from .dedup import _with_shingles
+    from .dedup import _shingled_docs
 
     docs = tables.load(spark, sf_dir, "documents")
     split = F.when(
         F.substring(F.md5("text"), 1, 1) == "0", "eval"
     ).otherwise("train")
-    tagged = docs.select("doc_id", "text", split.alias("split"))
-    sh = _with_shingles(tagged).join(
-        tagged.select("doc_id", "split"), "doc_id"
-    )
-    fp = sh.filter(F.size("shingles") > 0).select(
+    tagged = docs.select("doc_id", split.alias("split"))
+    # shingles from the shared persisted index (see dedup._shingled_docs);
+    # one grouped pass per fingerprint instead of a two-branch self-join —
+    # a branch per split would recompute the fingerprint table twice.
+    sh = _shingled_docs(spark, sf_dir).join(tagged, "doc_id")
+    fp = sh.filter(F.col("n_sh") > 0).select(
         "doc_id",
         "split",
         F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s))).alias(
             "fingerprint"
         ),
     )
-    ev = fp.filter(F.col("split") == "eval").select(
-        F.col("doc_id").alias("eval_doc"), "fingerprint"
+    buckets = (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.collect_list(
+                F.when(F.col("split") == "eval", F.col("doc_id"))
+            ).alias("evals"),
+            F.collect_list(
+                F.when(F.col("split") == "train", F.col("doc_id"))
+            ).alias("trains"),
+        )
+        .filter((F.size("evals") > 0) & (F.size("trains") > 0))
     )
-    tr = fp.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "fingerprint"
-    )
-    return ev.join(tr, "fingerprint").select("eval_doc", "train_doc")
+    return buckets.select(
+        F.explode("evals").alias("eval_doc"), "trains"
+    ).select("eval_doc", F.explode("trains").alias("train_doc"))
 
 
 @register(
