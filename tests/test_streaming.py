@@ -74,9 +74,12 @@ def test_feed_worker_reconnects_and_resubscribes():
         assert wait_until(lambda: server.received.count(b"SUB") >= 2), (
             "subscribe not re-sent after reconnect"
         )
-        # frames from both connections all landed in the buffer
+        # The second connection's frames always land; the first connection's
+        # "a" MAY be lost to the abrupt drop (RST can discard delivered-but-
+        # unread bytes) — that loss is the documented at-most-once window
+        # (reference drops frames during reconnect too, wsclient.hpp:158-162).
         assert wait_until(
-            lambda: [r.value for r in worker.snapshot(0)[0]][:3] == ["a", "a", "b"]
+            lambda: [r.value for r in worker.snapshot(0)[0]][-2:] == ["a", "b"]
         )
     finally:
         worker.stop()

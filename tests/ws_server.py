@@ -60,6 +60,9 @@ class RecordingWsServer:
     # -- protocol -----------------------------------------------------------
 
     def _serve(self) -> None:
+        # One thread per connection: a stale client (e.g. a stopped query's
+        # reader whose ephemeral port got reused) must never occupy the
+        # only serving slot and starve the connection under test.
         while not self._stop.is_set():
             try:
                 conn, _ = self._sock.accept()
@@ -67,15 +70,22 @@ class RecordingWsServer:
                 return
             self.connections += 1
             first = self.connections == 1
+            threading.Thread(
+                target=self._serve_one,
+                args=(conn, first and self.drop_after_frames is not None),
+                daemon=True,
+            ).start()
+
+    def _serve_one(self, conn: socket.socket, drop: bool) -> None:
+        try:
+            self._handle(conn, drop=drop)
+        except OSError:
+            pass
+        finally:
             try:
-                self._handle(conn, drop=first and self.drop_after_frames is not None)
+                conn.close()
             except OSError:
                 pass
-            finally:
-                try:
-                    conn.close()
-                except OSError:
-                    pass
 
     def _handle(self, conn: socket.socket, drop: bool) -> None:
         conn.settimeout(0.2)

@@ -105,7 +105,10 @@ class _FeedWorker:
 
     def _run(self) -> None:
         """Reference Start() semantics: infinite dial loop, 5 s backoff,
-        re-subscribe after every reconnect (wsclient.hpp:132-168)."""
+        re-subscribe after every reconnect (wsclient.hpp:132-168). A CLEAN
+        server close also redials: the reference's while(keep_running_)
+        wraps the whole connect+run sequence, so only Shutdown() ends it —
+        the feed is expected to be persistent."""
         while not self._stop.is_set():
             client = WsClient(self._url)
             try:
@@ -118,14 +121,13 @@ class _FeedWorker:
                     self._append(payload)
                     if self._stop.is_set():
                         break
-                return  # clean close from the server ends the loop
             except WsError:
-                if self._stop.is_set():
-                    return
-                self._stop.wait(self._reconnect_delay)
+                pass
             finally:
                 self._client = None
                 client.close_socket()
+            if not self._stop.is_set():
+                self._stop.wait(self._reconnect_delay)
 
     def _run_timer(self) -> None:
         """Drift-free fixed-rate resend (interval_timer.hpp:23-38:
