@@ -42,6 +42,19 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall:.0%} too low"
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.vec_id) for r in QUERIES["q_sim_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id) for r in QUERIES["q_sim_ivf"].fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    # 2-of-16 probed cells on random vectors: recall is bounded by the probe
+    # fraction; assert the index is doing clearly better than chance (2/16)
+    assert recall >= 0.2, f"IVF recall {recall:.0%} not better than chance"
+
+
 def test_decode_stub_deterministic():
     payload = bytes(range(200))
     feats = decode_image_stub(payload)

@@ -182,6 +182,124 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_N_CELLS = 16  # deterministic coarse quantizer: first 16 vectors seed the cells
+_IVF_N_PROBE = 2   # cells searched per query
+
+
+@register(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < {_IVF_N_CELLS}
+    ), scored AS (
+      SELECT v.vec_id, c.cell_id,
+             list_dot_product(v.e, c.ce)
+               / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(c.ce, c.ce)))
+               AS cell_cos
+      FROM v CROSS JOIN c
+    ), assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cell_cos DESC, cell_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cell_cos DESC, cell_id) AS rn
+        FROM scored WHERE vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_IVF_N_PROBE}
+    ), cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rk FROM (
+      SELECT c.query_id, c.vec_id,
+             ROUND(list_dot_product(q.e, d.e)
+                   / (SQRT(list_dot_product(q.e, q.e))
+                      * SQRT(list_dot_product(d.e, d.e))), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                ORDER BY ROUND(list_dot_product(q.e, d.e)
+                                  / (SQRT(list_dot_product(q.e, q.e))
+                                     * SQRT(list_dot_product(d.e, d.e))), 6) DESC,
+                                c.vec_id) AS rk
+      FROM cands c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v d ON d.vec_id = c.vec_id
+    ) WHERE rk <= {_TOP_K}
+    """,
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a deterministic coarse quantizer (the first
+    16 vectors seed the cells), every vector assigned to its nearest cell,
+    queries probing their top-2 cells, exact re-score inside.
+
+    The oracle replicates the ENTIRE pipeline (assignment, probing,
+    re-score) from the same constants, so the driver verifies the
+    approximate index end-to-end — same pattern as q_dedup_embed.
+
+    Scale: assignment is one scan × a broadcast of the centroids (a real
+    deployment k-means-refines them — same plan shape per iteration); the
+    probe join touches only vectors in probed cells (~n·probe/cells of the
+    corpus), the IVF trade. Tie-breaks are total-ordered on both sides.
+    """
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    ).withColumn("norm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    cells = emb.filter(F.col("vec_id") < _IVF_N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("e").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = emb.crossJoin(F.broadcast(cells)).select(
+        "vec_id",
+        "cell_id",
+        (_dot(F.col("e"), F.col("ce")) / (F.col("norm") * F.col("cnorm"))).alias(
+            "cell_cos"
+        ),
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), F.col("cell_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    probes = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    cands = (
+        probes.join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    rescored = (
+        cands.join(emb, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 _EMBED_DUP_THRESHOLD = 0.4  # fixtures are random vectors; max cosine ≈ 0.5
 
 

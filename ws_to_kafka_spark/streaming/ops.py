@@ -177,7 +177,13 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics as a batch query: drop events more than 1 hour
     behind the running max event time (arrival order = event_id order),
     then window-count the survivors — exactly what
-    ``watermarked_tumbling_counts`` computes incrementally."""
+    ``watermarked_tumbling_counts`` computes incrementally.
+
+    Scale note: the unpartitioned arrival-order window funnels the batch
+    through one partition — acceptable ONLY because this query exists to
+    pin the watermark's semantics for the oracle. The production form IS
+    the streaming one, where the watermark is O(1) engine state and never
+    a window function."""
     events = tables.load(spark, sf_dir, "events")
     w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
     survivors = events.withColumn("max_ts_so_far", F.max("ts").over(w)).filter(
