@@ -1,0 +1,68 @@
+"""Bucketing: pre-partitioned tables make the fact⋈fact join shuffle-free.
+
+The 100 TB playbook move for repeated joins on a stable key: write both
+sides bucketed by the join key into the same bucket count, and the
+sort-merge join reads co-located buckets with NO exchange. This test pins
+that the engine's session/config actually deliver the shuffle-free plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ws_to_kafka_spark import tables
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("buckets")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(d / "li"))
+        .mode("overwrite")
+        .saveAsTable("b_lineitem")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(d / "ord"))
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    yield "b_lineitem", "b_orders"
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    li_name, ord_name = bucketed
+    li, orders = spark.table(li_name), spark.table(ord_name)
+    # disable broadcast so the join strategy is the bucket-aware SMJ
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+        # and it actually computes the right thing
+        n = joined.count()
+        pli = tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+        por = tables.load(spark, "/root/testdata/sf0.001", "orders")
+        plain = pli.join(por, pli.l_orderkey == por.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed):
+    li_name, _ = bucketed
+    from pyspark.sql import functions as F
+
+    li = spark.table(li_name)
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed aggregation still shuffles"
+    assert agg.count() > 0
