@@ -70,6 +70,7 @@ class WsClient:
             raise ValueError(f"not a websocket url: {url!r}")
         self._ssl_context = ssl_context
         self._sock: socket.socket | None = None
+        self._rbuf = b""  # bytes received past the handshake terminator
 
     # -- connection ---------------------------------------------------------
 
@@ -138,7 +139,12 @@ class WsClient:
             buf += chunk
             if len(buf) > 65536:
                 raise WsError("oversized handshake response")
-        return buf.split(b"\r\n\r\n", 1)[0]
+        headers, rest = buf.split(b"\r\n\r\n", 1)
+        # The peer may start sending frames in the SAME TCP segment as the
+        # 101 response — anything past the header terminator is frame data
+        # and must feed the frame reader, not be dropped.
+        self._rbuf = rest
+        return headers
 
     # -- frames -------------------------------------------------------------
 
@@ -171,6 +177,9 @@ class WsClient:
     def _recv_exact(self, n: int) -> bytes:
         assert self._sock is not None
         buf = b""
+        if self._rbuf:  # handshake-coalesced bytes first
+            take, self._rbuf = self._rbuf[:n], self._rbuf[n:]
+            buf += take
         probed = False
         while len(buf) < n:
             try:
