@@ -27,8 +27,10 @@ from ws_to_kafka_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# Queries where a nested-loop/cartesian join is the intended plan shape.
-EXPECTED_NESTED_LOOP = {"q_join_cross", "q_sim_topk"}
+# Queries where a nested-loop/cartesian join is the intended plan shape:
+# q_join_cross (5×25 dims), q_sim_topk (corpus × broadcast query set),
+# q_sim_ivf (corpus × broadcast centroids for cell assignment).
+EXPECTED_NESTED_LOOP = {"q_join_cross", "q_sim_topk", "q_sim_ivf"}
 
 
 def plan_of(spark, name: str) -> str:
