@@ -219,6 +219,49 @@ def _parquet_rows(spark, path) -> int:
         return 0
 
 
+def test_checkpoint_restart_resumes(spark, tmp_path):
+    """Restart from a checkpoint must keep consuming: the committed offset
+    N survives, and the fresh (non-replayable) connection's numbering is
+    baselined at N — a regression here silently swallows the first N
+    frames after every restart."""
+    frames = [b'{"run":1,"n":%d}' % i for i in range(4)]
+    server = RecordingWsServer(frames_per_connection=frames)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    config = PipelineConfig(url=server.url, brokers="", topic="", key="rs")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    query = start_pipeline(
+        spark, config, checkpoint_dir=ckpt, foreach_batch=write_batch,
+        query_name="rs1",
+    )
+    try:
+        assert wait_until(lambda: _parquet_rows(spark, out) >= 4, timeout=60)
+    finally:
+        query.stop()
+
+    # Restart against the same checkpoint. The server replays its 4
+    # configured frames on the new connection and then 2 fresh ones —
+    # ALL 6 must land (index baseline = committed offset, nothing skipped).
+    query2 = start_pipeline(
+        spark, config, checkpoint_dir=ckpt, foreach_batch=write_batch,
+        query_name="rs2",
+    )
+    try:
+        assert wait_until(lambda: server.connections >= 2, timeout=30)
+        server.push_frame(b'{"run":2,"n":0}')
+        server.push_frame(b'{"run":2,"n":1}')
+        assert wait_until(
+            lambda: _parquet_rows(spark, out) >= 10, timeout=60
+        ), "frames after checkpoint restart were skipped"
+        values = [r.value for r in spark.read.parquet(out).collect()]
+        assert sum(1 for v in values if '"run":2' in v) == 2
+    finally:
+        query2.stop()
+        server.close()
+
+
 # ---------------------------------------------------------------------------
 # Streaming analytics ops driven through the WebSocket source
 # ---------------------------------------------------------------------------

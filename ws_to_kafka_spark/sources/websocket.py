@@ -199,7 +199,7 @@ class WebSocketStreamReader(SimpleDataSourceStreamReader):
         self._options = state["_options"]
         self._worker = None
 
-    def _ensure_worker(self) -> _FeedWorker:
+    def _ensure_worker(self, base_index: int = 0) -> _FeedWorker:
         if self._worker is None:
             opts = self._options
             parsed = json.loads(opts.get("interval_messages") or "[]")
@@ -215,6 +215,15 @@ class WebSocketStreamReader(SimpleDataSourceStreamReader):
                 ),
                 retention=int(opts.get("retention", 100_000)),
             )
+            # Checkpoint-restart: the engine resumes from committed offset N,
+            # but a socket cannot replay — a fresh worker numbering from 0
+            # would have its first N frames treated as already-consumed and
+            # silently skipped. Baseline the new connection's numbering at
+            # the resume offset instead: restart means "continue from now",
+            # the reference's semantics (it restarts from scratch,
+            # /root/reference/src/wsclient.hpp:158-162 — ours additionally
+            # keeps offsets monotonic for the engine's bookkeeping).
+            self._worker._next_index = base_index
             self._worker.start()
         return self._worker
 
@@ -222,7 +231,9 @@ class WebSocketStreamReader(SimpleDataSourceStreamReader):
         return {"index": 0}
 
     def read(self, start: dict) -> tuple:
-        records, next_index = self._ensure_worker().snapshot(start["index"])
+        records, next_index = self._ensure_worker(start["index"]).snapshot(
+            start["index"]
+        )
         rows = [(r.value, r.ts) for r in records]
         return iter(rows), {"index": next_index}
 
