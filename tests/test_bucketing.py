@@ -57,6 +57,26 @@ def test_bucketed_join_has_no_exchange(spark, bucketed):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned layout + a date predicate ⇒ the scan reads only
+    matching partitions (PartitionFilters in the plan) — the layout that
+    turns a 100 TB time-range query into a per-day directory read."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_by_day")
+    events = tables.load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    events.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-01")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200], plan[:1500]
+    n_day1 = back.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_day1 < n_all
+
+
 def test_bucketed_groupby_has_no_exchange(spark, bucketed):
     li_name, _ = bucketed
     from pyspark.sql import functions as F
