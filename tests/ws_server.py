@@ -23,6 +23,10 @@ class RecordingWsServer:
     def __init__(self, frames_per_connection: list[bytes] | None = None,
                  drop_after_frames: int | None = None):
         self.received: list[bytes] = []          # all client data frames
+        #: data frames per connection, in accept order. NB: frames sent just
+        #: before an abrupt drop may be lost to the close/reader race —
+        #: assert on connections the server keeps alive.
+        self.received_per_conn: list[list[bytes]] = []
         self.connections = 0
         self.frames_per_connection = frames_per_connection or []
         #: if set, close the socket abruptly after sending this many frames
@@ -90,9 +94,11 @@ class RecordingWsServer:
     def _handle(self, conn: socket.socket, drop: bool) -> None:
         conn.settimeout(0.2)
         self._handshake(conn)
+        conn_received: list[bytes] = []
+        self.received_per_conn.append(conn_received)
         sent = 0
         reader = threading.Thread(
-            target=self._read_loop, args=(conn,), daemon=True
+            target=self._read_loop, args=(conn, conn_received), daemon=True
         )
         reader.start()
         for payload in self.frames_per_connection:
@@ -112,9 +118,22 @@ class RecordingWsServer:
                 return
 
     def _handshake(self, conn: socket.socket) -> None:
+        import time as _time
+
         buf = b""
+        deadline = _time.monotonic() + 10.0
         while b"\r\n\r\n" not in buf:
-            buf += conn.recv(4096)
+            try:
+                chunk = conn.recv(4096)
+            except socket.timeout:
+                # the 0.2 s read timeout is for the post-handshake loop —
+                # a slow-arriving upgrade request must not kill the conn
+                if _time.monotonic() > deadline:
+                    raise
+                continue
+            if not chunk:
+                raise OSError("closed during handshake")
+            buf += chunk
         key = ""
         for line in buf.split(b"\r\n"):
             if line.lower().startswith(b"sec-websocket-key:"):
@@ -131,7 +150,9 @@ class RecordingWsServer:
             ).encode()
         )
 
-    def _read_loop(self, conn: socket.socket) -> None:
+    def _read_loop(
+        self, conn: socket.socket, conn_received: list[bytes] | None = None
+    ) -> None:
         """Record client data frames; answer pings with pongs (RFC 6455
         §5.5.2-§5.5.3 — keeps idle clients from failing their keep-alive)."""
         buf = b""
@@ -145,9 +166,14 @@ class RecordingWsServer:
             if not chunk:
                 return
             buf += chunk
-            buf = self._drain_frames(buf, conn)
+            buf = self._drain_frames(buf, conn, conn_received)
 
-    def _drain_frames(self, buf: bytes, conn: socket.socket | None = None) -> bytes:
+    def _drain_frames(
+        self,
+        buf: bytes,
+        conn: socket.socket | None = None,
+        conn_received: list[bytes] | None = None,
+    ) -> bytes:
         while True:
             if len(buf) < 2:
                 return buf
@@ -179,6 +205,8 @@ class RecordingWsServer:
                 data = buf[idx: idx + n]
             if op in (0x1, 0x2):  # text/binary
                 self.received.append(data)
+                if conn_received is not None:
+                    conn_received.append(data)
             elif op == 0x9 and conn is not None:  # ping → pong, same payload
                 header = bytearray([0x8A, len(data)])
                 try:
