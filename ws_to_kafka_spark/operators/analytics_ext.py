@@ -47,6 +47,43 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6)                  AS qty_stddev,
+           ROUND(VAR_POP(l_discount), 6)                      AS disc_var,
+           ROUND(CORR(l_extendedprice, l_quantity), 6)        AS price_qty_corr,
+           ROUND(COVAR_POP(l_extendedprice, l_quantity), 4)   AS price_qty_covar,
+           ROUND(SKEWNESS(l_extendedprice), 6)                AS price_skew
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance/
+    skewness per group — single-pass mergeable moment sketches in both
+    engines, so partial aggregation applies map-side like any sum.
+
+    Estimator alignment: Spark's ``skewness`` is the population
+    coefficient g1 = m3/m2^1.5; DuckDB's is the bias-adjusted SAMPLE
+    estimator G1 = g1·√(n(n−1))/(n−2). The √(n(n−1))/(n−2) factor is
+    ~1+3/n — invisible at 6 dp for large groups, a reliable mismatch at
+    small n — so the conversion is applied explicitly."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    sample_adj = F.sqrt(n * (n - 1)) / (n - 2)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_pop("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.skewness("l_extendedprice") * sample_adj, 6).alias("price_skew"),
+    )
+
+
+@register(
     "q_pivot",
     oracle="""
     SELECT o_orderpriority,
