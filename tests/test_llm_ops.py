@@ -42,6 +42,32 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall:.0%} too low"
 
 
+def test_lsh_bucket_occupancy(spark, sf_dir):
+    """The round-2 scale defect was 4-bit band keys -> buckets of ~n/16 and
+    O(n^2/16) candidate pairs.  With 16-bit random-hyperplane keys the
+    largest bucket must stay near-singleton — far below n/16."""
+    from pyspark.sql import functions as F
+
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators.similarity import _as_double, _sign_signature
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    n = emb.count()
+    occ = (
+        emb.select(
+            F.posexplode(_sign_signature(F.col("e"))).alias("band_idx", "band_key")
+        )
+        .groupBy("band_idx", "band_key")
+        .count()
+        .agg(F.max("count").alias("max_bucket"))
+        .collect()[0]["max_bucket"]
+    )
+    assert occ <= 8, f"max bucket {occ} — keys too narrow"
+    assert occ < n / 16, f"max bucket {occ} not ≪ n/16 = {n / 16:.0f}"
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     brute = {
         (r.query_id, r.vec_id) for r in QUERIES["q_sim_topk"].fn(spark, sf_dir).collect()
