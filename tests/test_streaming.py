@@ -55,6 +55,78 @@ def test_client_receives_frames_and_subscribes():
         server.close()
 
 
+def test_handshake_rejects_non_101_status():
+    """The status CODE field must be exactly 101 — a '1010' code or a reason
+    phrase containing '101' is not an upgrade (substring matching was the
+    round-2 bug)."""
+    import socket as socket_mod
+    import threading
+
+    from ws_to_kafka_spark.sources.ws_client import WsError
+
+    for status_line in (
+        "HTTP/1.1 1010 Weird Extension Code",
+        "HTTP/1.1 200 Upgrade code was 101",
+        "HTTP/1.1",
+    ):
+        srv = socket_mod.socket(socket_mod.AF_INET, socket_mod.SOCK_STREAM)
+        srv.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def answer(sock=srv, line=status_line):
+            conn, _ = sock.accept()
+            conn.recv(4096)
+            conn.sendall(f"{line}\r\nConnection: close\r\n\r\n".encode())
+            conn.close()
+
+        t = threading.Thread(target=answer, daemon=True)
+        t.start()
+        client = WsClient(f"ws://127.0.0.1:{port}/feed")
+        with pytest.raises(WsError, match="handshake rejected"):
+            client.connect()
+        srv.close()
+
+
+def test_concurrent_writes_do_not_interleave():
+    """Frames sent from many threads must arrive intact: every outbound
+    frame write serializes on WsClient's internal lock (the reference gets
+    this from its single-threaded asio executor). Large payloads make a
+    split sendall — and therefore interleaved corruption — likely if the
+    lock is missing."""
+    import threading
+
+    server = RecordingWsServer()
+    try:
+        client = WsClient(server.url)
+        client.connect()
+        n_threads, per_thread = 8, 20
+        payload_of = lambda t, i: (f"{t}:{i}:" + "x" * 64_000).encode()
+
+        def writer(t):
+            for i in range(per_thread):
+                client.send(payload_of(t, i))
+
+        threads = [
+            threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        expected = {
+            payload_of(t, i) for t in range(n_threads) for i in range(per_thread)
+        }
+        assert wait_until(
+            lambda: len(server.received) >= n_threads * per_thread, timeout=30
+        ), f"only {len(server.received)} of {n_threads * per_thread} frames arrived"
+        assert set(server.received) == expected
+        client.close()
+    finally:
+        server.close()
+
+
 def test_feed_worker_reconnects_and_resubscribes():
     """Abrupt drop after 1 frame → worker must redial and re-send the
     subscription (reference re-subscribes on every reconnect)."""
@@ -221,6 +293,48 @@ def _parquet_rows(spark, path) -> int:
         return spark.read.parquet(path).count()
     except Exception:
         return 0
+
+
+def test_kafka_writer_contract(spark, tmp_path):
+    """The production kafka sink's plumbing, asserted without a broker: the
+    writer object must carry format=kafka with the configured bootstrap
+    servers, topic, and checkpoint, and the stream it writes must have
+    exactly the key/value/timestamp column contract the kafka sink expects
+    (reference output edge: /root/reference/src/kafka_producer.cpp:36-57).
+    A misconfig here would otherwise only surface at start() in production.
+    """
+    from ws_to_kafka_spark.streaming import build_stream, build_writer
+
+    config = PipelineConfig(
+        url="ws://127.0.0.1:9/feed",
+        brokers="broker1:9092,broker2:9092",
+        topic="events.raw",
+        key="feed-key",
+    )
+    stream = build_stream(spark, config)
+    schema = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    # the kafka sink requires key/value as string or binary and honors an
+    # optional timestamp column
+    assert set(schema) == {"value", "key", "timestamp"}
+    assert schema["value"] in ("string", "binary")
+    assert schema["key"] in ("string", "binary")
+    assert schema["timestamp"] == "timestamp"
+    writer = build_writer(spark, config, str(tmp_path / "ckpt"))
+    jw = writer._jwrite
+    cls = jw.getClass()
+
+    def field(name):
+        f = cls.getDeclaredField(name)
+        f.setAccessible(True)
+        return f.get(jw)
+
+    assert field("source") == "kafka"
+    opts = field("extraOptions")
+    got = {k: opts.get(k).get() for k in ("kafka.bootstrap.servers", "topic",
+                                          "checkpointLocation")}
+    assert got["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert got["topic"] == "events.raw"
+    assert got["checkpointLocation"] == str(tmp_path / "ckpt")
 
 
 def test_checkpoint_restart_resumes(spark, tmp_path):

@@ -95,12 +95,16 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fine-keying fan-out for the grouped-map example: each applyInPandas group
+# holds ~1/(|statuses| * _ZSCORE_SALTS) of the table instead of 1/3 of it.
+_ZSCORE_SALTS = 32
+
+
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group z-score of o_totalprice (population stddev)."""
-    mean = pdf["o_totalprice"].mean()
-    std = pdf["o_totalprice"].std(ddof=0)
+    """Normalize one fine-keyed group against its status's global moments
+    (constant within the group, joined in before the shuffle)."""
     out = pdf[["o_orderkey", "o_orderstatus"]].copy()
-    out["price_z"] = ((pdf["o_totalprice"] - mean) / std).round(4)
+    out["price_z"] = ((pdf["o_totalprice"] - pdf["mu"]) / pdf["sigma"]).round(4)
     return out
 
 
@@ -117,10 +121,25 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``applyInPandas`` grouped map: per-status z-score normalization —
     the feature-normalization shape of ML preprocessing. The oracle is the
-    equivalent window expression, verifying the Arrow group-map path."""
+    equivalent window expression, verifying the Arrow group-map path.
+
+    Round 2 grouped directly by ``o_orderstatus`` (cardinality 3), which
+    materializes a third of the table in one worker's pandas frame — an OOM
+    at 100 TB. Now the global per-status moments come from a JVM groupBy
+    (partial aggregation, 3-row result, broadcast back), and the Arrow
+    group-map runs on ``(o_orderstatus, hash(o_orderkey) % 32)`` so every
+    group is a bounded slice while the output is byte-identical.
+    """
     orders = tables.load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    return orders.groupBy("o_orderstatus").applyInPandas(
+    stats = orders.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_pop("o_totalprice").alias("sigma"),
+    )
+    salted = orders.join(F.broadcast(stats), "o_orderstatus").withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(_ZSCORE_SALTS))
+    )
+    return salted.groupBy("o_orderstatus", "salt").applyInPandas(
         _zscore_group, schema="o_orderkey long, o_orderstatus string, price_z double"
     )

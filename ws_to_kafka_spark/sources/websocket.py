@@ -74,7 +74,6 @@ class _FeedWorker:
         self._reconnect_delay = reconnect_delay
         self._buffer: deque[_Record] = deque(maxlen=retention)
         self._lock = threading.Lock()
-        self._send_lock = threading.Lock()
         self._next_index = 0
         self._stop = threading.Event()
         self._client: WsClient | None = None
@@ -114,8 +113,7 @@ class _FeedWorker:
             try:
                 client.connect()
                 if self._subscribe:
-                    with self._send_lock:
-                        client.send(self._subscribe)
+                    client.send(self._subscribe)
                 self._client = client
                 for payload in client.frames():
                     self._append(payload)
@@ -138,10 +136,12 @@ class _FeedWorker:
             client = self._client
             if client is None:
                 continue  # disconnected — reference drops the tick too
+            # All frame writes — these interval messages, the reader
+            # thread's pong/ping replies, stop()'s close — serialize on
+            # WsClient's internal write lock.
             for msg in self._interval_messages:
                 try:
-                    with self._send_lock:
-                        client.send(msg)
+                    client.send(msg)
                 except WsError:
                     break  # write failure is logged-and-dropped in the ref
 

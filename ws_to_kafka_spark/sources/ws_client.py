@@ -28,6 +28,7 @@ import os
 import socket
 import ssl
 import struct
+import threading
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -58,10 +59,14 @@ class Frame:
 class WsClient:
     """One WebSocket connection: connect → handshake → (write | read-loop).
 
-    Single-threaded like the reference's asio loop (src/wsclient.hpp:38-53):
-    reads happen on whichever thread iterates :meth:`frames`; ``send`` is
-    safe to call between reads from the same thread (the driver thread in
-    the Spark source serializes both).
+    Reads are single-threaded (whichever thread iterates :meth:`frames`),
+    like the reference's asio loop (src/wsclient.hpp:38-53). Writes may come
+    from several threads — the reader's pong replies and idle ping-probes,
+    an interval-timer thread, and stop()'s close frame — so every outbound
+    frame serializes on one internal lock inside :meth:`send`; the reference
+    gets the same guarantee from its single-threaded asio executor. Without
+    it, a partially-flushed large frame could interleave with a control
+    frame and corrupt the byte stream.
     """
 
     def __init__(self, url: str, *, ssl_context: ssl.SSLContext | None = None):
@@ -71,6 +76,7 @@ class WsClient:
         self._ssl_context = ssl_context
         self._sock: socket.socket | None = None
         self._rbuf = b""  # bytes received past the handshake terminator
+        self._write_lock = threading.Lock()
 
     # -- connection ---------------------------------------------------------
 
@@ -116,7 +122,11 @@ class WsClient:
         except OSError as exc:
             raise WsError(f"handshake io error: {exc}") from exc
         status = response.split(b"\r\n", 1)[0]
-        if b"101" not in status:
+        # Parse the status-code FIELD (second token) rather than substring-
+        # matching the whole line: a reason phrase containing "101" or a
+        # nonstandard "1010" code must not count as an upgrade.
+        parts = status.split(b" ")
+        if len(parts) < 2 or parts[1] != b"101":
             raise WsError(f"handshake rejected: {status!r}")
         accept = base64.b64encode(
             hashlib.sha1((key + _WS_GUID).encode()).digest()
@@ -170,7 +180,11 @@ class WsClient:
         header += mask
         masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
         try:
-            self._sock.sendall(bytes(header) + masked)
+            # One lock around the single sendall: sendall can split into
+            # several syscalls when the send buffer fills, and interleaving
+            # another thread's frame bytes mid-split corrupts the stream.
+            with self._write_lock:
+                self._sock.sendall(bytes(header) + masked)
         except OSError as exc:
             raise WsError(f"write failed: {exc}") from exc
 

@@ -1,4 +1,4 @@
 """Streaming pipelines: the WebSocket→Kafka dataflow (reference parity)
 and the streaming analytics operators (watermark, dedup, stateful agg)."""
 
-from .pipeline import build_stream, start_pipeline  # noqa: F401
+from .pipeline import build_stream, build_writer, start_pipeline  # noqa: F401

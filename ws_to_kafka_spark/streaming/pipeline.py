@@ -62,7 +62,7 @@ def build_stream(spark: SparkSession, config: PipelineConfig) -> DataFrame:
     )
 
 
-def start_pipeline(
+def build_writer(
     spark: SparkSession,
     config: PipelineConfig,
     checkpoint_dir: str,
@@ -71,13 +71,11 @@ def start_pipeline(
     query_name: str = "ws_to_kafka",
     trigger_interval: str | None = None,
     foreach_batch=None,
-) -> StreamingQuery:
-    """Start the full pipeline. ``sink_format='kafka'`` is production
-    (needs the Kafka connector on the classpath); ``'memory'`` runs the
-    identical plan into an in-memory table for tests/CI, mirroring how the
-    reference is exercised without a broker; passing ``foreach_batch``
-    routes every microbatch through a callable ``(DataFrame, batch_id)`` —
-    the escape hatch for sinks without a native connector."""
+):
+    """Build the (un-started) writer for the pipeline — split from
+    :func:`start_pipeline` so the environment-without-a-broker contract
+    test can assert the kafka sink's option plumbing (bootstrap servers,
+    topic, checkpoint) on the writer object itself."""
     stream = build_stream(spark, config)
     writer = stream.writeStream.queryName(query_name).option(
         "checkpointLocation", checkpoint_dir
@@ -94,4 +92,31 @@ def start_pipeline(
         )
     else:
         writer = writer.format(sink_format)
-    return writer.start()
+    return writer
+
+
+def start_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    checkpoint_dir: str,
+    *,
+    sink_format: str = "kafka",
+    query_name: str = "ws_to_kafka",
+    trigger_interval: str | None = None,
+    foreach_batch=None,
+) -> StreamingQuery:
+    """Start the full pipeline. ``sink_format='kafka'`` is production
+    (needs the Kafka connector on the classpath); ``'memory'`` runs the
+    identical plan into an in-memory table for tests/CI, mirroring how the
+    reference is exercised without a broker; passing ``foreach_batch``
+    routes every microbatch through a callable ``(DataFrame, batch_id)`` —
+    the escape hatch for sinks without a native connector."""
+    return build_writer(
+        spark,
+        config,
+        checkpoint_dir,
+        sink_format=sink_format,
+        query_name=query_name,
+        trigger_interval=trigger_interval,
+        foreach_batch=foreach_batch,
+    ).start()
