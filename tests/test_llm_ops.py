@@ -76,9 +76,18 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         (r.query_id, r.vec_id) for r in QUERIES["q_sim_ivf"].fn(spark, sf_dir).collect()
     }
     recall = len(brute & ivf) / len(brute)
-    # 2-of-16 probed cells on random vectors: recall is bounded by the probe
-    # fraction; assert the index is doing clearly better than chance (2/16)
-    assert recall >= 0.2, f"IVF recall {recall:.0%} not better than chance"
+    # measured 0.84-1.0 across SFs with one Lloyd iteration + 2/16 probes
+    assert recall >= 0.6, f"IVF recall {recall:.0%} too low"
+
+
+def test_ivf_lloyd_improves_quantization(spark, sf_dir):
+    """Lloyd's algorithm monotonically improves the quantization objective
+    (mean best-cell similarity); recall on random fixtures can wiggle
+    either way, so assert the invariant Lloyd actually guarantees."""
+    from ws_to_kafka_spark.operators.similarity import ivf_quantization_quality
+
+    q = ivf_quantization_quality(spark, sf_dir)
+    assert q["refined"] >= q["seed"], q
 
 
 def test_decode_stub_deterministic():
