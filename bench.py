@@ -54,6 +54,38 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
+def compare_to_baseline(per_query: dict[str, float], sf: float) -> None:
+    """Per-query deltas vs the pinned round-2 baseline (stderr only — the
+    stdout contract stays one JSON line). Flags any query >2x its baseline
+    time, the regression bar VERDICT round 2 set."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BASELINE.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        base = json.load(fh)
+    if base.get("sf") != sf:
+        print(f"[bench] baseline is sf={base.get('sf')}, run is sf={sf}; "
+              "skipping comparison", file=sys.stderr)
+        return
+    flagged = []
+    for name, secs in per_query.items():
+        ref = base.get("queries", {}).get(name)
+        if ref is None:
+            print(f"[bench] {name}: {secs:.3f}s (no baseline)", file=sys.stderr)
+            continue
+        ratio = secs / ref if ref else float("inf")
+        mark = "  <-- REGRESSION >2x" if ratio > 2.0 else ""
+        print(f"[bench] {name}: {secs:.3f}s vs baseline {ref:.3f}s "
+              f"({ratio:.2f}x){mark}", file=sys.stderr)
+        if ratio > 2.0:
+            flagged.append(name)
+    total, ref_total = sum(per_query.values()), base.get("value", 0.0)
+    print(f"[bench] TOTAL {total:.3f}s vs baseline {ref_total:.3f}s "
+          f"({total / ref_total:.2f}x); {len(flagged)} queries over 2x "
+          f"{flagged if flagged else ''}", file=sys.stderr)
+
+
 def main() -> None:
     spark = get_spark("bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
@@ -67,6 +99,7 @@ def main() -> None:
     for name in HEADLINE:
         per_query[name] = round(run_once(spark, name, SF_DIR), 3)
     total = round(sum(per_query.values()), 3)
+    compare_to_baseline(per_query, sf)
     print(
         json.dumps(
             {

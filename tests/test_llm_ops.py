@@ -42,6 +42,21 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall:.0%} too low"
 
 
+def test_simhash_web_point_is_tight_subset(spark, sf_dir):
+    """Both registered operating points are EXACT for their Hamming budget
+    (pigeonhole over their band counts), so the web point (4×16 bands, d≤3)
+    must equal the fixture point (8×8 bands, d≤7) filtered to distance ≤3."""
+    base = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in QUERIES["q_dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    web = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in QUERIES["q_dedup_simhash_web"].fn(spark, sf_dir).collect()
+    }
+    assert web == {p: h for p, h in base.items() if h <= 3}
+
+
 def test_lsh_bucket_occupancy(spark, sf_dir):
     """The round-2 scale defect was 4-bit band keys -> buckets of ~n/16 and
     O(n^2/16) candidate pairs.  With 16-bit random-hyperplane keys the

@@ -109,21 +109,51 @@ def _with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #: index is persisted once and shared, the materialized-shingle-table
 #: pattern every production dedup pipeline uses (at 100 TB this is a
 #: deliberate disk-backed materialization, sized ~tokens × ~1.1).
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+def _cached_frame(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    # Keyed by applicationId (stable and unique per SparkContext), NOT
+    # id(spark): ids are reusable after GC, so a new session could be served
+    # a stale frame bound to a dead context.  Entries from any other app are
+    # unpersisted and dropped on access, so a long-lived process holding
+    # several sequential sessions cannot accumulate dead persisted frames.
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _SHINGLE_CACHE if k[0] != app_id]:
+        try:
+            _SHINGLE_CACHE.pop(k).unpersist()
+        except Exception:
+            pass  # the owning context may already be gone
+    key = (app_id, sf_dir, kind)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
     from pyspark.storagelevel import StorageLevel
 
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _with_shingles(docs).withColumn("n_sh", F.size("shingles"))
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    _SHINGLE_CACHE[key] = sh
-    return sh
+    frame = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE[key] = frame
+    return frame
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build():
+        docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return _with_shingles(docs).withColumn("n_sh", F.size("shingles"))
+
+    return _cached_frame(spark, sf_dir, "shingles", build)
+
+
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, shingle) rows — the inverted-index base every
+    dedup operator (MinHash, n-gram prefix filter, SimHash) derives from,
+    and which q_dedup_ngram alone consumes from two plan branches.  One
+    materialization per (app, sf_dir) instead of one per consumer."""
+    return _cached_frame(
+        spark,
+        sf_dir,
+        "exploded",
+        lambda: _explode_shingles(_shingled_docs(spark, sf_dir)),
+    )
 
 
 def _explode_shingles(sh: DataFrame) -> DataFrame:
@@ -236,7 +266,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temporary arrays per document and overflows codegen into interpreted
     # mode: measured 25× slower at sf0.1.)
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit(4294967295))
-    exploded = _explode_shingles(sh).select("doc_id", h32.alias("h"))
+    exploded = _exploded_shingles(spark, sf_dir).select("doc_id", h32.alias("h"))
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
@@ -289,7 +319,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle arrays — no crossJoin anywhere; skew is bounded by the cap.
     """
     sh = _shingled_docs(spark, sf_dir)
-    inv = _explode_shingles(sh)
+    inv = _exploded_shingles(spark, sf_dir)
     df_per_shingle = inv.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
         inv.join(df_per_shingle, "shingle")
@@ -316,36 +346,21 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(cands, sh, _NGRAM_THRESHOLD)
 
 
-@register("q_dedup_simhash", oracle=None)  # xxhash64-based → rows-only check
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign of per-bit votes from
-    3-word-shingle hashes; pairs within Hamming distance ≤ 7, blocked on
-    8×8-bit bands (pigeonhole: distance ≤7 ⇒ ≥1 of 8 bands identical).
-
-    Features are the SAME shingles the Jaccard operators use. Parameter
-    choice is a function of document size: a one-shingle edit on an
-    n-feature doc flips every bit whose vote margin it covers, and margins
-    scale ~√n — so web-scale corpora (thousands of features/doc) run the
-    published d≤3 / 4×16-band point, while these fixtures (20–100 features)
-    need d≤7 (measured: true 0.95-Jaccard pairs sit at distances 4–9).
-    The trade is band-key width: 8-bit keys collide ~n²/256 per band, so at
-    100 TB either docs are large (→ 4×16 bands, d≤3) or the banding moves
-    to block-combination tables (split into B blocks, key on B-d blocks) to
-    restore wide keys. Parameterized here so both points are the same code.
-
-    Deterministic (xxhash64) but not oracle-expressible in portable SQL →
-    rows-only check; ``tests/test_llm_ops.py`` asserts it covers the exact
-    Jaccard join's pairs at threshold 0.95.
-    """
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _with_shingles(docs)
+def _simhash_pairs(
+    spark: SparkSession, sf_dir: str, n_bands: int, max_dist: int
+) -> DataFrame:
+    """SimHash near-dup pairs at a configurable (bands, Hamming-budget)
+    operating point; pigeonhole soundness needs ``n_bands > max_dist``
+    (a pair within distance d must agree exactly on ≥1 of d+1 blocks)."""
+    assert n_bands > max_dist, "pigeonhole: need more bands than flipped bits"
+    band_bits = 64 // n_bands
 
     # Bit votes via explode + 64 scalar bit columns + grouped SUM — the same
     # shape as the MinHash signature: flat bigint ops inside codegen with
     # map-side partial aggregation, one 64-column row per doc on the wire.
     # (64 per-row F.aggregate folds over the hash array do the same math
     # interpreted, >10× slower at sf0.1.)
-    exploded = _explode_shingles(sh).select(
+    exploded = _exploded_shingles(spark, sf_dir).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
     votes = exploded.groupBy("doc_id").agg(
@@ -372,9 +387,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_keys = F.array(
         *[
             F.shiftrightunsigned(
-                F.col("simhash"), _SIMHASH_BAND_BITS * j
-            ).bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
-            for j in range(_SIMHASH_N_BANDS)
+                F.col("simhash"), band_bits * j
+            ).bitwiseAND(F.lit((1 << band_bits) - 1))
+            for j in range(n_bands)
         ]
     )
     banded = sig.select(
@@ -394,5 +409,45 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= _SIMHASH_MAX_DIST)
+        .filter(F.col("hamming") <= max_dist)
     )
+
+
+@register("q_dedup_simhash", oracle=None)  # xxhash64-based → rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign of per-bit votes from
+    3-word-shingle hashes; pairs within Hamming distance ≤ 7, blocked on
+    8×8-bit bands (pigeonhole: distance ≤7 ⇒ ≥1 of 8 bands identical).
+
+    Features are the SAME shingles the Jaccard operators use. Parameter
+    choice is a function of document size: a one-shingle edit on an
+    n-feature doc flips every bit whose vote margin it covers, and margins
+    scale ~√n — so web-scale corpora (thousands of features/doc) run the
+    published d≤3 / 4×16-band point (registered as ``q_dedup_simhash_web``
+    so both operating points execute), while these fixtures (20–100
+    features) need d≤7 (measured: true 0.95-Jaccard pairs sit at distances
+    4–9). The trade is band-key width: 8-bit keys collide ~n²/256 per band,
+    so at 100 TB either docs are large (→ 4×16 bands, d≤3) or the banding
+    moves to block-combination tables (split into B blocks, key on B-d
+    blocks) to restore wide keys. Same code, two registrations.
+
+    Deterministic (xxhash64) but not oracle-expressible in portable SQL →
+    rows-only check; ``tests/test_llm_ops.py`` asserts it covers the exact
+    Jaccard join's pairs at threshold 0.95.
+    """
+    return _simhash_pairs(
+        spark, sf_dir, _SIMHASH_N_BANDS, _SIMHASH_MAX_DIST
+    )
+
+
+@register("q_dedup_simhash_web", oracle=None)  # xxhash64-based → rows-only
+def q_dedup_simhash_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash at the published web-scale operating point (Manku et al.,
+    WWW 2007: 64-bit signatures, Hamming distance ≤ 3): 4 bands × 16-bit
+    keys — 65 536 buckets per band, so the band self-join stays
+    near-singleton on large corpora where the d≤7 point's 8-bit keys would
+    collide ~n²/256 per band.  On the small-doc fixtures this catches only
+    the tightest duplicates (margins scale ~√features — see
+    ``q_dedup_simhash``); both operating points run in CI so the
+    parameterization is executed, not just documented."""
+    return _simhash_pairs(spark, sf_dir, 4, 3)
