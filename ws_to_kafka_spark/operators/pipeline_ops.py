@@ -1,0 +1,331 @@
+"""Training-data pipeline operators: the sampling / bucketing / weighting /
+packing / filtering steps a 100 TB corpus-preparation job runs between the
+dedup pass and the tokenizer.
+
+The reference forwards opaque frames (``/root/reference/src/main.cpp:48-50``)
+and has no batch surface; this module is part of the driver-mandated LLM-data
+extension (BASELINE.json north star, SURVEY.md §2.3 "beyond the reference").
+
+Design rules shared by every operator here:
+
+* **No driver materialization** — corpus-wide scalars (doc counts, decile
+  cutpoints) are 1-row DataFrames cross-joined back in as broadcasts, never
+  ``collect()``ed.
+* **Determinism over RNG** — sampling uses arithmetic on the stable key
+  (modulo bands, LCG ranks) instead of ``rand()``: reproducible across
+  retries/stragglers (a re-executed task must pick the same rows) and
+  expressible in the DuckDB oracle verbatim.
+* **Exact integer math wherever possible** — token counts, cumulative sums,
+  bucket indices are BIGINT on both sides; doubles are rounded per the
+  registry conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .. import tables
+from .registry import register
+
+# Per-language sampling rates (percent) for the stratified sample; the CASE
+# is generated from this table on both sides so they cannot drift.
+_STRATA_RATES = {"en": 10, "zh": 30, "es": 30, "de": 50, "fr": 50}
+_STRATA_DEFAULT = 20
+
+_PERGROUP_K = 20
+# LCG scramble for deterministic per-group sampling: BIGINT-safe on both
+# engines (doc_id < 2^20 here; the product stays far under 2^63).
+_LCG_A = 2654435761
+_LCG_P = 1000000007
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+_PACK_BUDGET = 2000  # tokens per shard
+_TFIDF_TOP_K = 5
+
+_KEEP_LANGS = ("de", "en", "es", "fr")  # zh exercises the lang filter
+_MIN_CHARS, _MAX_CHARS = 150, 450
+_MAX_MEAN_WORD_LEN = 7.5
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(_STRATA_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {_STRATA_DEFAULT} END"
+
+
+def _rate_case_col():
+    col = None
+    for lang, rate in sorted(_STRATA_RATES.items()):
+        cond = F.col("lang") == lang
+        col = F.when(cond, rate) if col is None else col.when(cond, rate)
+    return col.otherwise(_STRATA_DEFAULT)
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE doc_id % 100 < {_rate_case_sql()}
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-language keep-rates applied as a
+    deterministic modulo band on the stable key — the up/down-sampling step
+    of corpus mixing (e.g. downweight English, upweight low-resource
+    languages).
+
+    Scale: a pure narrow filter — no shuffle, no RNG state, pushed to the
+    scan; re-executed tasks pick identical rows (``rand()`` would not
+    survive task retries, and its oracle could never match).
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.col("doc_id") % 100) < _rate_case_col()
+    ).select("doc_id", "lang")
+
+
+@register(
+    "q_sample_pergroup",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * {_LCG_A}) % {_LCG_P}, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_PERGROUP_K}
+    """,
+)
+def q_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-group sampling (the distributed stand-in for reservoir
+    sampling): rank every doc inside its language by an LCG scramble of the
+    stable key and keep the first k — a uniform-without-replacement sample
+    that is deterministic, retry-safe, and oracle-expressible.
+
+    Scale: one shuffle on the group key; the window's group-limit keeps k
+    rows per group per partition before the exchange, so the shuffle
+    carries ~k rows per (group × input partition), not the corpus.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        (F.col("doc_id") * _LCG_A) % _LCG_P, F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PERGROUP_K)
+    )
+
+
+@register(
+    "q_quantile_buckets",
+    oracle=f"""
+    WITH cut AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice, {_DECILES}),
+               c -> FLOOR(c * 100 + 0.5) / 100) AS cl
+      FROM orders
+    )
+    SELECT CAST(len(list_filter(cl, c -> c < o_totalprice)) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders, cut
+    GROUP BY bucket
+    """,
+)
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing: assign every order its global price decile and
+    aggregate per bucket — the discretization step of histogram features /
+    balanced binning.
+
+    The 100 TB shape: cutpoints are a 1-row aggregate broadcast back into a
+    narrow filter-count per row — NO global sort, NO ntile window (a single
+    ORDER BY over the corpus is the plan this deliberately avoids).  The
+    exact ``percentile`` aggregate (which buffers values per executor) is
+    used here because the oracle must reproduce the cutpoints bit-for-bit;
+    a production run swaps in ``approx_percentile`` — same plan shape,
+    sketch-sized state.  Cutpoints are tie-free-rounded to cents on both
+    sides per the registry convention.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    deciles = ", ".join(str(d) for d in _DECILES)
+    cuts = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({deciles}))").alias("cl")
+    ).select(
+        F.transform("cl", lambda c: F.floor(c * 100 + 0.5) / 100).alias("cl")
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .select(
+            F.size(
+                F.filter("cl", lambda c: c < F.col("o_totalprice"))
+            ).cast("long").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, word, tfidf, rk FROM (
+      SELECT tf.doc_id, tf.word,
+             ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                        DESC, tf.word) AS rk
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ) WHERE rk <= {_TFIDF_TOP_K}
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per document by smoothed
+    tf·idf (idf = ln((N+1)/(df+1)) + 1, the scikit-learn smoothing) — the
+    classic relevance-weighting step of corpus indexing/analysis jobs.
+
+    Scale: two partial-agg shuffles — (doc, word) for tf and (word) for df
+    — then a join on word (dictionary-sized right side; hot stopword keys
+    are exactly what AQE skew-join splits) and a per-doc window whose
+    group-limit truncates to k before the exchange.  The corpus-size scalar
+    N is a broadcast 1-row frame, not a driver-side count.  Ordering is on
+    the ROUNDED score with a word tiebreak, total on both engines.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = (
+        words.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        6,
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_TOP_K)
+        .select("doc_id", "word", "tfidf", "rk")
+    )
+
+
+@register(
+    "q_pack_tokens",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(FLOOR(
+             (CAST(SUM(len(string_split(text, ' '))) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - len(string_split(text, ' '))) / {_PACK_BUDGET}.0)
+           AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each source, docs are laid out in
+    stable key order and cut into ~{budget}-token shards (a doc's shard is
+    the budget-quotient of the tokens BEFORE it) — the sequence-packing
+    step that turns a corpus into fixed-size training shards.
+
+    Scale: one shuffle on source + a running-sum window with O(1) carry
+    state; all integer math, exact on both engines.  Source is the natural
+    packing unit because shard locality should follow provenance; a salted
+    sub-key bounds any single giant source.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        F.floor((F.sum(n_tok).over(w) - n_tok) / float(_PACK_BUDGET))
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+def _filter_reason_col():
+    nw = F.size(F.split("text", " "))
+    mean_wl = (F.col("n_chars") - nw + 1) / nw
+    return (
+        F.when(F.col("n_chars") < _MIN_CHARS, "too_short")
+        .when(F.col("n_chars") > _MAX_CHARS, "too_long")
+        .when(~F.col("lang").isin(*_KEEP_LANGS), "lang_filtered")
+        .when(mean_wl > _MAX_MEAN_WORD_LEN, "long_words")
+        .otherwise("kept")
+    )
+
+
+def _filter_reason_sql() -> str:
+    langs = ", ".join(f"'{lg}'" for lg in _KEEP_LANGS)
+    nw = "len(string_split(text, ' '))"
+    return f"""CASE
+      WHEN n_chars < {_MIN_CHARS} THEN 'too_short'
+      WHEN n_chars > {_MAX_CHARS} THEN 'too_long'
+      WHEN lang NOT IN ({langs}) THEN 'lang_filtered'
+      WHEN (n_chars - {nw} + 1) / CAST({nw} AS DOUBLE)
+           > {_MAX_MEAN_WORD_LEN} THEN 'long_words'
+      ELSE 'kept' END"""
+
+
+@register(
+    "q_corpus_filter",
+    oracle=f"""
+    SELECT lang, {_filter_reason_sql()} AS reason,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, reason
+    """,
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel (the C4/Gopher-style rule cascade): every doc
+    gets its FIRST failing rule as a drop reason — length bounds, language
+    allowlist, mean-word-length gibberish screen — and the output is the
+    per-(lang, reason) funnel report a pipeline operator actually monitors.
+
+    Scale: single scan, all-JVM expressions, partial-agg on a tiny key
+    space; the same CASE column is the keep-filter of the production job
+    (``reason = 'kept'``), so the report and the filter cannot drift.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("reason", _filter_reason_col())
+        .groupBy("lang", "reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
