@@ -276,6 +276,163 @@ def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_BUCKETS = 8
+_CHUNK_SIZE = 50   # tokens per chunk
+_CHUNK_STRIDE = 40  # tokens between chunk starts (10-token overlap)
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, ROUND(value, 4) AS value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the batch CDC/upsert-resolution
+    shape: many updates per key, keep the newest) via a window group-limit.
+
+    Scale: one shuffle on the key; Spark's WindowGroupLimit keeps a single
+    candidate row per key per input partition BEFORE the exchange, so the
+    shuffle carries ~|keys| rows, not |events|.  The (ts, event_id) order
+    is total, so the survivor is deterministic on both engines.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: the fact side is salted by a hash of its own
+    row key and the dimension side replicated ``SALT`` times, so one hot
+    customer key spreads over SALT reducers instead of one straggler — with
+    the oracle proving the result is EXACTLY the plain join's.
+
+    Scale: AQE's skew-join split is the first-line tool, but it only
+    rebalances post-shuffle partitions of sort-merge joins; manual salting
+    is the portable fallback when the skew hides inside one join key (AQE
+    can't split a single key's hash bucket in a streaming state store or a
+    bucketed join).  The salt widens the dimension shuffle SALT×, a
+    deliberate trade of replication for the straggler.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    customer = tables.load(spark, sf_dir, "customer")
+    salted_fact = orders.withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(_SALT_BUCKETS))
+    )
+    replicated_dim = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1))).alias("salt"),
+    )
+    return (
+        salted_fact.join(
+            # hint forces the shuffle join: at fixture scale AQE would just
+            # broadcast the dim (where salting is moot); the operator exists
+            # to exercise the salted-shuffle plan a too-big-to-broadcast dim
+            # needs.
+            replicated_dim.hint("shuffle_hash"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (salted_fact["salt"] == replicated_dim["salt"]),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, words, n_tok,
+             unnest(generate_series(
+               0, CAST(FLOOR((n_tok - 1) / {_CHUNK_STRIDE}.0) AS BIGINT)))
+               AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {_CHUNK_STRIDE} AS start_tok,
+           LEAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_tok) AS end_tok,
+           array_to_string(
+             words[chunk_idx * {_CHUNK_STRIDE} + 1
+                   : LEAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_tok)],
+             ' ') AS chunk_text
+    FROM c
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into {size}-token
+    chunks with {overlap}-token overlap ({stride}-token stride) and emit
+    the chunk text — the sliding-window step that shapes long documents to
+    a model's context length.
+
+    Scale: narrow per-row work (tokenize once into an array column, explode
+    a per-doc index sequence, slice) — no shuffle at all; output rows ≈
+    tokens/stride.  Everything is exact integer/string math on both
+    engines.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    c = d.select(
+        "doc_id",
+        "words",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("n_tok") - 1) / float(_CHUNK_STRIDE)),
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    end = F.least(start + _CHUNK_SIZE, F.col("n_tok"))
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        F.array_join(
+            F.slice(F.col("words"), start + 1, end - start), " "
+        ).alias("chunk_text"),
+    )
+
+
 def _filter_reason_col():
     nw = F.size(F.split("text", " "))
     mean_wl = (F.col("n_chars") - nw + 1) / nw
