@@ -451,3 +451,89 @@ def q_dedup_simhash_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_dedup_simhash``); both operating points run in CI so the
     parameterization is executed, not just documented."""
     return _simhash_pairs(spark, sf_dir, 4, 3)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 15
+
+
+def _cluster_oracle() -> str:
+    pairs_sql = _NGRAM_ORACLE_TEMPLATE.format(threshold=_NEAR_DUP_THRESHOLD)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pairs_sql}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT u AS v FROM edges
+    ), walk(v, r) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.v
+    )
+    SELECT v AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY v
+    """
+
+
+@register("q_dedup_clusters", oracle=_cluster_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the verified
+    near-dup pair graph, labeling every member with the minimum doc_id of
+    its component — the step that turns pairwise dedup output into "keep
+    one canonical doc per duplicate group" (pairs alone can't: duplicates
+    are transitive, A≈B≈C must collapse to ONE keeper even if A,C never
+    collided).
+
+    Algorithm: min-label propagation — L(v) starts at v; each round every
+    vertex takes the min label over itself and its neighbors; converges in
+    O(component diameter) rounds.  The oracle is a DuckDB recursive CTE
+    computing min reachable vertex per node, so the driver verifies the
+    whole iterative computation.
+
+    Scale: each round is one shuffle of (edge ⋈ label) + a min-agg — the
+    standard Pregel-style CC on DataFrames.  Dedup components are
+    near-cliques (every member resembles the keeper), so diameters are
+    small and rounds few; the loop stops as soon as a round changes no
+    label (one 1-row count per round — convergence telemetry, not data
+    collection).  At 100 TB the same loop runs with checkpointing per
+    round to truncate lineage (noted here; the fixture graphs are tiny).
+    """
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v")
+    labels = edges.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
