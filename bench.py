@@ -45,6 +45,8 @@ HEADLINE = (
     "q_join_asof",                 # as-of join (union + window carry)
     "q_text_quality",              # text scoring scan
     "q_udf_scalar",                # Arrow pandas-UDF path
+    "q_text_tfidf",                # wordcount-shaped: 2 agg shuffles + dict join
+    "q_dedup_clusters",            # iterative connected components
 )
 
 
@@ -54,20 +56,22 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - start
 
 
-def compare_to_baseline(per_query: dict[str, float], sf: float) -> None:
-    """Per-query deltas vs the pinned round-2 baseline (stderr only — the
-    stdout contract stays one JSON line). Flags any query >2x its baseline
-    time, the regression bar VERDICT round 2 set."""
+def compare_to_baseline(per_query: dict[str, float], sf: float):
+    """Per-query deltas vs the pinned round-2 baseline (details on stderr —
+    the stdout contract stays one JSON line; the intersection ratio is also
+    returned for the JSON so a grown headline set stays comparable). Flags
+    any query >2x its baseline time, the regression bar VERDICT round 2 set.
+    """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_BASELINE.json")
     if not os.path.exists(path):
-        return
+        return None
     with open(path) as fh:
         base = json.load(fh)
     if base.get("sf") != sf:
         print(f"[bench] baseline is sf={base.get('sf')}, run is sf={sf}; "
               "skipping comparison", file=sys.stderr)
-        return
+        return None
     flagged = []
     for name, secs in per_query.items():
         ref = base.get("queries", {}).get(name)
@@ -80,10 +84,21 @@ def compare_to_baseline(per_query: dict[str, float], sf: float) -> None:
               f"({ratio:.2f}x){mark}", file=sys.stderr)
         if ratio > 2.0:
             flagged.append(name)
-    total, ref_total = sum(per_query.values()), base.get("value", 0.0)
-    print(f"[bench] TOTAL {total:.3f}s vs baseline {ref_total:.3f}s "
-          f"({total / ref_total:.2f}x); {len(flagged)} queries over 2x "
-          f"{flagged if flagged else ''}", file=sys.stderr)
+    # compare totals over the INTERSECTION so newly-added headline queries
+    # don't inflate the ratio against an older, smaller baseline
+    both = [n for n in per_query if n in base.get("queries", {})]
+    total = sum(per_query[n] for n in both)
+    ref_total = sum(base["queries"][n] for n in both)
+    print(f"[bench] TOTAL (common {len(both)} queries) {total:.3f}s vs "
+          f"baseline {ref_total:.3f}s ({total / ref_total:.2f}x); "
+          f"{len(flagged)} queries over 2x {flagged if flagged else ''}",
+          file=sys.stderr)
+    return {
+        "baseline_common_sec": round(total, 3),
+        "baseline_common_ref_sec": round(ref_total, 3),
+        "baseline_common_ratio": round(total / ref_total, 3),
+        "regressed_over_2x": flagged,
+    }
 
 
 def main() -> None:
@@ -99,18 +114,17 @@ def main() -> None:
     for name in HEADLINE:
         per_query[name] = round(run_once(spark, name, SF_DIR), 3)
     total = round(sum(per_query.values()), 3)
-    compare_to_baseline(per_query, sf)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    comparison = compare_to_baseline(per_query, sf)
+    payload = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if comparison:
+        payload.update(comparison)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
