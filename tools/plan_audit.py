@@ -30,14 +30,16 @@ SF_DIR = "/root/testdata/sf0.001"
 # Queries where a nested-loop/cartesian join is the intended plan shape:
 # q_join_cross (5×25 dims), q_sim_topk (corpus × broadcast query set),
 # q_sim_ivf (corpus × broadcast centroids for cell assignment),
-# q_quantile_buckets / q_text_tfidf (corpus × broadcast 1-row scalar frame —
-# decile cutpoints / corpus count — the no-collect way to attach a scalar).
+# q_quantile_buckets / q_text_tfidf / q_mix_weights (corpus × broadcast 1-row
+# scalar frame — decile cutpoints / corpus count / token total — the
+# no-collect way to attach a scalar).
 EXPECTED_NESTED_LOOP = {
     "q_join_cross",
     "q_sim_topk",
     "q_sim_ivf",
     "q_quantile_buckets",
     "q_text_tfidf",
+    "q_mix_weights",
 }
 
 

@@ -486,3 +486,160 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_BIGRAM_TOP_K = 3
+_MIX_TARGETS = {"en": 30, "zh": 25, "es": 15, "de": 15, "fr": 15}  # percent
+
+
+@register(
+    "q_text_bigrams",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), bg AS (
+      SELECT words[i] AS w1, words[i + 1] AS w2
+      FROM d CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(1, len(words) - 1)) AS i
+      )
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n_pair) AS n_ctx FROM c2 GROUP BY w1
+    )
+    SELECT w1, w2, n_pair, p_next, rk FROM (
+      SELECT c2.w1, c2.w2, c2.n_pair,
+             ROUND(c2.n_pair / CAST(n_ctx AS DOUBLE), 6) AS p_next,
+             ROW_NUMBER() OVER (PARTITION BY c2.w1
+                                ORDER BY c2.n_pair DESC, c2.w2) AS rk
+      FROM c2 JOIN c1 USING (w1)
+    ) WHERE rk <= {_BIGRAM_TOP_K}
+    """,
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: for every context word, the top-3
+    next-word continuations with their conditional probability
+    P(w2|w1) — the n-gram counting shape of corpus LM analysis (and of
+    classic contamination/quality heuristics built on continuation
+    entropy).
+
+    Scale: the bigram explode is narrow (tokenize once, zip the array with
+    its own tail); counting is two partial-agg shuffles (bigram, then
+    context); the ranking window's group-limit truncates to k per context
+    before the exchange.  Ranking is on the exact integer count with a
+    word tiebreak — no float ordering at all; the probability is
+    display-only and rounded on both sides.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("words"))
+    bg = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice("words", 2, F.size("words") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    c1 = c2.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    w = W.partitionBy("w1").orderBy(F.col("n_pair").desc(), F.col("w2"))
+    return (
+        c2.join(c1, "w1")
+        .withColumn("p_next", F.round(F.col("n_pair") / F.col("n_ctx"), 6))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _BIGRAM_TOP_K)
+        .select("w1", "w2", "n_pair", "p_next", "rk")
+    )
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(_MIX_TARGETS.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+def _mix_case_col():
+    col = None
+    for lang, pct in sorted(_MIX_TARGETS.items()):
+        cond = F.col("lang") == lang
+        col = F.when(cond, pct) if col is None else col.when(cond, pct)
+    return col.otherwise(0)
+
+
+@register(
+    "q_mix_weights",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS actual_share,
+           ROUND(({_mix_case_sql()} / 100.0)
+                 / (n_tokens / CAST(total_tokens AS DOUBLE)), 6) AS weight
+    FROM per_lang, tot
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-mixing weights: per-language sampling weight =
+    target token share / actual token share — the mixture-rebalancing
+    computation behind 'upsample low-resource languages to X% of the
+    training mix'.  A weight > 1 upsamples, < 1 downsamples; feeding these
+    into `q_sample_stratified`-style bands closes the loop.
+
+    Scale: one partial-agg shuffle on the (tiny) language key; the corpus
+    token total joins back as a broadcast 1-row frame.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    tot = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round((_mix_case_col() / F.lit(100.0)) / share, 6).alias("weight"),
+    )
+
+
+@register(
+    "q_len_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(FLOOR(LOG2(n_chars)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, log2_bucket
+    """,
+)
+def q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale length histogram per language — the size-distribution
+    report that drives chunking and packing parameter choices.
+
+    Scale: single scan, partial-agg on a tiny key space.  log2 of a
+    positive integer is exact at the bucket boundaries (powers of two are
+    representable), so the floor is identical on both engines.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            F.floor(F.log2("n_chars")).cast("long").alias("log2_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
