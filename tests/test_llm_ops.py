@@ -95,6 +95,20 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall {recall:.0%} too low"
 
 
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ/ADC with 4k-deep exact re-rank must recover most of the brute
+    force top-k; with 8 subspaces x 16 codes on random 64-dim vectors the
+    ADC ordering is a coarse but usable proxy for the true dot product."""
+    brute = {
+        (r.query_id, r.vec_id) for r in QUERIES["q_sim_topk"].fn(spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.vec_id) for r in QUERIES["q_sim_pq"].fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & pq) / len(brute)
+    assert recall >= 0.3, f"PQ recall {recall:.0%} too low"
+
+
 def test_ivf_lloyd_improves_quantization(spark, sf_dir):
     """Lloyd's algorithm monotonically improves the quantization objective
     (mean best-cell similarity); recall on random fixtures can wiggle
