@@ -146,3 +146,20 @@ def test_mm_features_match_local_recompute(spark, sf_dir):
         assert r.n_bytes == len(payload)
         assert r.n_frames == expected["n_frames"]
         assert abs(r.mean_byte - round(expected["mean_byte"], 4)) < 1e-9
+
+
+def test_shingle_cache_evicts_stale_apps(spark, sf_dir):
+    """The cache key is applicationId (ADVICE round 2: id(spark) is
+    GC-reusable and entries grew unboundedly); entries from other apps must
+    be unpersisted and dropped on the next access."""
+    from ws_to_kafka_spark.operators import dedup as D
+
+    app_id = spark.sparkContext.applicationId
+    live = D._shingled_docs(spark, sf_dir)
+    stale = spark.range(1).persist()
+    D._SHINGLE_CACHE[("dead-app-123", sf_dir, "shingles")] = stale
+    again = D._shingled_docs(spark, sf_dir)
+    assert again is live, "same-app entry must be served from cache"
+    assert ("dead-app-123", sf_dir, "shingles") not in D._SHINGLE_CACHE
+    assert stale.storageLevel.useMemory is False, "stale entry not unpersisted"
+    assert all(k[0] == app_id for k in D._SHINGLE_CACHE)

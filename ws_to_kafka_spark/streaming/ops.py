@@ -96,6 +96,58 @@ def stateful_running_max(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user event count + running value total via
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state API (the
+    successor to ``applyInPandasWithState``): explicit typed state handles
+    (ValueState here; ListState/MapState/timers/TTL also available), so the
+    engine — not the UDF — owns the state encoding, and a long-running job
+    gets state-schema evolution and per-state TTLs.
+
+    Scale: one shuffle on the group key, a single (n, total) tuple per key
+    in the state store — O(|keys|) state, like the other stateful ops.
+
+    Environment note: the transformWithState Python worker protocol needs
+    ``google.protobuf``, absent from this container — the streaming test
+    skips with that reason (like the kafka-broker gap), while the batch
+    twin ``q_stream_user_totals`` pins the semantics against the oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                state = self._totals.get()
+                n, total = int(state[0]), float(state[1])
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(
     purchases: DataFrame,
     signups: DataFrame,
@@ -251,4 +303,25 @@ def q_stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "q_stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of ``stateful_user_totals`` after the whole stream — the
+    batch equivalence pinning the transformWithState operator's semantics
+    (the streaming test asserts its last update per key equals this)."""
+    events = tables.load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
     )
