@@ -40,6 +40,7 @@ EXPECTED_NESTED_LOOP = {
     "q_quantile_buckets",
     "q_text_tfidf",
     "q_mix_weights",
+    "q_quality_checks",  # two 1-row aggregate frames joined into the report
 }
 
 

@@ -17,6 +17,7 @@ from . import (  # noqa: F401  (imports populate the registry)
     udfs,
     analytics_ext,
     pipeline_ops,
+    quality,
 )
 from ..streaming import ops as streaming_ops  # noqa: F401  (batch twins)
 from .registry import QUERIES, QuerySpec  # noqa: F401

@@ -1,0 +1,149 @@
+"""Data-quality operators: dataset profiling and constraint validation —
+the Deequ/dbt-test-shaped checks a production training pipeline runs before
+and after every transformation stage.
+
+The reference has no notion of data quality (opaque frames in, opaque
+records out); this extends the driver-mandated pipeline surface the same
+way `pipeline_ops` does.
+
+Scale rules: profiling is ONE scan with all statistics as parallel
+aggregate expressions (never a scan per column); constraint checks fold
+every row-level predicate into one conditional aggregate pass, with the
+referential check as a broadcast-able anti-join — the only check that
+inherently needs a second table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .registry import register
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS col_name,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls,"
+        f" COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in _PROFILE_COLS
+    )
+    return selects
+
+
+@register("q_profile_orders", oracle=_profile_oracle())
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column null and distinct counts over orders —
+    the summary a pipeline records per snapshot to catch schema drift and
+    degenerate columns before training on them.
+
+    Scale: ONE scan — every statistic is a parallel aggregate expression in
+    a single groupBy-less agg (the oracle unions per-column SELECTs only
+    because portable SQL lacks ``stack``); the 1-row wide result is then
+    unpivoted to rows driver-side-free with ``stack``.  At 100 TB exact
+    distinct counts become ``approx_count_distinct`` — same single-scan
+    plan, sketch-sized state (the `q_agg_approx` contract query pins that
+    sketch's accuracy).
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_nulls, n_distinct)"
+    )
+
+
+@register(
+    "q_quality_checks",
+    oracle="""
+    WITH row_checks AS (
+      SELECT
+        COUNT(*) - COUNT(DISTINCT o_orderkey)                  AS uniq_violations,
+        COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END)          AS price_violations,
+        COUNT(*) - COUNT(o_orderdate)                          AS date_null_violations,
+        COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                   THEN 1 END)                                 AS status_violations
+      FROM orders
+    ), fk AS (
+      SELECT COUNT(*) AS fk_violations
+      FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+      )
+    )
+    SELECT 'o_orderkey_unique' AS check_name,
+           CAST(uniq_violations AS BIGINT) AS n_violations,
+           uniq_violations = 0 AS passed FROM row_checks
+    UNION ALL
+    SELECT 'o_totalprice_positive', CAST(price_violations AS BIGINT),
+           price_violations = 0 FROM row_checks
+    UNION ALL
+    SELECT 'o_orderdate_not_null', CAST(date_null_violations AS BIGINT),
+           date_null_violations = 0 FROM row_checks
+    UNION ALL
+    SELECT 'o_orderstatus_domain', CAST(status_violations AS BIGINT),
+           status_violations = 0 FROM row_checks
+    UNION ALL
+    SELECT 'o_custkey_fk_customer', CAST(fk_violations AS BIGINT),
+           fk_violations = 0 FROM fk
+    """,
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation: uniqueness, positivity, non-null, value
+    domain, and referential integrity over orders — one (check_name,
+    n_violations, passed) row per rule, the dbt-test/Deequ report shape a
+    pipeline gates promotion on.
+
+    Scale: all four row-level rules fold into ONE conditional-aggregate
+    scan; the FK rule is a left-anti join against the customer key column
+    (broadcast-able when the dimension is bounded, shuffle otherwise —
+    Catalyst's choice).  Nothing is per-check per-scan.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    customer = tables.load(spark, sf_dir, "customer")
+    row_checks = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("uniq"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price"),
+        (F.count("*") - F.count("o_orderdate")).alias("date_null"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("status"),
+    )
+    fk = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("fk"))
+    )
+    wide = row_checks.crossJoin(F.broadcast(fk))
+    stack_args = (
+        "'o_orderkey_unique', uniq, "
+        "'o_totalprice_positive', price, "
+        "'o_orderdate_not_null', date_null, "
+        "'o_orderstatus_domain', status, "
+        "'o_custkey_fk_customer', fk"
+    )
+    return wide.selectExpr(
+        f"stack(5, {stack_args}) AS (check_name, n_violations)"
+    ).select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
