@@ -1,0 +1,93 @@
+"""Behavioral invariants of the corpus-preparation operators, beyond the
+oracle hash checks: coverage/budget properties and the physical-plan shapes
+their scale claims depend on."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from ws_to_kafka_spark import tables
+from ws_to_kafka_spark.operators import QUERIES
+from ws_to_kafka_spark.operators.pipeline_ops import (
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+    _PACK_BUDGET,
+)
+
+
+def test_doc_chunks_cover_all_tokens(spark, sf_dir):
+    """Chunk windows must tile every document: starts advance by the
+    stride, the last chunk reaches n_tok, and no chunk exceeds the size."""
+    chunks = QUERIES["q_doc_chunks"].fn(spark, sf_dir)
+    bad_size = chunks.filter(
+        (F.col("end_tok") - F.col("start_tok") > _CHUNK_SIZE)
+        | (F.col("end_tok") <= F.col("start_tok"))
+    ).count()
+    assert bad_size == 0
+    bad_stride = chunks.filter(
+        F.col("start_tok") != F.col("chunk_idx") * _CHUNK_STRIDE
+    ).count()
+    assert bad_stride == 0
+    # per doc: max end == n_tok (full coverage) given stride <= size
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    uncovered = (
+        chunks.groupBy("doc_id").agg(F.max("end_tok").alias("covered"))
+        .join(docs, "doc_id")
+        .filter(F.col("covered") != F.col("n_tok"))
+        .count()
+    )
+    assert uncovered == 0
+
+
+def test_pack_tokens_respects_budget(spark, sf_dir):
+    """A shard's tokens may exceed the budget only by its final document
+    (docs are assigned by the tokens BEFORE them)."""
+    packed = QUERIES["q_pack_tokens"].fn(spark, sf_dir)
+    over = (
+        packed.groupBy("source", "shard")
+        .agg(F.sum("n_tok").alias("tok"), F.max("n_tok").alias("biggest"))
+        .filter(F.col("tok") > _PACK_BUDGET + F.col("biggest"))
+        .count()
+    )
+    assert over == 0
+
+
+def test_corpus_filter_partitions_the_corpus(spark, sf_dir):
+    """The funnel report's doc counts must sum to the corpus size (every
+    doc gets exactly one first-failing reason or 'kept')."""
+    report = QUERIES["q_corpus_filter"].fn(spark, sf_dir)
+    total = report.agg(F.sum("n_docs")).collect()[0][0]
+    n_docs = tables.load(spark, sf_dir, "documents").count()
+    assert total == n_docs
+
+
+def _plan(spark, name, sf_dir):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name].fn(spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_stays_a_shuffle_join(spark, sf_dir):
+    """q_join_salted exists to exercise the salted-shuffle plan; if the
+    planner silently broadcast the replicated dim the demo would be moot."""
+    plan = _plan(spark, "q_join_salted", sf_dir)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_latest_per_key_uses_window_group_limit(spark, sf_dir):
+    """The scale claim: one candidate row per key per partition ahead of
+    the exchange."""
+    assert "WindowGroupLimit" in _plan(spark, "q_latest_per_key", sf_dir)
+
+
+def test_stratified_sample_filter_is_pushed(spark, sf_dir):
+    """The modulo-band filter must reach the scan (no shuffle at all)."""
+    plan = _plan(spark, "q_sample_stratified", sf_dir)
+    assert "Exchange" not in plan
