@@ -89,6 +89,10 @@ def compare_to_baseline(per_query: dict[str, float], sf: float):
     both = [n for n in per_query if n in base.get("queries", {})]
     total = sum(per_query[n] for n in both)
     ref_total = sum(base["queries"][n] for n in both)
+    if not both or ref_total == 0:
+        print("[bench] no overlap with baseline queries; skipping totals",
+              file=sys.stderr)
+        return None
     print(f"[bench] TOTAL (common {len(both)} queries) {total:.3f}s vs "
           f"baseline {ref_total:.3f}s ({total / ref_total:.2f}x); "
           f"{len(flagged)} queries over 2x {flagged if flagged else ''}",

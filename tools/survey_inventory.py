@@ -36,8 +36,13 @@ def main() -> None:
         text = fh.read()
     block = f"{BEGIN}\n{table()}\n{END}"
     if BEGIN in text:
+        # callable replacement: the table is a literal, and docstring first
+        # lines may contain backslashes that re.sub would treat as escapes
         text = re.sub(
-            re.escape(BEGIN) + ".*?" + re.escape(END), block, text, flags=re.S
+            re.escape(BEGIN) + ".*?" + re.escape(END),
+            lambda _m: block,
+            text,
+            flags=re.S,
         )
     else:
         raise SystemExit("markers not found in SURVEY.md")

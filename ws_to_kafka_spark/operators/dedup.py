@@ -353,6 +353,10 @@ def _simhash_pairs(
     operating point; pigeonhole soundness needs ``n_bands > max_dist``
     (a pair within distance d must agree exactly on ≥1 of d+1 blocks)."""
     assert n_bands > max_dist, "pigeonhole: need more bands than flipped bits"
+    # bands must tile the signature exactly — a remainder would leave the
+    # top bits outside every band key, silently missing pairs that differ
+    # only there
+    assert 64 % n_bands == 0, "n_bands must divide the 64-bit signature"
     band_bits = 64 // n_bands
 
     # Bit votes via explode + 64 scalar bit columns + grouped SUM — the same
@@ -525,6 +529,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
+    changed = -1
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels.withColumnRenamed("v", "u"), "u")
@@ -545,6 +550,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("v", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # Falling through with unconverged labels would silently split one
+        # duplicate group into several clusters (a diameter-16+ chain, e.g.
+        # sliding near-dups of templated docs). Fail loudly; the cap is a
+        # runaway guard, not an accuracy knob.
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} "
+            f"rounds ({changed} labels still changing) — raise _CC_MAX_ITERS "
+            "for this graph (rounds needed = component diameter)"
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )

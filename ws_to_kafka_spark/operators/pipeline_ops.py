@@ -215,9 +215,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = (
-        words.distinct().groupBy("word").agg(F.count("*").alias("df"))
-    )
+    # tf already holds one row per distinct (doc, word): df is a count over
+    # it, not a second wide shuffle of the exploded token stream
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     tfidf = F.round(
         F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),

@@ -160,7 +160,12 @@ class WsClient:
 
     def send(self, payload: str | bytes, *, opcode: int | None = None) -> None:
         """Send one masked data frame (clients MUST mask, RFC 6455 §5.3)."""
-        if self._sock is None:
+        # snapshot: close_socket() may null _sock from another thread
+        # between the check and the write; a closed socket raises OSError
+        # (→ WsError), but None.sendall would raise AttributeError and
+        # escape callers' WsError handling, silently killing their loop
+        sock = self._sock
+        if sock is None:
             raise WsError("not connected")
         data = payload.encode() if isinstance(payload, str) else payload
         op = opcode if opcode is not None else (
@@ -184,12 +189,17 @@ class WsClient:
             # several syscalls when the send buffer fills, and interleaving
             # another thread's frame bytes mid-split corrupts the stream.
             with self._write_lock:
-                self._sock.sendall(bytes(header) + masked)
+                sock.sendall(bytes(header) + masked)
         except OSError as exc:
             raise WsError(f"write failed: {exc}") from exc
 
     def _recv_exact(self, n: int) -> bytes:
-        assert self._sock is not None
+        # snapshot for the same reason as send(): a concurrent
+        # close_socket() must surface as OSError→WsError, never
+        # AttributeError on None
+        sock = self._sock
+        if sock is None:
+            raise WsError("not connected")
         buf = b""
         if self._rbuf:  # handshake-coalesced bytes first
             take, self._rbuf = self._rbuf[:n], self._rbuf[n:]
@@ -197,7 +207,7 @@ class WsClient:
         probed = False
         while len(buf) < n:
             try:
-                chunk = self._sock.recv(n - len(buf))
+                chunk = sock.recv(n - len(buf))
             except socket.timeout as exc:
                 # Idle timeout → probe with a ping and keep reading; only a
                 # SECOND silent interval fails the connection. This is the
