@@ -400,3 +400,40 @@ def q_sql_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GROUPING SETS — the grouping variant ROLLUP/CUBE cannot
+    express (here: both single-dimension margins plus the full cross, but
+    NOT the grand total).  Written through the SQL-text entry point since
+    the DataFrame API exposes only rollup/cube; Catalyst expands the sets
+    into one Expand + a single hash aggregate.
+
+    Scale: the Expand multiplies input rows by the number of sets (3×)
+    BEFORE partial aggregation — still one shuffle, with map-side combine
+    collapsing each set's tiny key space; at very high set counts the
+    standard rewrite is per-set partial aggs unioned, which Catalyst
+    performs automatically when beneficial.
+    """
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        """
+    )
