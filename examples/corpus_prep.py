@@ -64,6 +64,11 @@ def main() -> None:
     print("-- 7. mixing weights toward the target language shares")
     q["q_mix_weights"](spark, SF_DIR).orderBy("lang").show()
 
+    print("-- 8. the final cleaned corpus (filter ∧ dedup-keeper)")
+    final = q["q_corpus_final"](spark, SF_DIR)
+    final.groupBy("lang").count().orderBy("lang").show()
+    print(f"   final corpus: {final.count()} documents")
+
 
 if __name__ == "__main__":
     main()

@@ -464,10 +464,11 @@ def q_dedup_simhash_web(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 15
 
 
-def _cluster_oracle() -> str:
+def _cc_ctes() -> str:
+    """The recursive-CTE body computing duplicate clusters (shared by the
+    q_dedup_clusters oracle and downstream corpus-assembly oracles)."""
     pairs_sql = _NGRAM_ORACLE_TEMPLATE.format(threshold=_NEAR_DUP_THRESHOLD)
-    return f"""
-    WITH RECURSIVE pairs AS (
+    return f"""pairs AS (
       {pairs_sql}
     ), edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -479,8 +480,15 @@ def _cluster_oracle() -> str:
       SELECT v, v FROM nodes
       UNION
       SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.v
-    )
-    SELECT v AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY v
+    ), clusters AS (
+      SELECT v AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY v
+    )"""
+
+
+def _cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_ctes()}
+    SELECT doc_id, cluster_id FROM clusters
     """
 
 

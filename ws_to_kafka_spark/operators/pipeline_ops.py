@@ -643,3 +643,49 @@ def q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def _corpus_final_oracle() -> str:
+    from .dedup import _cc_ctes
+
+    return f"""
+    WITH RECURSIVE {_cc_ctes()}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE ({_filter_reason_sql()}) = 'kept'
+      AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+    """
+
+
+@register("q_corpus_final", oracle=_corpus_final_oracle())
+def q_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized cleaned corpus — the pipeline's actual end
+    artifact: documents that pass the quality-filter cascade AND survive
+    deduplication (not in a duplicate cluster, or its canonical keeper =
+    the cluster's minimum doc_id).
+
+    Composes `q_corpus_filter`'s rule CASE with `q_dedup_clusters`'
+    connected components, and the oracle composes the same recursive-CTE
+    clustering with the same CASE — so the driver verifies the whole
+    assembly, filter interplay included, end to end.
+
+    Scale: the filter is a narrow scan-side predicate; the cluster table is
+    duplicate-members-only (tiny relative to the corpus — duplicates ARE
+    the minority) so the left join broadcasts; nothing new shuffles beyond
+    what clustering already did.
+    """
+    from .dedup import q_dedup_clusters
+
+    docs = tables.load(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return (
+        docs.withColumn("reason", _filter_reason_col())
+        .filter(F.col("reason") == "kept")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "source")
+    )
