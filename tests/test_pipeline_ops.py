@@ -91,3 +91,28 @@ def test_stratified_sample_filter_is_pushed(spark, sf_dir):
     """The modulo-band filter must reach the scan (no shuffle at all)."""
     plan = _plan(spark, "q_sample_stratified", sf_dir)
     assert "Exchange" not in plan
+
+
+def test_bloom_prefilter_selective_and_lossless(spark, sf_dir):
+    """The bloom prefilter must (a) actually prune the probe side and
+    (b) never drop a true match (no false negatives)."""
+    from ws_to_kafka_spark.operators.pipeline_ops import (
+        _BLOOM_BRAND,
+        _bloom_prefiltered,
+    )
+
+    build, survivors = _bloom_prefiltered(spark, sf_dir)
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    total = lineitem.count()
+    kept = survivors.count()
+    true_matches = lineitem.join(
+        build, lineitem["l_partkey"] == build["p_partkey"]
+    ).count()
+    # selectivity: the filtered brand is ~1/25 of parts, so the prefilter
+    # must cut the probe side hard (allow generous slack for FPs)
+    assert kept < total * 0.2, (kept, total)
+    # losslessness: every true match survives the prefilter
+    surviving_matches = survivors.join(
+        build, survivors["l_partkey"] == build["p_partkey"]
+    ).count()
+    assert surviving_matches == true_matches

@@ -689,3 +689,108 @@ def q_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source")
     )
+
+
+# Bloom-filter join prefilter: m bits / k probes sized for the build side
+# (|keys| ~ 70-800 across SFs -> m = 2^17 gives < 1% FP at k = 3 up to
+# ~10k keys; at 100 TB you size m from the build-side count the same way).
+_BLOOM_BITS = 1 << 17
+_BLOOM_WORD_COUNT = _BLOOM_BITS // 64
+_BLOOM_K = 3
+_BLOOM_BRAND = "Brand#23"
+
+
+def _bloom_positions(key_col):
+    """k deterministic bit positions per key: xxhash64 seeded by the probe
+    index (the seed rides as a literal first argument)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key_col), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+    GROUP BY p_brand
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join — the runtime-filter ("sideways information
+    passing") pattern: build a compact bitset over the (filtered) build-side
+    keys, broadcast it, drop probe rows whose key misses the filter BEFORE
+    the join, then run the exact join on the survivors.
+
+    Bloom filters have no false negatives, so bloom + exact join ==
+    plain join — which is precisely what the oracle asserts (it runs the
+    plain join).  The false-positive survivors are eliminated by the join
+    itself; the bloom only cuts the probe volume that reaches the
+    shuffle/join.
+
+    Scale: this is what Spark's own runtime row-level filtering does for
+    sort-merge joins (``spark.sql.optimizer.runtime.bloomFilter.enabled``);
+    expressed manually it also covers the cases AQE's version cannot reach
+    (probe sides feeding a bucketed join or a stateful stream).  The bitset
+    is 2^17 bits = 16 KiB packed into 2048 longs — a broadcast-trivial
+    1-row map built with one partial-aggregating shuffle over ~|build keys|
+    rows; every per-row check is JVM bit arithmetic inside codegen.
+    """
+    build, survivors = _bloom_prefiltered(spark, sf_dir)
+    return (
+        survivors.join(F.broadcast(build), survivors["l_partkey"] == build["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def _bloom_prefiltered(spark: SparkSession, sf_dir: str):
+    """(build side, bloom-surviving probe rows) — split out so the tests can
+    measure the prefilter's selectivity and no-false-negative property
+    directly."""
+    part = tables.load(spark, sf_dir, "part")
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    build = part.filter(F.col("p_brand") == _BLOOM_BRAND).select(
+        "p_partkey", "p_brand"
+    )
+
+    bits = build.select(
+        F.explode(F.array(*_bloom_positions(F.col("p_partkey")))).alias("pos")
+    )
+    bloom = (
+        bits.select(
+            (F.col("pos") / 64).cast("long").alias("widx"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias(
+                "bloom"
+            )
+        )
+    )
+
+    probe = lineitem.select("l_partkey", "l_extendedprice", "l_discount").crossJoin(
+        F.broadcast(bloom)
+    )
+    hit = None
+    for i, pos in enumerate(_bloom_positions(F.col("l_partkey"))):
+        word = F.coalesce(
+            F.element_at(F.col("bloom"), (pos / 64).cast("long")), F.lit(0)
+        )
+        probe = probe.withColumn(f"_w{i}", word).withColumn(f"_p{i}", pos)
+        test = F.expr(f"(shiftrightunsigned(_w{i}, cast(_p{i} % 64 AS int)) & 1) = 1")
+        hit = test if hit is None else (hit & test)
+    survivors = probe.filter(hit).select("l_partkey", "l_extendedprice", "l_discount")
+    return build, survivors

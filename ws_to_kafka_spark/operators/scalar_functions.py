@@ -230,3 +230,92 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qparam_id"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255                         AS key_and,
+           p_partkey | 4096                        AS key_or,
+           xor(p_partkey, CAST(p_size AS BIGINT))  AS key_xor,
+           CAST(p_size AS BIGINT) << 3             AS size_shl,
+           p_partkey >> 2                          AS key_shr,
+           CAST(bit_count(p_partkey) AS BIGINT)    AS key_bits,
+           (p_partkey >> 4) & 1                    AS bit4,
+           hex(p_partkey)                          AS key_hex
+    FROM part
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise functions: and/or/xor, shifts, popcount, bit probe, hex.
+
+    The engine's hash/LSH family (dedup.py, similarity.py) is built on
+    exactly these primitives — this query pins their scalar semantics
+    against the oracle on their own.  All JVM built-ins; hex() agrees
+    across engines for the non-negative key domain (both print uppercase,
+    no leading zeros)."""
+    part = _t(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    size_l = F.col("p_size").cast("long")
+    return part.select(
+        "p_partkey",
+        key.bitwiseAND(F.lit(255)).alias("key_and"),
+        key.bitwiseOR(F.lit(4096)).alias("key_or"),
+        key.bitwiseXOR(size_l).alias("key_xor"),
+        F.expr("shiftleft(cast(p_size AS bigint), 3)").alias("size_shl"),
+        F.expr("shiftright(p_partkey, 2)").alias("key_shr"),
+        F.bit_count(key).cast("long").alias("key_bits"),
+        F.expr("(p_partkey >> 4) & 1").alias("bit4"),
+        F.hex(key).alias("key_hex"),
+    )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    SELECT p_partkey,
+           p_brand                                      AS brand,
+           CAST(p_size AS BIGINT)                       AS size,
+           UPPER(p_type)                                AS typ_upper,
+           split_part(p_type, ' ', 1)                   AS head_w,
+           CAST(1 AS BIGINT)                            AS head_n,
+           words[-1]                                    AS tail_w,
+           CAST(len(words) AS BIGINT)                   AS tail_n,
+           to_json(struct_pack(brand := p_brand,
+                               size := p_size))          AS s_json
+    FROM (SELECT *, string_split(p_type, ' ') AS words FROM part)
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/struct data handling: build structs, nest them, read fields
+    back through the dotted path, zip an array into array<struct>, index it
+    from both ends, and serialize a struct to JSON.
+
+    The oracle computes every output from the flat columns directly, so any
+    defect in the struct plumbing (field order, nested access, struct
+    transform lambdas) surfaces as a value mismatch.  Catalyst flattens all
+    of this back to column references — structs are a logical-plan
+    convenience with zero physical cost, which is why the engine can use
+    them freely in operator internals (e.g. max(struct(...)) argmax)."""
+    part = _t(spark, sf_dir, "part")
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+    nested = F.struct(s.alias("dims"), F.col("p_type").alias("typ"))
+    words = F.split("p_type", " ")
+    pairs = F.transform(
+        words,
+        lambda w, i: F.struct(w.alias("w"), (i + F.lit(1)).cast("long").alias("n")),
+    )
+    head = F.element_at(pairs, 1)
+    tail = F.element_at(pairs, -1)
+    return part.select(
+        "p_partkey",
+        nested["dims"]["brand"].alias("brand"),
+        nested["dims"]["size"].cast("long").alias("size"),
+        F.upper(nested["typ"]).alias("typ_upper"),
+        head["w"].alias("head_w"),
+        head["n"].alias("head_n"),
+        tail["w"].alias("tail_w"),
+        tail["n"].alias("tail_n"),
+        F.to_json(s).alias("s_json"),
+    )
