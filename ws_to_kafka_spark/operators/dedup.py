@@ -571,3 +571,96 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# URL-canonicalization dedup: every doc carries a deterministically messy
+# URL variant (case, default port, utm params, trailing slash, fragment);
+# dedup groups by the canonical form. _URL_GROUPS controls how many docs
+# share one canonical URL (doc_id % _URL_GROUPS).
+_URL_GROUPS = 40
+
+
+def _messy_url_col():
+    """Deterministic messy-URL construction from fixture columns (same
+    pattern as q_fn_url: derive, don't synthesize inputs)."""
+    k = (F.col("doc_id") % _URL_GROUPS).cast("string")
+    variant = F.col("doc_id") % 4
+    return (
+        F.when(variant == 0, F.concat(F.lit("https://content.example.com/docs/"), k, F.lit("?id="), k))
+        .when(variant == 1, F.concat(F.lit("HTTPS://CONTENT.EXAMPLE.COM:443/docs/"), k, F.lit("?id="), k))
+        .when(variant == 2, F.concat(F.lit("https://content.example.com/docs/"), k, F.lit("/?id="), k, F.lit("&utm_source=feed")))
+        .otherwise(F.concat(F.lit("https://content.example.com/docs/"), k, F.lit("?id="), k, F.lit("#section-2")))
+    )
+
+
+_MESSY_URL_SQL = """
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://content.example.com/docs/' || (doc_id % 40) || '?id=' || (doc_id % 40)
+      WHEN 1 THEN 'HTTPS://CONTENT.EXAMPLE.COM:443/docs/' || (doc_id % 40) || '?id=' || (doc_id % 40)
+      WHEN 2 THEN 'https://content.example.com/docs/' || (doc_id % 40) || '/?id=' || (doc_id % 40) || '&utm_source=feed'
+      ELSE 'https://content.example.com/docs/' || (doc_id % 40) || '?id=' || (doc_id % 40) || '#section-2'
+    END
+"""
+
+
+@register(
+    "q_dedup_url",
+    oracle=rf"""
+    WITH raw AS (
+      SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             LOWER(regexp_extract(url, '^([A-Za-z]+)://', 1))      AS scheme,
+             LOWER(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+(.*)$', 1)   AS rest
+      FROM raw
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' ||
+             regexp_replace(hostport, ':443$', '', 'g') ||
+             regexp_replace(
+               REPLACE(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(rest, '#.*$', '', 'g'),
+                     '&utm_[^&#]*', '', 'g'),
+                   '\?utm_[^&#]*&', '?', 'g'),
+                 '/?', '?'),
+               '/$', '', 'g') AS url
+      FROM parts
+    )
+    SELECT url AS canonical_url,
+           MIN(doc_id) AS keeper,
+           COUNT(*) AS n_docs
+    FROM canon GROUP BY url
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-side dedup pass that runs
+    BEFORE any content hashing: lowercase scheme/host, strip the default
+    port, drop utm_* tracking params, trailing slash, and fragment, then
+    keep one doc per canonical URL.
+
+    The oracle applies the identical canonicalization in SQL, so the two
+    engines must agree on every normalization step, not just the group
+    count.  Scale: pure string expressions inside codegen + one groupBy on
+    the canonical URL (uniform-ish key); this is the cheapest dedup level —
+    no shingles, no pairs, one shuffle."""
+    docs = tables.load(spark, sf_dir, "documents")
+    url = _messy_url_col()
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    rest = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+(.*)$", 1)
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, r"&utm_[^&#]*", "")
+    rest = F.regexp_replace(rest, r"\?utm_[^&#]*&", "?")
+    rest = F.replace(rest, F.lit("/?"), F.lit("?"))
+    rest = F.regexp_replace(rest, r"/$", "")
+    canonical = F.concat(
+        scheme, F.lit("://"), F.regexp_replace(hostport, r":443$", ""), rest
+    )
+    return (
+        docs.select(canonical.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
+    )

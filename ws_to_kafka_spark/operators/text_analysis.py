@@ -344,3 +344,168 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
         F.size(F.array_distinct("shingles")).cast("long").alias("n_shingles"),
     )
+
+
+# PII patterns shared verbatim by the Spark plan and the oracle SQL (kept
+# RE2-compatible: no lookaround, so Java regex and RE2 agree).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{2,4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+_PII_AUG_SQL = """
+    text || ' contact user' || doc_id || '@mail.example.com or call +1-202-555-0'
+         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         || ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+"""
+
+
+@register(
+    "q_text_pii",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS clean,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)    AS n_ip
+    FROM aug
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrubbing pass every training corpus runs:
+    emails, phone numbers, and IP addresses replaced by typed placeholder
+    tokens, with per-doc match counts for audit.
+
+    PII is planted deterministically from fixture columns (same derive-not-
+    synthesize pattern as q_fn_url), so the oracle can mirror both the
+    augmentation and the redaction and any regex-semantics drift between
+    engines shows as a value mismatch.  Redaction order (email → phone →
+    ip) is part of the contract: counts are taken on the PRE-redaction
+    text.  Scale: three regexp_replace passes inside codegen, no shuffle at
+    all — this op is scan-bound at any corpus size."""
+    docs = tables.load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail.example.com or call +1-202-555-0"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(aug, F.lit(_PII_IP)).cast("long").alias("n_ip"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(words) AS t FROM w
+    ), tc AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), pd AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_cnt
+      FROM tc GROUP BY 1
+    ), bg AS (
+      SELECT doc_id,
+             unnest([array_to_string(words[i:i+1], ' ')
+                     for i in range(1, len(words))]) AS b
+      FROM w WHERE len(words) > 1
+    ), bgc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), bpd AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+             CAST(COUNT(*) AS BIGINT) AS n_bg_distinct
+      FROM bgc GROUP BY 1
+    )
+    SELECT pd.doc_id AS doc_id,
+           pd.n_tokens AS n_tokens,
+           ROUND(pd.top_cnt * 1.0 / pd.n_tokens, 6) AS top_tok_frac,
+           CASE WHEN bpd.n_bg IS NULL OR bpd.n_bg = 0 THEN 0.0
+                ELSE ROUND((bpd.n_bg - bpd.n_bg_distinct) * 1.0 / bpd.n_bg, 6)
+           END AS dup_bigram_frac,
+           (ROUND(pd.top_cnt * 1.0 / pd.n_tokens, 6) > 0.2
+            OR CASE WHEN bpd.n_bg IS NULL OR bpd.n_bg = 0 THEN 0.0
+                    ELSE ROUND((bpd.n_bg - bpd.n_bg_distinct) * 1.0 / bpd.n_bg, 6)
+               END > 0.5) AS flagged
+    FROM pd LEFT JOIN bpd ON pd.doc_id = bpd.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText repetition
+    rules): fraction of tokens that are the single most frequent token, and
+    fraction of duplicated bigrams; docs over either threshold are flagged.
+
+    Scale: explode + two grouped aggs (map-side combine on (doc_id, token))
+    instead of per-row higher-order folds — the module's documented fast
+    path (inline HOF aggregation runs interpreted).  The flag thresholds
+    compare ROUNDED fractions so the boolean cannot flip on a last-ulp
+    division difference between engines."""
+    docs = tables.load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words"))
+    tok = w.select("doc_id", F.explode("words").alias("t"))
+    pd_ = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_cnt"))
+    )
+    bigrams = F.expr(
+        "filter(zip_with(words, slice(words, 2, greatest(size(words) - 1, 0)),"
+        " (a, b) -> CASE WHEN b IS NULL THEN NULL ELSE concat(a, ' ', b) END),"
+        " x -> x IS NOT NULL)"
+    )
+    bg = w.select("doc_id", F.explode_outer(bigrams).alias("b")).filter(
+        F.col("b").isNotNull()
+    )
+    bpd = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bg"), F.count("*").alias("n_bg_distinct"))
+    )
+    top_frac = F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6)
+    dup_frac = F.when(
+        F.col("n_bg").isNull() | (F.col("n_bg") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            (F.col("n_bg") - F.col("n_bg_distinct")).cast("double") / F.col("n_bg"),
+            6,
+        )
+    )
+    return (
+        pd_.join(bpd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_tok_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+            ((top_frac > 0.2) | (dup_frac > 0.5)).alias("flagged"),
+        )
+    )
