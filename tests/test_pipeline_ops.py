@@ -116,3 +116,37 @@ def test_bloom_prefilter_selective_and_lossless(spark, sf_dir):
         build, survivors["l_partkey"] == build["p_partkey"]
     ).count()
     assert surviving_matches == true_matches
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    """The global top-K must compile to TakeOrderedAndProject (per-partition
+    local top-K + driver merge), never a global sort."""
+    plan = (
+        QUERIES["q_vocab_topk"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_mix_sample_realizes_mix_weights(spark, sf_dir):
+    """Per-language keep-rates of the materialized sample must track
+    min(1, weight) from q_mix_weights (binomial slack allowed)."""
+    kept = (
+        QUERIES["q_mix_sample"].fn(spark, sf_dir).groupBy("lang").count().collect()
+    )
+    weights = {
+        r["lang"]: (min(1.0, r["weight"]), r["n_docs"])
+        for r in QUERIES["q_mix_weights"].fn(spark, sf_dir).collect()
+    }
+    for row in kept:
+        rate, n_docs = weights[row["lang"]]
+        expected = rate * n_docs
+        # 6-sigma binomial slack; doc-level sampling at token-level rates
+        # adds a little extra variance, so this is a sanity band, not a CI
+        sigma = max((expected * (1 - rate)) ** 0.5, 1.0)
+        assert abs(row["count"] - expected) < 8 * sigma + 6, (
+            row["lang"], row["count"], expected,
+        )

@@ -794,3 +794,112 @@ def _bloom_prefiltered(spark: SparkSession, sf_dir: str):
         hit = test if hit is None else (hit & test)
     survivors = probe.filter(hit).select("l_partkey", "l_extendedprice", "l_discount")
     return build, survivors
+
+
+_VOCAB_TOP_K = 200
+_U16_HEX = "instr('0123456789abcdef', substr(h, {i}, 1)) - 1"
+
+
+def _u16_sql() -> str:
+    """First 16 bits of md5(text) as a BIGINT, digit-by-digit (DuckDB has
+    no base-16 string->int conversion; Spark uses conv())."""
+    terms = [
+        f"({_U16_HEX.format(i=1)}) * 4096",
+        f"({_U16_HEX.format(i=2)}) * 256",
+        f"({_U16_HEX.format(i=3)}) * 16",
+        f"({_U16_HEX.format(i=4)})",
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "q_mix_sample",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_lang
+    ), rated AS (
+      SELECT lang, n_tokens, total_tokens,
+             CAST({_mix_case_sql()} AS BIGINT) AS target_pct
+      FROM per_lang, tot
+    ), hashed AS (
+      SELECT doc_id, lang, n_chars, {_u16_sql()} AS u16
+      FROM (SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents)
+    )
+    SELECT doc_id, hashed.lang AS lang, n_chars, u16
+    FROM hashed JOIN rated ON hashed.lang = rated.lang
+    WHERE u16 * 100 * n_tokens < target_pct * total_tokens * 65536
+    """,
+)
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized curriculum mix: the row-level sample that realizes
+    q_mix_weights' per-language rates (capped at 1 — upsampling replicates
+    instead, see q_join_salted's explode pattern).  A doc is kept iff the
+    first 16 bits of md5(text) fall under its language's keep-rate.
+
+    The keep test is EXACT INTEGER arithmetic on both engines —
+    ``u16 * 100 * n_tokens < target_pct * total_tokens * 65536`` — the
+    float-free form of ``u16/65536 < (target/100)/token_share``, so no
+    rounding boundary can flip a row between engines (all products stay
+    far below 2^63).  Membership depends only on content + corpus totals:
+    stable across reshuffles, re-crawls, and engine versions.
+
+    Scale: one tiny per-language agg broadcast back to the scan; the
+    filter is codegen'd scalar math — the same shape DataBricks-style
+    mixture jobs run on full corpora."""
+    docs = tables.load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
+    )
+    tot = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    rated = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        "total_tokens",
+        _mix_case_col().cast("long").alias("target_pct"),
+    )
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long").alias("u16"),
+    )
+    return (
+        hashed.join(F.broadcast(rated), "lang")
+        .filter(
+            F.col("u16") * 100 * F.col("n_tokens")
+            < F.col("target_pct") * F.col("total_tokens") * 65536
+        )
+        .select("doc_id", "lang", "n_chars", "u16")
+    )
+
+
+@register(
+    "q_vocab_topk",
+    oracle=f"""
+    SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, token
+    LIMIT {_VOCAB_TOP_K}
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary heavy hitters: the top-{K} tokens by corpus
+    frequency — the first step of every tokenizer/vocab build.
+
+    Scale: explode + grouped count gets full map-side combine (each
+    partition pre-aggregates its own token histogram before the shuffle),
+    and the global orderBy+limit compiles to TakeOrderedAndProject — each
+    partition ships only its local top-K, never a global sort.  The
+    (count DESC, token ASC) order is total, so the cutoff row is
+    deterministic on both engines even under count ties."""
+    docs = tables.load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP_K)
