@@ -437,3 +437,160 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag), (l_linestatus))
         """
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id, v.t_view
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    advances a stage only with an event STRICTLY AFTER their previous
+    stage's first event — the product-analytics query (Amplitude/Mixpanel
+    funnels) that plain grouped counts cannot express.
+
+    Scale: three narrow per-user aggs, each one shuffle on user_id (AQE
+    reuses the partitioning); stage frames carry one row per qualifying
+    user, so the joins are dimension-sized.  The final counts collapse to
+    a single row."""
+    events = tables.load(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_day,
+           CAST(FLOOR(datediff('day', cohort_day, CAST(ts AS DATE)) / 7)
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    GROUP BY cohort_day, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day, counted
+    per whole week of continued activity — the retention triangle behind
+    every growth dashboard.
+
+    The offset is days-since-cohort-day / 7 (floored), deliberately
+    avoiding calendar-week truncation so the two engines cannot disagree
+    on week-start conventions.  Scale: first-touch agg is one shuffle on
+    user_id; the join back is user-dimension-sized; the distinct count
+    shuffles on the (cohort, offset) key with partial aggregation."""
+    events = tables.load(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        events.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    SELECT user_id,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           ROUND(value, 4) AS value,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 derivation from a change log: each user's 'signup'
+    events become versioned dimension rows with [valid_from, valid_to)
+    validity, a monotone version number, and an is_current flag — the
+    batch upsert-history op warehouses run on every CDC feed (the
+    interval-building sibling of q_latest_per_key, which keeps only the
+    final version).
+
+    Scale: exactly one shuffle on user_id serving both window functions
+    (same partition + order); the (ts, event_id) order is total so
+    version numbers are deterministic under timestamp ties."""
+    events = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.round("value", 4).alias("value"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+    )
