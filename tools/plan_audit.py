@@ -41,6 +41,8 @@ EXPECTED_NESTED_LOOP = {
     "q_text_tfidf",
     "q_mix_weights",
     "q_quality_checks",  # two 1-row aggregate frames joined into the report
+    "q_join_bloom",  # probe × broadcast 1-row bloom-bitset frame (16 KiB)
+    "q_mix_sample",  # per-lang rates × broadcast 1-row token-total frame
 }
 
 

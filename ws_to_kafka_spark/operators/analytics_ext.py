@@ -495,10 +495,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    counts = (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    # one conditional agg over the tagged union — no 1-row cross joins
+    tagged = (
+        v.select(F.lit("view").alias("stage"))
+        .unionAll(c.select(F.lit("click").alias("stage")))
+        .unionAll(p.select(F.lit("purchase").alias("stage")))
+    )
+    counts = tagged.agg(
+        F.count(F.when(F.col("stage") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("stage") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("stage") == "purchase", 1)).alias("n_purchase"),
     )
     return counts.select(
         "n_view",
@@ -593,4 +599,128 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
             F.lead("ts").over(w).isNull().alias("is_current"),
         )
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           ROUND(l_quantity, 4) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice',
+           ROUND(l_extendedprice, 4) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount',
+           ROUND(l_discount, 4) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax',
+           ROUND(l_tax, 4) FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, the inverse of q_pivot): the four per-line
+    measures melt into (metric, val) rows via the native ``unpivot``
+    operator — Catalyst expands it to a generator, so the table is
+    scanned ONCE, not once per measure (the UNION ALL oracle is the
+    4-scan formulation the operator replaces; at 100 TB that is a 4x
+    scan saving).
+
+    The lineitem int column stays out of the value set so the melted
+    column keeps one type (double)."""
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    melted = lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return melted.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("metric", "^l_", "").alias("metric"),
+        F.round("val", 4).alias("val"),
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break — native ``mode()``
+    leaves ties engine-defined (both Spark's and DuckDB's docs say
+    'indeterminate'), so the engine computes it as count + top-1 by
+    (count DESC, value ASC): reproducible on any engine.
+
+    Scale: the grouped count gets map-side combine on the
+    (status, priority) key; the window runs over at most
+    |status| x |priority| rows."""
+    orders = tables.load(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@register(
+    "q_sequence_gaps",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), islands AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS streak_len
+      FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active days via the
+    classic date-minus-row_number anchor (rows in one unbroken run share
+    an anchor date) — the sessionization-by-calendar op behind streak
+    features and engagement scoring.
+
+    Scale: one shuffle on user_id serves the distinct, the window, and
+    the grouped count (same key); no self-join, no iteration — the
+    anchor trick turns run-detection into plain grouping."""
+    events = tables.load(spark, sf_dir, "events")
+    days = events.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
     )

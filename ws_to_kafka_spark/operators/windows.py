@@ -230,3 +230,40 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "session_value")
     )
+
+
+@register(
+    "q_win_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER w, 4) AS rolling_1h_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_1h_n
+    FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each event's trailing-1-hour sum/count
+    within its user's stream — the true event-time rolling window (ROWS
+    frames count rows; RANGE frames measure elapsed time, which is what
+    'last hour' means under irregular event spacing).
+
+    Both engines order by FLOORED epoch seconds, so frame membership is
+    identical (sub-second events in the same second are RANGE peers and
+    aggregate together on both).  Scale: one shuffle + sort on
+    (user_id, sec); the running frame is computed in a single pass with
+    O(1) state per row."""
+    events = tables.load(spark, sf_dir, "events")
+    secs = events.withColumn("sec", F.unix_timestamp("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return secs.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h_sum"),
+        F.count("*").over(w).cast("long").alias("rolling_1h_n"),
+    )
