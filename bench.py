@@ -47,6 +47,10 @@ HEADLINE = (
     "q_udf_scalar",                # Arrow pandas-UDF path
     "q_text_tfidf",                # wordcount-shaped: 2 agg shuffles + dict join
     "q_dedup_clusters",            # iterative connected components
+    "q_join_bloom",                # bloom runtime-filter prefilter + exact join
+    "q_text_repetition",           # explode + double grouped agg over tokens
+    "q_vocab_topk",                # global heavy hitters (TakeOrderedAndProject)
+    "q_win_range_interval",        # time-interval RANGE frames over events
 )
 
 

@@ -724,3 +724,68 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.max("streak_len").alias("longest_streak"),
     )
+
+
+@register(
+    "q_join_temporal",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS version,
+             ROUND(value, 4) AS profile_value
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT e.event_id, e.user_id, s.version, s.profile_value,
+           ROUND(e.value, 4) AS purchase_value
+    FROM events e
+    JOIN scd s
+      ON e.user_id = s.user_id
+     AND s.valid_from <= e.ts
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-interval) join: each purchase resolved against
+    the SCD2 profile version valid AT its event time — the at-time
+    attribute lookup every warehouse runs against versioned dimensions
+    (q_scd2 builds the intervals; this consumes them).
+
+    Scale: the interval predicate rides on a user_id EQUI join, so this
+    is one sort-merge shuffle per side with the range test as a cheap
+    post-join filter — never a range-only join.  Intervals per user are
+    non-overlapping by construction (lead() partitions time), so each
+    purchase matches at most one version and the output size is bounded
+    by the purchase count."""
+    events = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.round("value", 4).alias("profile_value"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return (
+        purchases.join(
+            scd,
+            (purchases["user_id"] == scd["s_user_id"])
+            & (scd["valid_from"] <= purchases["ts"])
+            & (scd["valid_to"].isNull() | (purchases["ts"] < scd["valid_to"])),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "version",
+            "profile_value",
+            F.round("value", 4).alias("purchase_value"),
+        )
+    )
