@@ -554,3 +554,54 @@ def test_transform_with_state_user_totals(spark, tmp_path, event_frames):
     finally:
         query.stop()
         server.close()
+
+
+def test_stream_static_enrich(spark, tmp_path, sf_dir):
+    """Streaming events joined to the static customer dim stay a broadcast
+    join per micro-batch and carry the right dimension attributes."""
+    from pyspark.sql import functions as F
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.sources.websocket import register_websocket_source
+    from ws_to_kafka_spark.streaming.ops import stream_static_enrich
+
+    base = 1704067200000
+    mk = lambda i, u: json.dumps(
+        {"event_id": i, "user_id": u, "value": 2.5, "ts_ms": base + i * 60000}
+    ).encode()
+    frames = [mk(1, 1), mk(2, 2), mk(3, 1)]
+    server = RecordingWsServer(frames_per_connection=frames)
+    register_websocket_source(spark)
+    raw = spark.readStream.format("websocket").option("url", server.url).load()
+    parsed = raw.select(
+        F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("value", "$.value").cast("double").alias("value"),
+    )
+    dim = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    expected = {
+        r.c_custkey: r.c_mktsegment
+        for r in dim.filter(F.col("c_custkey").isin(1, 2)).collect()
+    }
+    enriched = stream_static_enrich(parsed, dim)
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert wait_until(
+            lambda: spark.sql("SELECT COUNT(*) c FROM enrich_test").first().c >= 3,
+            timeout=60,
+        ), "stream-static enrich produced fewer rows than expected"
+        rows = spark.sql("SELECT * FROM enrich_test").collect()
+        assert {(r.event_id, r.c_mktsegment) for r in rows} >= {
+            (1, expected[1]),
+            (2, expected[2]),
+            (3, expected[1]),
+        }
+    finally:
+        query.stop()
+        server.close()

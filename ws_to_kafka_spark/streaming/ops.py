@@ -174,6 +174,29 @@ def stream_stream_join(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static join: every streaming event enriched with its static
+    dimension row — the lookup-enrichment stage of any ingest pipeline
+    (events x user profile, trades x instrument master).
+
+    No watermark is needed: the static side is bounded, and Spark re-reads
+    it per micro-batch, so slowly-updated dimension tables are picked up
+    without restarting the query.  ``broadcast`` keeps the stream side
+    shuffle-free — each micro-batch is a map-side hash join, which is the
+    only shape that holds up when the stream side is unbounded.  The batch
+    twin ``q_stream_enrich`` pins the join semantics against the oracle.
+    """
+    return (
+        stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key])
+        .drop(dim_key)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch twins — driver-checkable against the DuckDB oracle
 # ---------------------------------------------------------------------------
@@ -324,4 +347,28 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT event_id, user_id, c_mktsegment AS segment,
+           ROUND(value, 4) AS value
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`stream_static_enrich` — identical join condition
+    and projection over the events fixture joined to the customer dimension,
+    so the oracle pins exactly what each micro-batch computes."""
+    events = tables.load(spark, sf_dir, "events")
+    dim = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return stream_static_enrich(events, dim).select(
+        "event_id",
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("value", 4).alias("value"),
     )
