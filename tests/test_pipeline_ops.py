@@ -96,10 +96,7 @@ def test_stratified_sample_filter_is_pushed(spark, sf_dir):
 def test_bloom_prefilter_selective_and_lossless(spark, sf_dir):
     """The bloom prefilter must (a) actually prune the probe side and
     (b) never drop a true match (no false negatives)."""
-    from ws_to_kafka_spark.operators.pipeline_ops import (
-        _BLOOM_BRAND,
-        _bloom_prefiltered,
-    )
+    from ws_to_kafka_spark.operators.pipeline_ops import _bloom_prefiltered
 
     build, survivors = _bloom_prefiltered(spark, sf_dir)
     lineitem = tables.load(spark, sf_dir, "lineitem")

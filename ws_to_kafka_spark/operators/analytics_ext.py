@@ -562,6 +562,20 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_frame(events: DataFrame) -> DataFrame:
+    """Versioned signup intervals shared by q_scd2 (which reports them) and
+    q_join_temporal (which probes them): one definition so the tie-break,
+    versioning, and rounding cannot drift between producer and consumer."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.round("value", 4).alias("profile_value"),
+    )
+
+
 @register(
     "q_scd2",
     oracle="""
@@ -588,17 +602,13 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same partition + order); the (ts, event_id) order is total so
     version numbers are deterministic under timestamp ties."""
     events = tables.load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        events.filter(F.col("event_type") == "signup")
-        .select(
-            "user_id",
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(w).alias("valid_to"),
-            F.row_number().over(w).cast("long").alias("version"),
-            F.round("value", 4).alias("value"),
-            F.lead("ts").over(w).isNull().alias("is_current"),
-        )
+    return _scd2_frame(events).select(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        "version",
+        F.col("profile_value").alias("value"),
+        F.col("valid_to").isNull().alias("is_current"),
     )
 
 
@@ -762,17 +772,7 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase matches at most one version and the output size is bounded
     by the purchase count."""
     events = tables.load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    scd = (
-        events.filter(F.col("event_type") == "signup")
-        .select(
-            F.col("user_id").alias("s_user_id"),
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(w).alias("valid_to"),
-            F.row_number().over(w).cast("long").alias("version"),
-            F.round("value", 4).alias("profile_value"),
-        )
-    )
+    scd = _scd2_frame(events).withColumnRenamed("user_id", "s_user_id")
     purchases = events.filter(F.col("event_type") == "purchase")
     return (
         purchases.join(

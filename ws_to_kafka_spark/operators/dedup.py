@@ -593,12 +593,12 @@ def _messy_url_col():
     )
 
 
-_MESSY_URL_SQL = """
+_MESSY_URL_SQL = f"""
     CASE doc_id % 4
-      WHEN 0 THEN 'https://content.example.com/docs/' || (doc_id % 40) || '?id=' || (doc_id % 40)
-      WHEN 1 THEN 'HTTPS://CONTENT.EXAMPLE.COM:443/docs/' || (doc_id % 40) || '?id=' || (doc_id % 40)
-      WHEN 2 THEN 'https://content.example.com/docs/' || (doc_id % 40) || '/?id=' || (doc_id % 40) || '&utm_source=feed'
-      ELSE 'https://content.example.com/docs/' || (doc_id % 40) || '?id=' || (doc_id % 40) || '#section-2'
+      WHEN 0 THEN 'https://content.example.com/docs/' || (doc_id % {_URL_GROUPS}) || '?id=' || (doc_id % {_URL_GROUPS})
+      WHEN 1 THEN 'HTTPS://CONTENT.EXAMPLE.COM:443/docs/' || (doc_id % {_URL_GROUPS}) || '?id=' || (doc_id % {_URL_GROUPS})
+      WHEN 2 THEN 'https://content.example.com/docs/' || (doc_id % {_URL_GROUPS}) || '/?id=' || (doc_id % {_URL_GROUPS}) || '&utm_source=feed'
+      ELSE 'https://content.example.com/docs/' || (doc_id % {_URL_GROUPS}) || '?id=' || (doc_id % {_URL_GROUPS}) || '#section-2'
     END
 """
 

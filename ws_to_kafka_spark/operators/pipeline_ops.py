@@ -796,7 +796,9 @@ def _bloom_prefiltered(spark: SparkSession, sf_dir: str):
     return build, survivors
 
 
-_VOCAB_TOP_K = 200
+# below the fixtures' 31-token vocabulary so the LIMIT cutoff (and its
+# (count DESC, token ASC) tie-break) is actually exercised by the oracle
+_VOCAB_TOP_K = 10
 _U16_HEX = "instr('0123456789abcdef', substr(h, {i}, 1)) - 1"
 
 
@@ -830,7 +832,8 @@ def _u16_sql() -> str:
     )
     SELECT doc_id, hashed.lang AS lang, n_chars, u16
     FROM hashed JOIN rated ON hashed.lang = rated.lang
-    WHERE u16 * 100 * n_tokens < target_pct * total_tokens * 65536
+    WHERE CAST(u16 AS HUGEINT) * 100 * n_tokens
+          < CAST(target_pct AS HUGEINT) * total_tokens * 65536
     """,
 )
 def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,10 +844,12 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The keep test is EXACT INTEGER arithmetic on both engines —
     ``u16 * 100 * n_tokens < target_pct * total_tokens * 65536`` — the
-    float-free form of ``u16/65536 < (target/100)/token_share``, so no
-    rounding boundary can flip a row between engines (all products stay
-    far below 2^63).  Membership depends only on content + corpus totals:
-    stable across reshuffles, re-crawls, and engine versions.
+    float-free form of ``u16/65536 < (target/100)/token_share``, evaluated
+    in 128-bit-safe types (decimal(38,0) in Spark, HUGEINT in DuckDB)
+    because the right side crosses 2^63 once the corpus passes ~1.4e12
+    tokens, i.e. well inside the 100 TB design point.  Membership depends
+    only on content + corpus totals: stable across reshuffles, re-crawls,
+    and engine versions.
 
     Scale: one tiny per-language agg broadcast back to the scan; the
     filter is codegen'd scalar math — the same shape DataBricks-style
@@ -869,8 +874,10 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hashed.join(F.broadcast(rated), "lang")
         .filter(
-            F.col("u16") * 100 * F.col("n_tokens")
-            < F.col("target_pct") * F.col("total_tokens") * 65536
+            F.col("u16").cast("decimal(38,0)") * 100 * F.col("n_tokens")
+            < F.col("target_pct").cast("decimal(38,0)")
+            * F.col("total_tokens")
+            * 65536
         )
         .select("doc_id", "lang", "n_chars", "u16")
     )

@@ -191,9 +191,11 @@ def stream_static_enrich(
     only shape that holds up when the stream side is unbounded.  The batch
     twin ``q_stream_enrich`` pins the join semantics against the oracle.
     """
-    return (
-        stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key])
-        .drop(dim_key)
+    bdim = F.broadcast(dim)
+    # drop by column reference: dropping by NAME would remove the stream's
+    # key too whenever stream_key == dim_key
+    return stream.join(bdim, stream[stream_key] == bdim[dim_key]).drop(
+        bdim[dim_key]
     )
 
 
