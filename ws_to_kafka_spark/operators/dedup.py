@@ -664,3 +664,62 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
     )
+
+
+_FUZZY_MAX_EDITS = 5
+
+
+@register(
+    "q_dedup_fuzzy",
+    oracle=f"""
+    WITH titles AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:3], ' ') AS title,
+             string_split(text, ' ')[1] AS block_key
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS edits
+    FROM titles a JOIN titles b
+      ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= {_FUZZY_MAX_EDITS}
+    """,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup: documents whose 3-word title prefix
+    is within {N} edits — the typo-tolerance tier between exact dedup
+    (q_dedup_exact) and shingle Jaccard (q_dedup_ngram), the shape used
+    for title/citation matching in entity resolution.
+
+    Scale: Levenshtein is quadratic per pair, so the join MUST be blocked —
+    pairs form only within a first-token block (the standard entity-
+    resolution blocking key), never all-pairs.  The block key shuffles as a
+    plain equi-join; skewed blocks would be salted exactly like
+    q_join_salted.  Verification cost is bounded by the short title
+    (3 tokens), not the document."""
+    docs = tables.load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    titles = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words, 1, 3)).alias("title"),
+        words.getItem(0).alias("block_key"),
+    )
+    a = titles.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        "block_key",
+    )
+    b = titles.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        "block_key",
+    )
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "edits", F.levenshtein("title_a", "title_b").cast("long")
+        )
+        .filter(F.col("edits") <= _FUZZY_MAX_EDITS)
+        .select("doc_a", "doc_b", "edits")
+    )

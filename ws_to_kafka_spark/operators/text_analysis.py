@@ -509,3 +509,60 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_frac > 0.2) | (dup_frac > 0.5)).alias("flagged"),
         )
     )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tc AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), pd AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             SUM(c * ln(c)) AS sum_clnc
+      FROM tc GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(ln(n_tokens) - sum_clnc / n_tokens, 6) AS entropy,
+           CASE WHEN n_distinct = 1 THEN 0.0
+                ELSE ROUND((ln(n_tokens) - sum_clnc / n_tokens)
+                           / ln(n_distinct), 6)
+           END AS norm_entropy
+    FROM pd
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (plus the
+    [0,1]-normalized form): the information-density quality signal —
+    machine-generated boilerplate scores low, natural prose high; used
+    alongside q_text_repetition in filter cascades.
+
+    Uses the algebraic identity H = ln(N) − Σc·ln(c)/N so the per-group
+    work is ONE pass of mergeable sums (no second join against the total) —
+    the same partial-agg shape as a plain count.  Division/ln happen once
+    per doc on the agg output, rounded 6dp on both engines."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    pd_ = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("sum_clnc"),
+        )
+    )
+    entropy = F.log(F.col("n_tokens")) - F.col("sum_clnc") / F.col("n_tokens")
+    return pd_.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(entropy, 6).alias("entropy"),
+        F.when(F.col("n_distinct") == 1, F.lit(0.0))
+        .otherwise(F.round(entropy / F.log(F.col("n_distinct")), 6))
+        .alias("norm_entropy"),
+    )
