@@ -163,3 +163,26 @@ def test_shingle_cache_evicts_stale_apps(spark, sf_dir):
     assert ("dead-app-123", sf_dir, "shingles") not in D._SHINGLE_CACHE
     assert stale.storageLevel.useMemory is False, "stale entry not unpersisted"
     assert all(k[0] == app_id for k in D._SHINGLE_CACHE)
+
+
+def test_mm_resize_matches_local_recompute(spark, sf_dir):
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators.multimodal import (
+        _RESIZE_FACTOR,
+        resize_payload_stub,
+    )
+
+    rows = QUERIES["q_mm_resize"].fn(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in tables.load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        payload = texts[r.doc_id].encode("utf-8")
+        expected = resize_payload_stub(payload)
+        assert r.n_bytes_in == len(payload)
+        assert r.n_bytes_out == len(expected) == len(payload) // _RESIZE_FACTOR
+        assert bytes(r.payload_out) == expected
+        if expected:
+            assert abs(r.mean_out - round(sum(expected) / len(expected), 4)) < 1e-9

@@ -186,3 +186,55 @@ def q_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("frame_idx") * _FRAME_BYTES).cast("long").alias("byte_offset"),
         )
     )
+
+
+_RESIZE_FACTOR = 4
+_RESIZE_SCHEMA = (
+    "doc_id long, n_bytes_in long, n_bytes_out long, "
+    "payload_out binary, mean_out double"
+)
+
+
+def resize_payload_stub(payload: bytes) -> bytes:
+    """Deterministic fake resize: block-mean every _RESIZE_FACTOR bytes
+    (the 1-D analogue of average-pooling an image down by 4x).  A real
+    deployment swaps this for PIL's ``Image.resize`` inside the same
+    ``mapInPandas`` pipeline — only this function changes, exactly like
+    :func:`decode_image` / :func:`decode_image_stub`."""
+    n = len(payload) - len(payload) % _RESIZE_FACTOR
+    return bytes(
+        sum(payload[i : i + _RESIZE_FACTOR]) // _RESIZE_FACTOR
+        for i in range(0, n, _RESIZE_FACTOR)
+    )
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pdf["payload"].map(resize_payload_stub)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes_in": pdf["payload"].map(len).astype("int64"),
+                "n_bytes_out": out.map(len).astype("int64"),
+                "payload_out": out,
+                "mean_out": out.map(
+                    lambda x: round(sum(x) / len(x), 4) if len(x) else 0.0
+                ),
+            }
+        )
+
+
+@register("q_mm_resize", oracle=None)  # codec stubbed -> rows-only check
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over binary payloads via ``mapInPandas`` — the
+    decode→resize→re-encode stage of an image pipeline, with the codec
+    stubbed as a deterministic 4x block-mean (tests pin the arithmetic
+    against a local recompute).
+
+    Scale: narrow transformation like q_mm_features — payload bytes are
+    read and REPLACED inside their scan partition, never shuffled; the
+    output payload is factor-x smaller, so any downstream exchange moves
+    a quarter of the input volume."""
+    docs = tables.load(spark, sf_dir, "documents")
+    mm = with_payload(docs).select("doc_id", "payload")
+    return mm.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
