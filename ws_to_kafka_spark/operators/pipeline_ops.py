@@ -910,3 +910,55 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP_K)
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id AS custkey, SUM(value) AS delta
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT COALESCE(c_custkey, custkey) AS custkey,
+           FLOOR((COALESCE(c_acctbal, 0) + COALESCE(delta, 0)) * 100 + 0.5)
+             / 100 AS acctbal,
+           COALESCE(c_mktsegment, 'NEW') AS segment,
+           CASE WHEN custkey IS NULL THEN 'keep'
+                WHEN c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS op
+    FROM customer FULL OUTER JOIN changes ON c_custkey = custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert as a batch operator: a change set (per-user
+    purchase totals) applied onto the customer dimension — matched keys
+    update the balance, unmatched source keys insert, untouched target
+    rows pass through tagged 'keep'.  This is ``MERGE INTO`` expressed as
+    full-outer-join + coalesce, the portable form when no transactional
+    table format (Delta/Iceberg) is underneath.
+
+    Balance arithmetic uses the registry's tie-safe cent rounding
+    (``floor(x*100+0.5)/100``) on both engines.  Scale: one shuffle per
+    side on the merge key; at 100 TB the target side would be bucketed on
+    the key so reruns co-locate, and the output overwrites partitions
+    atomically (the lakehouse MERGE's physical plan is this same join)."""
+    events = tables.load(spark, sf_dir, "events")
+    customer = tables.load(spark, sf_dir, "customer")
+    changes = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("custkey"))
+        .agg(F.sum("value").alias("delta"))
+    )
+    tgt = customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+    merged = tgt.join(changes, tgt["c_custkey"] == changes["custkey"], "full_outer")
+    new_bal = F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("delta", F.lit(0.0))
+    return merged.select(
+        F.coalesce("c_custkey", "custkey").alias("custkey"),
+        (F.floor(new_bal * 100 + 0.5) / 100).alias("acctbal"),
+        F.coalesce("c_mktsegment", F.lit("NEW")).alias("segment"),
+        F.when(F.col("custkey").isNull(), "keep")
+        .when(F.col("c_custkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("op"),
+    )

@@ -267,3 +267,47 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("rolling_1h_sum"),
         F.count("*").over(w).cast("long").alias("rolling_1h_n"),
     )
+
+
+@register(
+    "q_win_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(v, 4) AS v_raw,
+           ROUND(LAST_VALUE(v IGNORE NULLS) OVER w, 4) AS v_filled,
+           (v IS NULL) AS was_gap
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by last-observation-carried-forward: sensor/metric
+    streams interpolate missing readings from the latest prior
+    observation — ``last(..., ignorenulls)`` over a running ROWS frame
+    (gaps derived deterministically: 'error' events carry no reading).
+
+    Leading gaps (no prior observation) stay NULL on both engines.
+    Scale: one shuffle + sort on (user_id, ts); the running frame keeps
+    O(1) state — this is the form that backfills a 100 TB metrics table
+    in one pass."""
+    events = tables.load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(v, 4).alias("v_raw"),
+        F.round(F.last(v, ignorenulls=True).over(w), 4).alias("v_filled"),
+        v.isNull().alias("was_gap"),
+    )
