@@ -969,3 +969,93 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     )
+
+
+# Spatial blocking: cell size == the match radius, so any pair within the
+# radius lies in the same or an adjacent cell (|Δcoord| < r per axis) —
+# the 9-cell neighbor join is exactness-preserving.
+_GEO_RADIUS = 1.0
+
+_GEO_CUST_SQL = (
+    "((c_custkey * 37) % 17000) / 100.0 - 85  AS lat, "
+    "((c_custkey * 73) % 36000) / 100.0 - 180 AS lon"
+)
+_GEO_SUPP_SQL = (
+    "((s_suppkey * 41) % 17000) / 100.0 - 85  AS lat, "
+    "((s_suppkey * 79) % 36000) / 100.0 - 180 AS lon"
+)
+
+
+@register(
+    "q_join_spatial",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, {_GEO_CUST_SQL} FROM customer
+    ), s AS (
+      SELECT s_suppkey, {_GEO_SUPP_SQL} FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           ROUND(sqrt((c.lat - s.lat) * (c.lat - s.lat)
+                    + (c.lon - s.lon) * (c.lon - s.lon)), 6) AS dist
+    FROM c JOIN s
+      ON (c.lat - s.lat) * (c.lat - s.lat)
+       + (c.lon - s.lon) * (c.lon - s.lon) <= {_GEO_RADIUS} * {_GEO_RADIUS}
+    """,
+)
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial distance join: customers matched to suppliers
+    within {r} planar degrees.  Points derive deterministically from the
+    keys (derive-not-synthesize); the ORACLE runs the naive all-pairs
+    distance join, while the Spark plan BLOCKS on grid cells of size r and
+    probes only the 3x3 neighborhood — exactness-preserving because a pair
+    within r differs by < r per axis, i.e. by at most one cell index.
+
+    Scale: all-pairs is O(|C|·|S|) and dies at 100 TB; the grid join
+    shuffles each side once on (cell_lat, cell_lon) — one side replicated
+    9x (the explode), candidate pairs bounded by local density, the same
+    blocking shape as q_dedup_fuzzy/q_dedup_near.  Planar model (no
+    longitude wrap) — a geo deployment swaps in geohash cells + haversine
+    verify in the same plan."""
+    customer = tables.load(spark, sf_dir, "customer")
+    supplier = tables.load(spark, sf_dir, "supplier")
+    c = customer.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 17000) / 100.0 - 85).alias("lat"),
+        (((F.col("c_custkey") * 73) % 36000) / 100.0 - 180).alias("lon"),
+    )
+    s = supplier.select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 41) % 17000) / 100.0 - 85).alias("s_lat"),
+        (((F.col("s_suppkey") * 79) % 36000) / 100.0 - 180).alias("s_lon"),
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    c_cells = (
+        c.withColumn("dlat", off)
+        .withColumn("dlon", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            (F.floor(F.col("lat") / _GEO_RADIUS) + F.col("dlat")).alias("cell_lat"),
+            (F.floor(F.col("lon") / _GEO_RADIUS) + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    s_cells = s.select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        F.floor(F.col("s_lat") / _GEO_RADIUS).alias("cell_lat"),
+        F.floor(F.col("s_lon") / _GEO_RADIUS).alias("cell_lon"),
+    )
+    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
+        F.col("lon") - F.col("s_lon")
+    ) * (F.col("lon") - F.col("s_lon"))
+    return (
+        c_cells.join(s_cells, ["cell_lat", "cell_lon"])
+        .filter(d2 <= _GEO_RADIUS * _GEO_RADIUS)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+    )

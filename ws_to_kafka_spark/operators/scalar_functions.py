@@ -319,3 +319,77 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         tail["n"].alias("tail_n"),
         F.to_json(s).alias("s_json"),
     )
+
+
+_JSON_AUG_SQL = """
+    CASE WHEN event_id % 10 = 9
+         THEN '{"id": ' || event_id || ', "tags": ["' || event_type
+         ELSE '{"id": ' || event_id || ', "tags": ["' || event_type
+              || '", "t' || (user_id % 5) || '"], "geo": {"lat": '
+              || (user_id % 180) - 90 || ', "lon": ' || (user_id % 360) - 180
+              || '}}'
+    END
+"""
+
+
+@register(
+    "q_fn_json_schema",
+    oracle=f"""
+    WITH aug AS (
+      SELECT event_id, {_JSON_AUG_SQL} AS j FROM events
+    )
+    SELECT event_id,
+           CASE WHEN json_valid(j)
+                THEN CAST(json_extract_string(j, '$.id') AS BIGINT) END
+             AS id_parsed,
+           CASE WHEN json_valid(j)
+                THEN json_extract_string(j, '$.tags[0]') END AS tag0,
+           CASE WHEN json_valid(j)
+                THEN CAST(json_array_length(j, '$.tags') AS BIGINT) END
+             AS n_tags,
+           CASE WHEN json_valid(j)
+                THEN CAST(json_extract_string(j, '$.geo.lat') AS BIGINT) END
+             AS lat,
+           NOT json_valid(j) AS corrupt
+    FROM aug
+    """,
+)
+def q_fn_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: ``from_json`` with a TYPED nested schema
+    (struct + array + nested struct) instead of per-path string extraction
+    (q_fn_json) — one parse per row serving every field, with malformed
+    rows (every 10th payload is truncated, derived deterministically)
+    yielding a NULL struct that downstream logic must handle.
+
+    Scale: typed parse is the right form when several fields are read —
+    ``get_json_object`` re-parses the payload per path; ``from_json``
+    parses once into Tungsten structs and the field reads are free."""
+    events = _t(spark, sf_dir, "events")
+    good = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id"),
+        F.lit(', "tags": ["'),
+        F.col("event_type"),
+        F.lit('", "t'),
+        F.col("user_id") % 5,
+        F.lit('"], "geo": {"lat": '),
+        (F.col("user_id") % 180) - 90,
+        F.lit(', "lon": '),
+        (F.col("user_id") % 360) - 180,
+        F.lit("}}"),
+    )
+    corrupt = F.concat(
+        F.lit('{"id": '), F.col("event_id"), F.lit(', "tags": ["'),
+        F.col("event_type"),
+    )
+    j = F.when(F.col("event_id") % 10 == 9, corrupt).otherwise(good)
+    schema = "id BIGINT, tags ARRAY<STRING>, geo STRUCT<lat: BIGINT, lon: BIGINT>"
+    parsed = F.from_json(j, schema)
+    return events.select(
+        "event_id",
+        parsed["id"].alias("id_parsed"),
+        F.element_at(parsed["tags"], 1).alias("tag0"),
+        F.size(parsed["tags"]).cast("long").alias("n_tags"),
+        parsed["geo"]["lat"].alias("lat"),
+        parsed["id"].isNull().alias("corrupt"),
+    )
