@@ -789,3 +789,63 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("purchase_value"),
         )
     )
+
+
+@register(
+    "q_win_ratio",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS price,
+           ROUND(o_totalprice / SUM(o_totalprice) OVER
+                   (PARTITION BY o_orderstatus), 8) AS share_of_status,
+           ROUND(o_totalprice / SUM(o_totalprice) OVER (), 8) AS share_of_total
+    FROM orders
+    """,
+)
+def q_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its status group and of the
+    grand total — the percent-of-total window every BI layer emits.
+
+    The unpartitioned total is an empty-frame window: Spark computes it as
+    a single-partition window at local scale; the 100 TB form replaces it
+    with a broadcast 1-row aggregate (q_quantile_buckets' pattern) — both
+    produce identical values, which is what the oracle checks."""
+    orders = tables.load(spark, sf_dir, "orders")
+    w_status = W.partitionBy("o_orderstatus")
+    w_all = W.partitionBy()
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(w_status), 8
+        ).alias("share_of_status"),
+        F.round(
+            F.col("o_totalprice") / F.sum("o_totalprice").over(w_all), 8
+        ).alias("share_of_total"),
+    )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1)            AS all_low_disc,
+           bool_or(l_quantity >= 49)              AS any_big_qty,
+           CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
+           CAST(COUNT(*) AS BIGINT)               AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any/count_if) — the predicate-rollup
+    trio behind data-quality dashboards; all three are mergeable partial
+    aggs like any sum."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_discount") <= 0.1).alias("all_low_disc"),
+        F.some(F.col("l_quantity") >= 49).alias("any_big_qty"),
+        F.count_if(F.col("l_tax") > 0.05).cast("long").alias("n_high_tax"),
+        F.count("*").alias("n_rows"),
+    )
