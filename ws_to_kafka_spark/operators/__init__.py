@@ -18,6 +18,7 @@ from . import (  # noqa: F401  (imports populate the registry)
     analytics_ext,
     pipeline_ops,
     quality,
+    timeseries,
 )
 from ..streaming import ops as streaming_ops  # noqa: F401  (batch twins)
 from .registry import QUERIES, QuerySpec  # noqa: F401

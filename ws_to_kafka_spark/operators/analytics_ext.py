@@ -849,3 +849,62 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") > 0.05).cast("long").alias("n_high_tax"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "q_sql_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: unshipped orders of one
+    market segment ranked by outstanding revenue, top 10.
+
+    Scale: both date filters reach their parquet scans (pushdown), the
+    segment filter prunes customer before the join, and the two joins
+    shuffle on their natural keys with AQE free to broadcast the filtered
+    customer side if it fits. The top-10 is a TakeOrderedAndProject —
+    partial top-k per partition, only 10 rows ever reach the driver side
+    of the exchange. Revenue uses the tie-free cent-rounding convention
+    and (revenue DESC, l_orderkey) is a total order, so the LIMIT frontier
+    is engine-independent.
+    """
+    cust = tables.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

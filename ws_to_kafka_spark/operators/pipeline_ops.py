@@ -1059,3 +1059,53 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(d2), 6).alias("dist"),
         )
     )
+
+
+@register(
+    "q_train_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             (doc_id * 2654435761) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'validation'
+                ELSE 'test' END                AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)       AS sum_chars,
+           ROUND(AVG(n_chars), 4)             AS avg_chars
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split (90/5/5) by multiplicative
+    hashing of the stable document id — the split every training corpus
+    needs before packing, with per-(split, lang) coverage stats.
+
+    Hash-based assignment (Knuth's 2654435761 multiplier mod 1000) instead
+    of ``rand()``: a re-executed task assigns the same docs to the same
+    split (speculative execution / retry safe), new documents never move
+    existing ones across splits, and the rule is one integer expression an
+    oracle can replicate verbatim. Scale: a map-only projection plus one
+    small-key hash aggregate — no shuffle of document text, map-side
+    partials on (split, lang).
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    split = (
+        F.when(bucket < 900, "train")
+        .when(bucket < 950, "validation")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
