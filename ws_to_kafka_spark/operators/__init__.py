@@ -19,6 +19,7 @@ from . import (  # noqa: F401  (imports populate the registry)
     pipeline_ops,
     quality,
     timeseries,
+    graph,
 )
 from ..streaming import ops as streaming_ops  # noqa: F401  (batch twins)
 from .registry import QUERIES, QuerySpec  # noqa: F401

@@ -1,0 +1,145 @@
+"""Graph operators over the order network: iterative PageRank and degree
+statistics, expressed as DataFrame joins (no GraphX/GraphFrames — plain
+Catalyst plans).
+
+The graph is the bipartite customer-supplier purchase network: one edge per
+distinct (o_custkey, l_suppkey) pair observed in orders x lineitem, made
+symmetric so every node has out-degree >= 1 (no dangling-node mass leak).
+
+The iterative pattern is the canonical DataFrame PageRank: ranks(i+1) =
+0.15 + 0.85 * sum over in-edges of rank(i)/outdeg(src). Each iteration is
+one shuffle (join on src + re-aggregate on dst). The iteration count is
+FIXED (5) so the DuckDB oracle can unroll it as five chained CTEs — no
+recursion, bit-identical semantics.
+
+Scale notes (100 TB): the per-iteration plan is join + groupBy — both
+shuffle on node id, so co-partitioning carries between iterations once AQE
+sees the first exchange. Unrolled loops grow plan lineage linearly;
+production runs `localCheckpoint()` every ~5 iterations to truncate it
+(documented here, not needed at 5). Power-law degree skew (a mega-hub
+supplier) is the classic salting case: split hub in-edge sums into salted
+partial sums + a second tiny aggregate. Edge dedup is one exact
+distinct — the same shuffle shape as q_dedup_exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .registry import register
+
+_N_ITER = 5
+_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, _N_ITER + 1):
+        iters.append(
+            f"""r{i} AS (
+      SELECT e.dst AS node,
+             0.15 + {_DAMP} * SUM(r.pr / d.outdeg) AS pr
+      FROM edges e
+      JOIN {prev} r ON e.src = r.node
+      JOIN deg d    ON d.node = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT node, 1.0 AS pr FROM deg),
+    {chain}
+    SELECT node, ROUND(pr, 6) AS pagerank FROM r{_N_ITER}
+    """
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, damping 0.85) on the symmetric
+    customer-supplier purchase graph, as pure DataFrame joins.
+
+    The loop builds the unrolled logical plan in Python; Catalyst sees one
+    DAG. The edge frame is reused by every iteration, so it is persisted
+    once (it is the size of the distinct pair set, not the fact table).
+    See the module docstring for the 100 TB iteration/checkpoint story.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    # contribution edge list: (src, dst, 1/outdeg) — computed once, reused
+    # by every iteration (persist: it is O(|edges|), not O(fact table)).
+    contrib = edges.join(deg, edges.src == deg.node).select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_deg")
+    )
+    contrib.persist()
+    ranks = deg.select("node", F.lit(1.0).alias("pr"))
+    for _ in range(_N_ITER):
+        ranks = (
+            contrib.join(ranks, contrib.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((0.15 + _DAMP * F.sum(F.col("pr") * F.col("inv_deg"))).alias("pr"))
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+@register(
+    "q_graph_degrees",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey, l_suppkey
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    cdeg AS (SELECT o_custkey, COUNT(*) AS deg FROM e0 GROUP BY o_custkey)
+    SELECT CAST(deg AS BIGINT)        AS supplier_count,
+           CAST(COUNT(*) AS BIGINT)  AS n_customers
+    FROM cdeg
+    GROUP BY deg
+    """,
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the purchase graph: how many
+    customers bought from exactly k distinct suppliers.
+
+    Scale: distinct pair set (one shuffle), per-customer count (same key —
+    AQE reuses the partitioning), then a tiny histogram aggregate. The
+    degree histogram is the first diagnostic for join-skew planning: its
+    tail tells you whether the PageRank/join path above needs salting.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("o_custkey")
+        .agg(F.count("*").alias("supplier_count"))
+        .groupBy("supplier_count")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -393,3 +393,38 @@ def q_fn_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["geo"]["lat"].alias("lat"),
         parsed["id"].isNull().alias("corrupt"),
     )
+
+
+@register(
+    "q_fn_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS n_long_words,
+           regexp_extract(text, 's([a-z]+)', 1)                       AS first_s_stem,
+           regexp_replace(SUBSTRING(text, 1, 40), '[aeiou]', '', 'g') AS head_devoweled,
+           regexp_matches(text, 'spark\s+(scan|join|merge)')          AS spark_op_mention
+    FROM documents
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: extract-all + count, group extraction,
+    global replace, and pattern test — the text-wrangling quartet.
+
+    Semantics aligned across engines: both return '' (not NULL) for a
+    non-matching extract; DuckDB needs the 'g' flag to match Spark's
+    replace-all default. All four run inside whole-stage codegen on a
+    pruned (doc_id, text) scan — regexes compile once per task, so at
+    100 TB this is a map-only pass at scan speed.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]{6,}"), 0))
+        .cast("long")
+        .alias("n_long_words"),
+        F.regexp_extract("text", r"s([a-z]+)", 1).alias("first_s_stem"),
+        F.regexp_replace(F.substring("text", 1, 40), r"[aeiou]", "").alias(
+            "head_devoweled"
+        ),
+        F.col("text").rlike(r"spark\s+(scan|join|merge)").alias("spark_op_mention"),
+    )
