@@ -51,6 +51,9 @@ HEADLINE = (
     "q_text_repetition",           # explode + double grouped agg over tokens
     "q_vocab_topk",                # global heavy hitters (TakeOrderedAndProject)
     "q_win_range_interval",        # time-interval RANGE frames over events
+    "q_graph_pagerank",            # 5-iteration join/agg loop over the graph
+    "q_rollup_multires",           # hierarchical rollup (daily from hourly)
+    "q_sim_centroid",              # centroid build + broadcast argmax scoring
 )
 
 
