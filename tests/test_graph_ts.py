@@ -94,3 +94,33 @@ def test_centroid_confusion_is_total(spark, sf_dir):
     rows = out.collect()
     assert sum(r.n_vectors for r in rows) == n_vec
     assert {r.predicted for r in rows} <= labels
+
+
+def test_zorder_buckets_have_tight_envelopes(spark, sf_dir):
+    """Aligned z-range buckets of width 2^11 fix x bits 6-7 and y bits
+    5-7, so every bucket's envelope is < 64 wide in part and < 32 wide in
+    supp — the multi-dimension pruning guarantee a linear sort lacks."""
+    rows = QUERIES["q_layout_zorder"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.part_hi - r.part_lo < 64, r
+        assert r.supp_hi - r.supp_lo < 32, r
+    from ws_to_kafka_spark import tables
+
+    assert sum(r.n_rows for r in rows) == tables.load(
+        spark, sf_dir, "lineitem"
+    ).count()
+
+
+def test_perplexity_scores_are_positive_and_total(spark, sf_dir):
+    """Every multi-word doc gets a score; self-trained LM => every bigram
+    seen => NLL finite and >= 0."""
+    out = QUERIES["q_text_perplexity"].fn(spark, sf_dir).collect()
+    from ws_to_kafka_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    import pyspark.sql.functions as F
+
+    n_multi = docs.filter(F.size(F.split("text", " ")) >= 2).count()
+    assert len(out) == n_multi
+    assert all(r.avg_nll >= 0 for r in out)

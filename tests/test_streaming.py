@@ -605,3 +605,40 @@ def test_stream_static_enrich(spark, tmp_path, sf_dir):
     finally:
         query.stop()
         server.close()
+
+
+def test_streaming_session_window(spark, tmp_path, event_frames):
+    """Live sessionization over the WebSocket source: 12 events, users 0/1/2
+    round-robin at 1-minute spacing — one open session per user whose
+    aggregate (complete mode re-emits the full result per trigger) must
+    eventually show all 4 events."""
+    from ws_to_kafka_spark.streaming.ops import streaming_session_counts
+
+    server = RecordingWsServer(frames_per_connection=event_frames)
+    stream = streaming_session_counts(
+        _typed_stream(spark, server.url), gap="10 minutes", watermark="1 hour"
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        def complete():
+            rows = spark.sql(
+                "SELECT user_id, MAX(n_events) n FROM session_test GROUP BY user_id"
+            ).collect()
+            return len(rows) == 3 and all(r.n == 4 for r in rows)
+
+        assert wait_until(complete, timeout=60), "sessions never reached 4 events/user"
+        row = spark.sql(
+            "SELECT session_start, session_end FROM session_test "
+            "WHERE user_id = 0 AND n_events = 4"
+        ).collect()[0]
+        # user 0: events at minutes 0,3,6,9 -> [start, last+gap)
+        assert (row.session_end - row.session_start).total_seconds() == 9 * 60 + 600
+    finally:
+        query.stop()
+        server.close()

@@ -20,6 +20,7 @@ from . import (  # noqa: F401  (imports populate the registry)
     quality,
     timeseries,
     graph,
+    layout,
 )
 from ..streaming import ops as streaming_ops  # noqa: F401  (batch twins)
 from .registry import QUERIES, QuerySpec  # noqa: F401

@@ -566,3 +566,72 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(entropy / F.log(F.col("n_distinct")), 6))
         .alias("norm_entropy"),
     )
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), dbg AS (
+      SELECT doc_id, words[i] AS w1, words[i + 1] AS w2, COUNT(*) AS k
+      FROM d CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(1, len(words) - 1)) AS i
+      )
+      GROUP BY doc_id, w1, w2
+    ), c2 AS (
+      SELECT w1, w2, SUM(k) AS n_pair FROM dbg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n_pair) AS n_ctx FROM c2 GROUP BY w1
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(k * -LN(n_pair / CAST(n_ctx AS DOUBLE))) / SUM(k), 4)
+               AS avg_nll
+    FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score (CCNet's filter signal): per-doc
+    average negative log-likelihood under the corpus's own bigram LM,
+    P(w2|w1) = c(w1,w2)/c(w1·). Docs whose word transitions are unusual
+    for the corpus score high — the standard statistical-quality filter
+    run between heuristic rules and dedup.
+
+    Self-trained model => every doc bigram has count >= 1: no smoothing
+    constant to disagree about. Scale: tokenize once, per-doc bigram
+    counts (map-side combine collapses repeats BEFORE the model join),
+    model = two small-key aggs over the grouped frame; the scoring join
+    shuffles on (w1, w2) — the model frame is vocabulary-sized, not
+    corpus-sized. The NLL sum is rounded after the division on both
+    engines.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("words"))
+    dbg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("words", 1, F.size("words") - 1),
+                    F.slice("words", 2, F.size("words") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    c2 = dbg.groupBy("w1", "w2").agg(F.sum("k").alias("n_pair"))
+    c1 = c2.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    nll = F.col("k") * -F.log(F.col("n_pair") / F.col("n_ctx"))
+    return (
+        dbg.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(nll) / F.sum("k"), 4).alias("avg_nll"),
+        )
+    )

@@ -51,6 +51,39 @@ def watermarked_tumbling_counts(
     )
 
 
+def streaming_session_counts(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: per-user session windows that close after
+    ``gap`` of event-time silence — the streaming form of the operator
+    ``q_win_session`` runs in batch (same ``session_window`` function, same
+    half-open ``[start, last+gap)`` semantics).
+
+    State per key is one open session (start, last-ts, partials), merged
+    on overlap and evicted once the watermark passes ``session_end`` —
+    bounded regardless of stream length. Append output emits only
+    finalized (watermark-passed) sessions; complete re-emits the full
+    result per trigger (session merging precludes update mode)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(ts_col, gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],
