@@ -25,6 +25,16 @@ def test_read_json_roundtrip(spark, tmp_path):
     assert sorted(r.dbl for r in back.collect()) == [0, 2, 4, 6, 8]
 
 
+def test_read_orc_roundtrip_with_pushdown(spark, tmp_path):
+    p = str(tmp_path / "o")
+    spark.range(100).selectExpr("id", "id % 7 AS k").write.orc(p)
+    back = tables.read_orc(spark, p).where("k = 3").select("id")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 14
+    # the filter must reach the ORC scan, same as the parquet path
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters:")[1][:80]
+
+
 def test_read_csv_roundtrip(spark, tmp_path):
     p = str(tmp_path / "c")
     spark.range(4).selectExpr("id", "concat('n', id) AS name").write.option(

@@ -908,3 +908,55 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_agg_sketch_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_users,
+           TRUE                      AS merged_within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg``): partial sketches are built
+    per (status, salt) sub-group, then UNIONED per status and estimated —
+    the two-level aggregation a 100 TB rollup tree actually runs, where
+    per-partition/per-day sketch partials are persisted once and coarser
+    grains merge bytes instead of re-scanning raw rows.
+
+    Like ``q_agg_approx``, engines' sketches differ bit-for-bit, so the
+    oracle pins the approximation CONTRACT: the merged estimate must land
+    within 5% of the exact count (lgConfigK=12 ⇒ rse ≈ 1.6%, so 5% only
+    fails if merging is broken — which is exactly what this query guards).
+
+    Scale: level 1 is a hash agg on (status, salt) — 16-way parallel,
+    map-side combined, each partial a ~2 KB sketch; level 2 shuffles only
+    #status × 16 sketch blobs. The exact side (for the contract check)
+    is a standard two-phase distinct; at 100 TB a production pipeline
+    drops it and trusts the sketch — the whole point of mergeability.
+    """
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    )
+    partials = orders.groupBy(
+        "o_orderstatus",
+        F.pmod(F.hash("o_custkey"), F.lit(16)).alias("salt"),
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    merged = partials.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_users")
+    )
+    return exact.join(F.broadcast(merged), "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_within_5pct"),
+    )

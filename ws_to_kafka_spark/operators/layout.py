@@ -65,11 +65,11 @@ def _z_expr(x: str, y: str, div: str) -> str:
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering report: every lineitem row mapped to its Morton
     z-value over (l_partkey, l_suppkey) low bytes, bucketed into
-    {n} fixed z-ranges, with each bucket's min/max envelope in both
-    dimensions — small envelopes on BOTH columns are the whole point of
-    Z-ordering (a linear sort would give tight part ranges but full-width
-    supp ranges). See the module docstring for the scale shape.
-    """.replace("{n}", str(_ZBUCKETS))
+    ``_ZBUCKETS`` fixed z-ranges, with each bucket's min/max envelope in
+    both dimensions — small envelopes on BOTH columns are the whole point
+    of Z-ordering (a linear sort would give tight part ranges but
+    full-width supp ranges). See the module docstring for the scale shape.
+    """
     li = tables.load(spark, sf_dir, "lineitem")
     z = li.select(
         (F.col("l_partkey") % 256).alias("px"),

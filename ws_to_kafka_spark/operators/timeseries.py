@@ -19,7 +19,7 @@ partitioning untouched and the second pass is a map-only stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -107,6 +107,108 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(hourly, "hour").unionAll(out(daily, "day"))
+
+
+@register(
+    "q_ts_interpolate",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    edges AS (
+      SELECT event_id, user_id, ts, v,
+             LAST_VALUE(v IGNORE NULLS) OVER back AS prev_v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER back AS prev_ts,
+             FIRST_VALUE(v IGNORE NULLS) OVER fwd AS next_v,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER fwd AS next_ts
+      FROM masked
+      WINDOW back AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd  AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           (v IS NULL) AS was_gap,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                 * (epoch_us(ts) - epoch_us(prev_ts))
+                 / (epoch_us(next_ts) - epoch_us(prev_ts))
+             WHEN prev_v IS NOT NULL THEN prev_v
+             ELSE next_v
+           END, 4) AS v_interp
+    FROM edges
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps: missing readings
+    ('error' events carry no value, as in ``q_win_locf``) are filled by
+    time-weighted interpolation between the nearest prior and next
+    observation; boundary gaps fall back to LOCF (tail) / backfill (head).
+
+    Scale: ONE shuffle + local sort on (user_id, ts) serves both the
+    backward and forward frames — Spark evaluates the two running frames
+    over the same sorted partition with O(1) state each, exactly like
+    ``q_win_locf`` but with the forward pass added. No self-join against
+    the observation subset (the naive formulation), which would be a
+    second shuffle plus a range probe. Interpolation weights use
+    microsecond epochs on both engines; identical double-divide ordering,
+    rounded to 4 dp at the output so last-ulp drift cannot split the hash.
+    """
+    events = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    # ts is TIMESTAMP_NTZ; the session TZ is UTC so the cast to TIMESTAMP
+    # is value-preserving and unix_micros matches DuckDB's epoch_us.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    masked = events.select(
+        "event_id", "user_id", "ts", v.alias("v"), us.alias("us")
+    )
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    edges = masked.select(
+        "event_id",
+        "user_id",
+        "v",
+        "us",
+        F.last("v", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(obs_us, ignorenulls=True).over(back).alias("prev_us"),
+        F.first("v", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(obs_us, ignorenulls=True).over(fwd).alias("next_us"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("us") - F.col("prev_us"))
+            / (F.col("next_us") - F.col("prev_us")),
+        )
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+    )
+    return edges.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_gap"),
+        F.round(interp, 4).alias("v_interp"),
+    )
 
 
 @register(

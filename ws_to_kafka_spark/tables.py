@@ -75,6 +75,14 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the third columnar container after parquet. Spark's
+    native ORC reader supports the same predicate pushdown / column
+    pruning / vectorized decode as parquet, so an ORC-resident corpus
+    joins the engine with no plan changes."""
+    return spark.read.orc(path)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
