@@ -115,17 +115,27 @@ def compare_to_baseline(per_query: dict[str, float], sf: float):
 def main() -> None:
     spark = get_spark("bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
-    # Warmup: JVM + codegen + parquet footer caches + the Python/Arrow
-    # worker pool + the persisted shingle index (so UDF/dedup queries are
-    # billed steady-state, not cold-start/materialization).
-    run_once(spark, "q_flagship_pricing_summary", SF_DIR)
-    run_once(spark, "q_udf_scalar", SF_DIR)
-    run_once(spark, "q_dedup_near", SF_DIR)
-    run_once(spark, "q_dedup_clusters", SF_DIR)  # materializes the pair index
-    run_once(spark, "q_sim_ann", SF_DIR)         # materializes the LSH index
-    per_query: dict[str, float] = {}
+    # Warmup: one unmeasured pass over the WHOLE headline set — JVM +
+    # whole-stage-codegen compile (Janino bills ~1-2 s to every distinct
+    # generated class on its first run, with high machine-state variance),
+    # parquet footer caches, the Python/Arrow worker pool, and the
+    # persisted dedup/LSH indices. Round 2's bench warmed 5 of its own
+    # measured queries for exactly this reason; warming all of them applies
+    # the same steady-state billing uniformly instead of leaving
+    # first-compile noise on the rest.
     for name in HEADLINE:
-        per_query[name] = round(run_once(spark, name, SF_DIR), 3)
+        run_once(spark, name, SF_DIR)
+    # Measure: median of 3 runs per query, rounds interleaved so a GC
+    # pause lands on one round of many queries instead of poisoning a
+    # single query's only sample (observed: ±1 s swings on sub-second
+    # queries flag spurious >2x "regressions" under single-run billing).
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            samples[name].append(run_once(spark, name, SF_DIR))
+    per_query = {
+        name: round(sorted(ts)[1], 3) for name, ts in samples.items()
+    }
     total = round(sum(per_query.values()), 3)
     comparison = compare_to_baseline(per_query, sf)
     payload = {
