@@ -54,6 +54,7 @@ HEADLINE = (
     "q_graph_pagerank",            # 5-iteration join/agg loop over the graph
     "q_rollup_multires",           # hierarchical rollup (daily from hourly)
     "q_sim_centroid",              # centroid build + broadcast argmax scoring
+    "q_join_overlap",              # keyed interval-overlap self-join
 )
 
 

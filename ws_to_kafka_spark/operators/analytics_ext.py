@@ -960,3 +960,80 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("merged_within_5pct"),
     )
+
+
+@register(
+    "q_join_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE)      AS start_d,
+             MAX(CAST(l_shipdate AS DATE))  AS end_d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, o_orderkey, CAST(o_orderdate AS DATE)
+    )
+    SELECT a.o_custkey                         AS custkey,
+           a.o_orderkey                        AS orderkey_a,
+           b.o_orderkey                        AS orderkey_b,
+           CAST(date_diff('day',
+                GREATEST(a.start_d, b.start_d),
+                LEAST(a.end_d, b.end_d)) + 1 AS BIGINT) AS overlap_days
+    FROM iv a
+    JOIN iv b
+      ON  a.o_custkey = b.o_custkey
+      AND a.o_orderkey < b.o_orderkey
+      AND a.start_d <= b.end_d
+      AND b.start_d <= a.end_d
+    """,
+)
+def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of orders by the SAME customer
+    whose fulfillment intervals [orderdate, last shipdate] overlap, with
+    the overlap length in days — the interval-intersection shape behind
+    conflict detection, co-occurrence windows, and resource contention.
+
+    Scale: the equi key (custkey) does the heavy lifting — one shuffle
+    co-locates each customer's intervals and the overlap predicate runs
+    inside the hash-join group, so candidate pairs are bounded by each
+    customer's own order count (tens), never all-pairs. The UNKEYED
+    variant needs time blocking first: assign each interval to the
+    ``width``-sized grid cells it spans (explode), join within cells, and
+    keep a pair only in its first shared cell (the ownership trick
+    ``q_join_spatial`` uses for 2-D grids) — same bucketed-not-all-pairs
+    structure as the dedup family. ``o_orderkey < o_orderkey`` halves the
+    pair space and makes output deterministic.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("start_d"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d"))
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.start_d") <= F.col("b.end_d"))
+            & (F.col("b.start_d") <= F.col("a.end_d")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            (
+                F.datediff(
+                    F.least("a.end_d", "b.end_d"),
+                    F.greatest("a.start_d", "b.start_d"),
+                )
+                + 1
+            ).cast("long").alias("overlap_days"),
+        )
+    )
