@@ -1,0 +1,161 @@
+"""Randomized cross-engine semantics tests: hypothesis-generated tables run
+through the SAME logical operation on Spark and DuckDB, results compared.
+
+The fixture-based oracle harness (tools/verify_queries.py) proves every
+registered query on the driver's parquet tables; what it cannot reach are
+the degenerate inputs those tables never contain — empty tables, all-NULL
+groups, duplicate rows, single-row groups, negative keys. Aggregate, window,
+join, and set-op semantics all have engine-divergence traps on exactly those
+inputs (SUM of no rows, COUNT(col) vs COUNT(*), NULL join keys, bag vs set
+EXCEPT), so this file pins them property-style.
+
+Determinism rules mirror the registry's oracle conventions: every ORDER BY
+is total (unique `id` tiebreak), comparisons avoid floats (int sums only),
+and NULL ordering never matters because ordering keys are non-null.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# rows: (id unique-ish int, k small group key, v nullable int)
+_row = st.tuples(
+    st.integers(min_value=0, max_value=9),          # k: group key
+    st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),  # v
+)
+_table = st.lists(_row, min_size=0, max_size=30)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_SCHEMA = "id long, k long, v long"
+
+
+def _frames(spark, rows):
+    """Build the same table in both engines: Spark DF + DuckDB relation."""
+    rows = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(rows, schema=_SCHEMA)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, k BIGINT, v BIGINT)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    return sdf, con
+
+
+def _nullsafe(rows) -> list[tuple]:
+    return sorted(
+        (tuple(r) for r in rows),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def _rowset(df) -> list[tuple]:
+    return _nullsafe(df.collect())
+
+
+@given(_table)
+@_SETTINGS
+def test_grouped_agg_null_semantics(spark, rows):
+    """SUM/COUNT(col)/COUNT(*)/MIN over NULL-bearing groups: SUM of an
+    all-NULL group is NULL (not 0), COUNT(v) skips NULLs, COUNT(*) does
+    not — on both engines, for every generated grouping."""
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    got = _rowset(
+        sdf.groupBy("k").agg(
+            F.sum("v").alias("sum_v"),
+            F.count("v").alias("n_v"),
+            F.count("*").alias("n_rows"),
+            F.min("v").alias("min_v"),
+        )
+    )
+    want = _nullsafe(
+        con.execute(
+            "SELECT k, CAST(SUM(v) AS BIGINT), COUNT(v), COUNT(*), MIN(v) "
+            "FROM t GROUP BY k"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(_table)
+@_SETTINGS
+def test_window_running_sum_and_row_number(spark, rows):
+    """Running SUM + ROW_NUMBER over a total order (unique id tiebreak):
+    frame accumulation over NULLs must skip, not zero, on both engines."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    w = (
+        W.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    got = _rowset(
+        sdf.select(
+            "id",
+            F.sum("v").over(w).alias("run_sum"),
+            F.row_number().over(W.partitionBy("k").orderBy("id")).alias("rn"),
+        )
+    )
+    want = _nullsafe(
+        con.execute(
+            "SELECT id, CAST(SUM(v) OVER w AS BIGINT), "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS BIGINT) "
+            "FROM t WINDOW w AS (PARTITION BY k ORDER BY id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(_table, _table)
+@_SETTINGS
+def test_full_outer_join_on_nullable_key(spark, rows_a, rows_b):
+    """FULL OUTER JOIN on the nullable column v: NULL keys must match
+    NOTHING (not each other) and still surface via the outer sides —
+    the join-semantics trap randomized keys hit constantly."""
+    sdf_a, con = _frames(spark, rows_a)
+    rows_b = [(i, k, v) for i, (k, v) in enumerate(rows_b)]
+    sdf_b = spark.createDataFrame(rows_b, schema=_SCHEMA)
+    con.execute("CREATE TABLE u (id BIGINT, k BIGINT, v BIGINT)")
+    if rows_b:
+        con.executemany("INSERT INTO u VALUES (?, ?, ?)", rows_b)
+    got = _rowset(
+        sdf_a.alias("a")
+        .join(sdf_b.alias("b"), sdf_a.v == sdf_b.v, "full_outer")
+        .selectExpr("a.id AS id_a", "b.id AS id_b")
+    )
+    want = _nullsafe(
+        con.execute(
+            "SELECT t.id, u.id FROM t FULL OUTER JOIN u ON t.v = u.v"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(_table, _table)
+@_SETTINGS
+def test_except_all_bag_semantics(spark, rows_a, rows_b):
+    """EXCEPT ALL is bag difference (multiplicity-aware), not set minus:
+    duplicates generated on both sides must cancel one-for-one."""
+    sdf_a, con = _frames(spark, rows_a)
+    rows_b = [(i, k, v) for i, (k, v) in enumerate(rows_b)]
+    sdf_b = spark.createDataFrame(rows_b, schema=_SCHEMA)
+    con.execute("CREATE TABLE u (id BIGINT, k BIGINT, v BIGINT)")
+    if rows_b:
+        con.executemany("INSERT INTO u VALUES (?, ?, ?)", rows_b)
+    got = _rowset(sdf_a.select("k", "v").exceptAll(sdf_b.select("k", "v")))
+    want = _nullsafe(
+        con.execute(
+            "SELECT k, v FROM t EXCEPT ALL SELECT k, v FROM u"
+        ).fetchall()
+    )
+    assert got == want
