@@ -86,3 +86,51 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "bucketed aggregation still shuffles"
     assert agg.count() > 0
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story has two halves: explicit salting
+    (q_join_salted) and AQE's runtime skew-join splitting. This pins the
+    second: a 95%-hot-key join, with thresholds scaled down to fixture
+    size, must execute with SortMergeJoin(skew=true) — the hot partition
+    split into advisory-sized reads instead of one straggler task."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(500_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id")).alias(
+                "payload"
+            ),
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        out = big.join(right, "k").groupBy("name").agg(F.count("*").alias("n"))
+        rows = out.collect()
+        assert rows == [("dim", 500_000)]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # the AQEShuffleRead split marker
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
