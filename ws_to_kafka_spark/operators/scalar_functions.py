@@ -428,3 +428,57 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("text").rlike(r"spark\s+(scan|join|merge)").alias("spark_op_mention"),
     )
+
+
+@register(
+    "q_fn_array_hof",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(words, x -> strlen(x))) AS BIGINT)
+                                                           AS total_chars,
+           CAST(len(list_filter(words, x -> strlen(x) > 6)) AS BIGINT)
+                                                           AS n_long_words,
+           list_has_any(words, ['the', 'a'])               AS has_article,
+           CAST(list_max(list_transform(words, x -> strlen(x))) AS BIGINT)
+                                                           AS max_word_len
+    FROM w
+    """,
+)
+def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order functions — ``transform`` / ``filter`` /
+    ``aggregate`` (fold) / ``exists`` — the array-processing surface that
+    replaces per-row Python UDFs with codegen'd JVM lambdas.
+
+    The fold accumulates LONG (int arithmetic — hash-safe, no float
+    drift). Scale: HOFs evaluate per row inside the scan projection —
+    map-only, no shuffle, no Python worker; this is the form every
+    "loop over the array column" request should take before reaching for
+    ``explode`` (one output row per element, a generator) or a pandas UDF
+    (Arrow transfer). The words array is materialized ONCE in a prior
+    projection — an inline split() per HOF reference would re-tokenize
+    per expression (the perf gotcha q_fn_array documents).
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    words = F.col("words")
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter(words, lambda x: F.length(x) > 6))
+        .cast("long")
+        .alias("n_long_words"),
+        F.exists(words, lambda x: (x == "the") | (x == "a")).alias(
+            "has_article"
+        ),
+        F.array_max(F.transform(words, lambda x: F.length(x).cast("long"))).alias(
+            "max_word_len"
+        ),
+    )
