@@ -1109,3 +1109,94 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+_CMS_DEPTH = 4      # hash rows (delta = e^-4 ~ 2%)
+_CMS_WIDTH = 1024   # buckets per row (eps = e/1024 ~ 0.27% of stream mass)
+_CMS_PROBE_K = 10   # heavy hitters probed against the sketch
+
+
+@register(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY token
+    )
+    SELECT token, exact_n,
+           TRUE AS cms_never_under,
+           TRUE AS cms_within_bound
+    FROM exact
+    ORDER BY exact_n DESC, token
+    LIMIT {_CMS_PROBE_K}
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan,
+    J.Algorithms 2005): token counts folded into a FIXED d×w = 4×1024
+    counter grid (xxhash64 row hashes), heavy hitters then estimated as
+    the min over rows of their bucket counts.
+
+    Like the HLL queries, sketch internals aren't portable across
+    engines, so the oracle pins the CONTRACT on the top-10 exact heavy
+    hitters: CMS never underestimates (structural guarantee — every
+    occurrence lands in the probed bucket), and overestimates by at most
+    1% of total stream mass here (theory: ≤ e/w ≈ 0.27% per row with
+    probability 1−e^−d; the fixture evaluation is deterministic, so the
+    slack only needs to hold for these corpora, verified at all SFs).
+
+    Scale: the sketch build is explode + groupBy over a key space CAPPED
+    at d×w = 4096 buckets — constant memory regardless of corpus size or
+    vocabulary, full map-side combine (bucket-wise partial sums ARE the
+    sketch-merge operation, so executors combine locally and the shuffle
+    moves ≤4096 rows per partition). That's the whole point vs the exact
+    vocab count (`q_vocab_topk`), whose key space grows with the corpus.
+    The probe side is #probe-keys × d rows joined against the 4096-row
+    sketch — both broadcast-sized.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def buckets(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(r)), F.lit(_CMS_WIDTH)).alias(f"b{r}")
+            for r in range(_CMS_DEPTH)
+        ]
+
+    # sketch: (row r, bucket) -> count, via posexplode of the d bucket ids
+    cms = (
+        toks.select(
+            F.posexplode(F.array(*buckets(F.col("token")))).alias("r", "bucket")
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("token")).limit(_CMS_PROBE_K)
+    total = toks.agg(F.count("*").alias("stream_n"))
+    probes = top.select(
+        "token",
+        "exact_n",
+        F.posexplode(F.array(*buckets(F.col("token")))).alias("r", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "exact_n",
+            (F.col("cms_est") >= F.col("exact_n")).alias("cms_never_under"),
+            (
+                F.col("cms_est") - F.col("exact_n")
+                <= F.col("stream_n") / F.lit(100)
+            ).alias("cms_within_bound"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+    )
