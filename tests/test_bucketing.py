@@ -134,3 +134,31 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_is_idempotent_backfill(spark, tmp_path):
+    """The 100 TB backfill pattern: partitionOverwriteMode=dynamic replaces
+    ONLY the partitions present in the write, leaving siblings untouched —
+    re-running a day's pipeline is idempotent and cannot clobber the rest
+    of the table (static mode would truncate everything first)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.range(100).select(
+        (F.col("id") % 4).alias("day"), F.col("id").alias("v")
+    )
+    base.write.partitionBy("day").parquet(path)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # "re-run" day 2 only, with corrected values
+        fix = spark.range(10).select(
+            F.lit(2).alias("day"), (F.col("id") + 1000).alias("v")
+        )
+        fix.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(path)
+    assert back.where("day = 2").count() == 10          # replaced
+    assert back.where("day = 2 AND v >= 1000").count() == 10
+    assert back.where("day != 2").count() == 75          # untouched

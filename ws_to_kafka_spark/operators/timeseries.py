@@ -258,3 +258,51 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.abs(F.col("zscore")) >= 2.5)
     )
+
+
+_INCR_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "q_rollup_incremental",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts)        AS bucket_start,
+           CAST(COUNT(*) AS BIGINT)      AS n_events,
+           ROUND(SUM(value), 4)          AS value_sum
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the stored aggregate (events before
+    a cutoff) merged with the delta's partial aggregate (events at/after
+    it) by summing partials — and the ORACLE is the full recompute, so
+    the oracle match IS the proof of the maintenance identity
+    rollup(T ∪ Δ) = merge(rollup(T), rollup(Δ)).
+
+    Scale: this is how a 100 TB continuous aggregate stays fresh — the
+    nightly delta is aggregated alone (scan of Δ only) and merged into
+    the stored partials by key (shuffle of #groups rows, not a rescan of
+    T). COUNT/SUM merge by addition; MIN/MAX by min/max; AVG must be
+    carried as (sum, count); exact DISTINCT is NOT mergeable — that's
+    what the HLL partials in `q_agg_sketch_merge` are for. The sum is
+    rounded only after the merge so both paths see full precision.
+    """
+    ev = _t(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+        ).agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+
+    stored = partial(ev.where(F.col("ts") < _INCR_CUTOFF))
+    delta = partial(ev.where(F.col("ts") >= _INCR_CUTOFF))
+    return (
+        stored.unionAll(delta)
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_sum"), 4).alias("value_sum"),
+        )
+    )
