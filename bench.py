@@ -7,8 +7,11 @@ prints ONE JSON line::
 
 Each query is forced to full execution with the ``noop`` write format
 (whole plan runs, nothing is collected to the driver — the honest way to
-time a distributed plan). A warmup query first so JVM/codegen startup is
-not billed to the first measurement.
+time a distributed plan). Methodology: one unmeasured warmup pass over the
+whole headline set (JVM + per-query codegen compile + caches), then each
+query is billed the MEDIAN of 3 measured runs with rounds interleaved —
+see the inline comments in ``main`` for why. Per-query deltas against the
+pinned round-2 ``BENCH_BASELINE.json`` go to stderr; stdout stays one line.
 """
 
 from __future__ import annotations

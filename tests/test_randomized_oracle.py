@@ -20,7 +20,8 @@ import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-# rows: (id unique-ish int, k small group key, v nullable int)
+# rows: (k small group key, v nullable int); a unique id is prepended by
+# _frames via enumerate()
 _row = st.tuples(
     st.integers(min_value=0, max_value=9),          # k: group key
     st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),  # v

@@ -1,0 +1,91 @@
+"""Edge-case pins for the time-series operators, on CONSTRUCTED events
+data the driver fixtures never contain:
+
+* a masked gap bracketed by two observations at the SAME timestamp
+  (zero interpolation span — ANSI mode would throw DIVIDE_BY_ZERO
+  without the guard; semantics must degrade to LOCF on both engines);
+* a NULL ``ts`` row (must land in exactly one side of the incremental
+  rollup split, preserving rollup(T ∪ Δ) = merge identity).
+
+Each test runs the registered Spark query AND its registered DuckDB
+oracle over the same parquet directory — a miniature of the
+tools/verify_queries.py harness pointed at adversarial data.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import duckdb
+import pytest
+
+
+def _ts(s: str | None):
+    return datetime.fromisoformat(s) if s else None
+
+from ws_to_kafka_spark.operators import QUERIES
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory) -> str:
+    """Events with a same-timestamp bracket around a gap, a NULL ts, and
+    rows on both sides of the incremental-rollup cutoff."""
+    rows = [
+        # user 1: obs(10:00)=2.0, gap(10:00), obs(10:00)=4.0  -> zero span
+        (1, _ts("2024-01-10 10:00:00"), 1, "view", 2.0, "{}"),
+        (2, _ts("2024-01-10 10:00:00"), 1, "error", 99.0, "{}"),
+        (3, _ts("2024-01-10 10:00:00"), 1, "view", 4.0, "{}"),
+        # user 2: a normal interpolatable gap halfway between observations
+        (4, _ts("2024-01-10 10:00:00"), 2, "view", 1.0, "{}"),
+        (5, _ts("2024-01-10 10:30:00"), 2, "error", 99.0, "{}"),
+        (6, _ts("2024-01-10 11:00:00"), 2, "view", 3.0, "{}"),
+        # NULL ts row + rows straddling the 2024-01-15 cutoff
+        (7, None, 3, "view", 5.0, "{}"),
+        (8, _ts("2024-01-14 23:00:00"), 3, "view", 6.0, "{}"),
+        (9, _ts("2024-01-16 01:00:00"), 3, "view", 7.0, "{}"),
+    ]
+    dst = str(tmp_path_factory.mktemp("sf_edge"))
+    spark.createDataFrame(rows, schema=_EVENTS_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/events.parquet"
+    )
+    return dst
+
+
+def _oracle(sf_dir: str, name: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, ts, user_id, event_type, "
+        f"value, props FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    return con.execute(QUERIES[name].oracle).fetchall()
+
+
+def test_interpolate_zero_span_degrades_to_locf(spark, edge_sf_dir):
+    got = {
+        r.event_id: (r.was_gap, r.v_interp)
+        for r in QUERIES["q_ts_interpolate"].fn(spark, edge_sf_dir).collect()
+    }
+    # zero-span gap: LOCF from the same-timestamp predecessor, no crash
+    assert got[2] == (True, 2.0)
+    # normal gap: halfway between 1.0 and 3.0
+    assert got[5] == (True, 2.0)
+    # oracle agrees row-for-row
+    want = {r[0]: (r[2], r[3]) for r in _oracle(edge_sf_dir, "q_ts_interpolate")}
+    assert got == want
+
+
+def test_incremental_rollup_keeps_null_ts_bucket(spark, edge_sf_dir):
+    df = QUERIES["q_rollup_incremental"].fn(spark, edge_sf_dir)
+    got = sorted(
+        ((r.event_type, r.bucket_start, r.n_events, r.value_sum) for r in df.collect()),
+        key=str,
+    )
+    # the NULL-ts row must survive the stored/delta split as its own bucket
+    assert any(b is None and n == 1 for (_, b, n, _) in got)
+    want = sorted(_oracle(edge_sf_dir, "q_rollup_incremental"), key=str)
+    assert [tuple(r) for r in want] == [tuple(r) for r in got]

@@ -437,12 +437,12 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
     )
     SELECT doc_id,
-           CAST(list_sum(list_transform(words, x -> strlen(x))) AS BIGINT)
+           CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
                                                            AS total_chars,
-           CAST(len(list_filter(words, x -> strlen(x) > 6)) AS BIGINT)
+           CAST(len(list_filter(words, x -> length(x) > 6)) AS BIGINT)
                                                            AS n_long_words,
            list_has_any(words, ['the', 'a'])               AS has_article,
-           CAST(list_max(list_transform(words, x -> strlen(x))) AS BIGINT)
+           CAST(list_max(list_transform(words, x -> length(x))) AS BIGINT)
                                                            AS max_word_len
     FROM w
     """,
@@ -462,15 +462,22 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     per expression (the perf gotcha q_fn_array documents).
     """
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("words")
+        "doc_id",
+        F.split("text", " ").alias("words"),
+    ).select(
+        "doc_id",
+        "words",
+        # lengths materialized ONCE — total_chars and max_word_len both
+        # read it; two inline transform() calls would build it twice/row
+        F.transform(F.col("words"), lambda x: F.length(x).cast("long")).alias(
+            "lens"
+        ),
     )
     words = F.col("words")
     return docs.select(
         "doc_id",
         F.aggregate(
-            F.transform(words, lambda x: F.length(x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+            F.col("lens"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total_chars"),
         F.size(F.filter(words, lambda x: F.length(x) > 6))
         .cast("long")
@@ -478,7 +485,5 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(words, lambda x: (x == "the") | (x == "a")).alias(
             "has_article"
         ),
-        F.array_max(F.transform(words, lambda x: F.length(x).cast("long"))).alias(
-            "max_word_len"
-        ),
+        F.array_max(F.col("lens")).alias("max_word_len"),
     )

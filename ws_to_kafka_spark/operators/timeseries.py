@@ -135,7 +135,8 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
            (v IS NULL) AS was_gap,
            ROUND(CASE
              WHEN v IS NOT NULL THEN v
-             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  AND epoch_us(next_ts) != epoch_us(prev_ts) THEN
                prev_v + (next_v - prev_v)
                  * (epoch_us(ts) - epoch_us(prev_ts))
                  / (epoch_us(next_ts) - epoch_us(prev_ts))
@@ -191,10 +192,15 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(fwd).alias("next_v"),
         F.first(obs_us, ignorenulls=True).over(fwd).alias("next_us"),
     )
+    # A gap bracketed by two observations at the SAME timestamp has a zero
+    # time span: guard the divide (ANSI mode throws DIVIDE_BY_ZERO) and
+    # fall back to LOCF — the oracle carries the identical condition.
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(
-            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("next_us") != F.col("prev_us")),
             F.col("prev_v")
             + (F.col("next_v") - F.col("prev_v"))
             * (F.col("us") - F.col("prev_us"))
@@ -296,8 +302,15 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
         ).agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
 
-    stored = partial(ev.where(F.col("ts") < _INCR_CUTOFF))
-    delta = partial(ev.where(F.col("ts") >= _INCR_CUTOFF))
+    # NULL ts rows route to the stored side (a bare `ts < cutoff` predicate
+    # is NULL for them — they'd fall out of BOTH partials and break the
+    # identity; the oracle's full GROUP BY keeps a NULL bucket).
+    stored = partial(
+        ev.where(F.col("ts").isNull() | (F.col("ts") < _INCR_CUTOFF))
+    )
+    delta = partial(
+        ev.where(F.col("ts").isNotNull() & (F.col("ts") >= _INCR_CUTOFF))
+    )
     return (
         stored.unionAll(delta)
         .groupBy("event_type", "bucket_start")
