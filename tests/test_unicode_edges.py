@@ -1,0 +1,86 @@
+"""Unicode edge pins for the text family: the driver fixtures are pure
+ASCII, so a byte-length/char-length divergence between a Spark query and
+its DuckDB oracle would pass every gate until real multilingual data hits
+it (exactly the class /code-review caught in q_fn_array_hof's first
+oracle). These tests run query AND registered oracle over constructed
+documents containing multi-byte UTF-8 (accents, CJK, emoji) and require
+them to agree.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ws_to_kafka_spark.operators import QUERIES
+
+_DOCS = [
+    (1, "café au lait s'il vous plaît", "fr", "web", None),
+    (2, "naïve façade jalapeño über straße", "de", "web", None),
+    (3, "数据 处理 引擎 的 测试 文本", "zh", "web", None),
+    (4, "mixed ascii and café 数据 🚀 tokens here", "en", "web", None),
+    (5, "plain ascii control text for comparison", "en", "web", None),
+]
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# text-family queries whose inputs are documents only and whose outputs
+# depend on character handling
+_TEXT_QUERIES = [
+    "q_text_stats",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_fn_array",
+    "q_fn_array_hof",
+    "q_text_langid",
+    "q_text_entropy",
+    "q_text_split",
+    "q_text_pii",
+    "q_text_repetition",
+    "q_text_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def uni_sf_dir(spark, tmp_path_factory) -> str:
+    rows = [
+        (i, t, lang, src, len(t)) for (i, t, lang, src, _) in _DOCS
+    ]
+    dst = str(tmp_path_factory.mktemp("sf_uni"))
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    return dst
+
+
+def _norm(rows) -> list[tuple]:
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(x, 6) if isinstance(x, float) and math.isfinite(x) else x
+                for x in r
+            )
+        )
+    return sorted(out, key=str)
+
+
+@pytest.mark.parametrize("qname", _TEXT_QUERIES)
+def test_text_query_matches_oracle_on_unicode(spark, uni_sf_dir, qname):
+    spec = QUERIES[qname]
+    if spec.oracle is None:
+        pytest.skip("rows-only query")
+    df = spec.fn(spark, uni_sf_dir)
+    got = _norm(tuple(r) for r in df.select(sorted(df.columns)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{uni_sf_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _norm(tuple(r[i] for i in order) for r in rows)
+    assert got == want, f"{qname} diverges on unicode input"
