@@ -30,7 +30,10 @@ def test_every_query_tolerates_empty_input(spark, empty_sf_dir):
     failures = []
     for qname, spec in sorted(QUERIES.items()):
         try:
-            spec.fn(spark, empty_sf_dir).count()
+            # collect(), NOT count(): count lets Catalyst prune the output
+            # projection, silently skipping expressions (e.g. divides) that
+            # are exactly what breaks on degenerate input
+            spec.fn(spark, empty_sf_dir).collect()
         except Exception as exc:  # noqa: BLE001 — collecting the full list
             failures.append(f"{qname}: {exc!r}")
     assert not failures, "queries crashed on empty input:\n" + "\n".join(failures)

@@ -79,7 +79,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias(
             "price_qty_covar"
         ),
-        F.round(F.skewness("l_extendedprice") * sample_adj, 6).alias("price_skew"),
+        # n<=2 would divide by zero (ANSI raise); DuckDB's sample skewness
+        # is NULL there, so gate the whole term on n > 2
+        F.round(
+            F.when(n > 2, F.skewness("l_extendedprice") * sample_adj), 6
+        ).alias("price_skew"),
     )
 
 
@@ -510,12 +514,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click",
         "n_purchase",
-        F.round(F.col("n_click").cast("double") / F.col("n_view"), 6).alias(
-            "view_to_click"
-        ),
-        F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 6).alias(
-            "click_to_purchase"
-        ),
+        # nullif: a stage with zero events yields NULL rates exactly like
+        # the oracle (DuckDB x/0 is NULL; Spark's ANSI divide would raise)
+        F.round(
+            F.col("n_click").cast("double")
+            / F.nullif(F.col("n_view").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("view_to_click"),
+        F.round(
+            F.col("n_purchase").cast("double")
+            / F.nullif(F.col("n_click").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("click_to_purchase"),
     )
 
 

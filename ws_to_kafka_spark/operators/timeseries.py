@@ -253,7 +253,13 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mean_value"),
         F.stddev_samp("value").alias("std_value"),
     )
-    z = F.round((F.col("value") - F.col("mean_value")) / F.col("std_value"), 4)
+    # nullif: a constant-valued type has std 0 — DuckDB yields NULL (row
+    # dropped by the threshold filter); Spark's ANSI divide would raise
+    z = F.round(
+        (F.col("value") - F.col("mean_value"))
+        / F.nullif(F.col("std_value"), F.lit(0.0)),
+        4,
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select(

@@ -104,7 +104,13 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Normalize one fine-keyed group against its status's global moments
     (constant within the group, joined in before the shuffle)."""
     out = pdf[["o_orderkey", "o_orderstatus"]].copy()
-    out["price_z"] = ((pdf["o_totalprice"] - pdf["mu"]) / pdf["sigma"]).round(4)
+    z = ((pdf["o_totalprice"] - pdf["mu"]) / pdf["sigma"]).round(4)
+    # a constant-valued status has sigma 0: pandas division gives ±inf,
+    # but the window oracle (DuckDB x/0) yields NULL — emit a real null
+    # through Arrow via the nullable Float64 dtype
+    z = z.astype("Float64")
+    z[pdf["sigma"] == 0.0] = pd.NA
+    out["price_z"] = z
     return out
 
 
