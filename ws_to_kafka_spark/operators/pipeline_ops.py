@@ -1200,3 +1200,122 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), F.asc("token"))
     )
+
+
+_SENT_WORDS = 8          # pseudo-sentence width (fixtures have no newlines)
+_SENT_OWNER_PACK = 100000  # owner = doc_id * PACK + sidx (fixture-safe)
+
+
+@register(
+    "q_dedup_sentences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(FLOOR((n_tok - 1) / {_SENT_WORDS}.0) AS BIGINT))) AS sidx,
+             words
+      FROM d
+    ), sent AS (
+      SELECT doc_id, sidx,
+             array_to_string(words[(sidx * {_SENT_WORDS} + 1):
+                                   (sidx * {_SENT_WORDS} + {_SENT_WORDS})], ' ')
+               AS sentence
+      FROM s
+    ), owner AS (
+      SELECT sentence,
+             MIN(doc_id * {_SENT_OWNER_PACK} + sidx) AS owner_key
+      FROM sent GROUP BY sentence
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(COUNT(*) FILTER (
+             WHERE t.doc_id * {_SENT_OWNER_PACK} + t.sidx = o.owner_key
+           ) AS BIGINT)             AS n_kept,
+           COALESCE(array_to_string(
+             list(t.sentence ORDER BY t.sidx) FILTER (
+               WHERE t.doc_id * {_SENT_OWNER_PACK} + t.sidx = o.owner_key
+             ), ' '), '')           AS cleaned_text
+    FROM sent t JOIN owner o USING (sentence)
+    GROUP BY t.doc_id
+    """,
+)
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity dedup across the corpus (CCNet's paragraph
+    dedup, Wenzek et al. 2020): every repeated sentence keeps only its
+    FIRST occurrence (min (doc_id, position) — deterministic), and each
+    document is reassembled from its surviving sentences. Fixtures have
+    no newline structure, so 'sentences' are fixed {w}-word segments —
+    real corpora swap the segmenter, the dataflow is identical.
+
+    Scale: segmentation is the q_doc_chunks explode (map-only). The
+    keep-first rule is a MIN aggregate per sentence (map-side combinable
+    — a boilerplate sentence with 10^9 copies partial-aggregates to one
+    row per partition, no skewed window), then an equi-join of segments
+    to owners on the sentence key: same key both sides, one shuffle that
+    AQE co-partitions. Reassembly is a grouped ordered collect per doc.
+    The owner key packs (doc_id, sidx) into one long for a single-column
+    MIN; at web scale it becomes struct MIN or a 128-bit pack.
+    """.replace("{w}", str(_SENT_WORDS))
+    docs = tables.load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    sent = (
+        d.select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("n_tok") - 1) / float(_SENT_WORDS)).cast(
+                        "long"
+                    ),
+                )
+            ).alias("sidx"),
+        )
+        .select(
+            "doc_id",
+            "sidx",
+            F.array_join(
+                F.slice(
+                    F.col("words"),
+                    (F.col("sidx") * _SENT_WORDS + 1).cast("int"),
+                    _SENT_WORDS,
+                ),
+                " ",
+            ).alias("sentence"),
+        )
+    )
+    owner = sent.groupBy("sentence").agg(
+        F.min(F.col("doc_id") * _SENT_OWNER_PACK + F.col("sidx")).alias(
+            "owner_key"
+        )
+    )
+    tagged = sent.join(owner, "sentence").withColumn(
+        "is_owner",
+        F.col("doc_id") * _SENT_OWNER_PACK + F.col("sidx") == F.col("owner_key"),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.count(F.when(F.col("is_owner"), 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_owner"),
+                            F.struct("sidx", "sentence"),
+                        )
+                    )
+                ),
+                lambda s: s.sentence,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
