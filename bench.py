@@ -58,6 +58,7 @@ HEADLINE = (
     "q_rollup_multires",           # hierarchical rollup (daily from hourly)
     "q_sim_centroid",              # centroid build + broadcast argmax scoring
     "q_join_overlap",              # keyed interval-overlap self-join
+    "q_dedup_sentences",           # sentence keep-first + reassembly
 )
 
 
