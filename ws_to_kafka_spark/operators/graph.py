@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import tables
+from .dedup import _cached_frame
 from .registry import register
 
 _N_ITER = 5
@@ -81,32 +82,43 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = tables.load(spark, sf_dir, "orders")
     li = tables.load(spark, sf_dir, "lineitem")
-    # Nodes are LONG-encoded (customer k -> 2k, supplier k -> 2k+1) through
-    # every shuffle: 8-byte fixed keys hash/sort ~2x faster than the 'c123'
-    # strings, which only appear in the final #nodes-sized projection.
-    half = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+
+    def build_contrib() -> DataFrame:
+        # Nodes are LONG-encoded (customer k -> 2k, supplier k -> 2k+1)
+        # through every shuffle: 8-byte fixed keys hash/sort ~2x faster than
+        # the 'c123' strings, which only appear in the final projection.
+        half = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
-    # contribution edge list: (src, dst, 1/outdeg) — computed once, reused
-    # by every iteration (persist: it is O(|edges|), not O(fact table)).
-    contrib = (
-        edges.join(deg, edges.src == deg.node)
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
-        # Pre-hash-partition the persisted edge list on the join key: every
-        # iteration's join then needs only the O(#nodes) ranks side moved
-        # into this fixed partitioning — the O(#edges) side never
-        # re-shuffles. At 100 TB that is the difference between moving the
-        # graph 5 times and moving it once.
-        .repartition("src")
-    )
-    contrib.persist()
+        edges = half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("outdeg")
+        )
+        return (
+            edges.join(deg, edges.src == deg.node)
+            .select(
+                "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_deg")
+            )
+            # Pre-hash-partition the persisted edge list on the join key:
+            # every iteration's join then needs only the O(#nodes) ranks
+            # side moved into this fixed partitioning — the O(#edges) side
+            # never re-shuffles. At 100 TB that is the difference between
+            # moving the graph 5 times and moving it once.
+            .repartition("src")
+        )
+
+    # contribution edge list: (src, dst, 1/outdeg) — persisted ONCE per
+    # (app, corpus) via the shared index cache (same pattern as the shingle
+    # index): repeated calls reuse it instead of stacking persisted copies.
+    contrib = _cached_frame(spark, sf_dir, "pagerank_contrib", build_contrib)
+    deg = contrib.select(F.col("src").alias("node")).distinct()
     ranks = deg.select("node", F.lit(1.0).alias("pr"))
     for _ in range(_N_ITER):
         ranks = (
