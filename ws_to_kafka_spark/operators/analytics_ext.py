@@ -1047,3 +1047,87 @@ def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("overlap_days"),
         )
     )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT CASE WHEN GROUPING(r_name) = 1 THEN NULL ELSE r_name END AS region_name,
+           CASE WHEN GROUPING(n_name) = 1 THEN NULL ELSE n_name END AS nation_name,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT)                                AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping_id()`` — the disambiguator q_agg_rollup's
+    COALESCE trick cannot provide: a REAL NULL group value and the
+    rolled-up subtotal row both print NULL, and only the grouping bitmask
+    tells them apart (gid: 0=detail, 1=per-region subtotal, 3=grand
+    total). Runs through the SQL-text API; DuckDB spells the bitmask via
+    per-column GROUPING() (its GROUPING_ID argument rules differ, the
+    arithmetic is identical).
+
+    Scale: same single expand + hash-agg as any ROLLUP — the grouping id
+    is a constant per grouping set, free in the aggregate."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name AS region_name,
+               n_name AS nation_name,
+               CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+               COUNT(*)                                    AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        """
+    )
+
+
+@register(
+    "q_sql_lateral",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           t.c_name AS customer_name,
+           t.bal    AS acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c_name, ROUND(c_acctbal, 2) AS bal
+           FROM customer
+           WHERE c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_name
+           LIMIT 2
+         ) t
+    """,
+)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL-text API: the top-2
+    customers by balance per nation, expressed as a per-row dependent
+    subquery — the SQL shape ORMs and BI tools emit for "top N per
+    group" joins.
+
+    Catalyst DECORRELATES this into the same window/top-k plan as
+    `q_topk` (DecorrelateInnerQuery + WindowGroupLimit) — no per-nation
+    re-execution survives optimization, which is exactly why the lateral
+    form is safe at 100 TB. The ORDER BY carries a name tiebreak so the
+    LIMIT cutoff is total on both engines."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name,
+               t.c_name AS customer_name,
+               t.bal    AS acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c_name, ROUND(c_acctbal, 2) AS bal
+               FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name
+               LIMIT 2
+             ) t
+        """
+    )
