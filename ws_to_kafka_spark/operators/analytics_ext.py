@@ -1131,3 +1131,50 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) t
         """
     )
+
+
+@register(
+    "q_sql_recursive",
+    oracle="""
+    WITH RECURSIVE days(d) AS (
+      SELECT DATE '1998-07-01'
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '1998-07-31'
+    )
+    SELECT CAST(d AS DATE)            AS day,
+           CAST(COALESCE(COUNT(o_orderkey), 0) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2)       AS day_revenue
+    FROM days
+    LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY d
+    """,
+)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4) through the SQL-text API: a
+    gap-free calendar dimension generated by recursion, left-joined to
+    daily order aggregates so quiet days report ZERO instead of
+    vanishing — the classic zero-fill reporting shape, and the smoke
+    test that the engine's recursion execution (UnionLoop) works.
+
+    Scale: the recursive member produces one row per day — the loop is
+    31 driver-side-planned iterations over kilobytes, and the real data
+    is touched ONCE by the join (broadcast: the calendar is tiny). An
+    unbounded-frontier recursion (graph closure) instead belongs to the
+    iterative DataFrame loop (`q_graph_pagerank`, `q_dedup_clusters`)
+    where each round is one shuffle and lineage is checkpointed."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '1998-07-01'
+          UNION ALL
+          SELECT d + INTERVAL '1' DAY FROM days WHERE d < DATE '1998-07-31'
+        )
+        SELECT d                                   AS day,
+               COUNT(o_orderkey)                   AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS day_revenue
+        FROM days
+        LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+        GROUP BY d
+        """
+    )
