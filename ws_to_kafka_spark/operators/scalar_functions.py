@@ -487,3 +487,79 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_max(F.col("lens")).alias("max_word_len"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(NULL AS BIGINT)                              AS missing_path,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0)
+                                                             AS k_mod10
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured handling (new in Spark 4): ``parse_json``
+    into the binary VARIANT encoding once, then typed ``variant_get``
+    path extraction — the schema-on-read form that replaces repeated
+    string re-parsing of a JSON column (`q_fn_json`) with one decode
+    whose paths are lazily navigated. ``try_variant_get`` on an absent
+    path yields NULL instead of raising — the lenient probe an evolving
+    event schema needs. The oracle states the same values via DuckDB's
+    JSON path functions.
+
+    Scale: VARIANT columns shred/prune like any binary column; the
+    parse is per-row scan work (codegen), no shuffle. At 100 TB the win
+    over string JSON is parsing ONCE per row for any number of path
+    reads."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    v = F.parse_json(F.col("props"))
+    parsed = ev.select("event_id", v.alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return parsed.select(
+        "event_id",
+        k.alias("k_typed"),
+        F.expr("try_variant_get(v, '$.absent.path', 'long')").alias(
+            "missing_path"
+        ),
+        (k % 10 == 0).alias("k_mod10"),
+    )
+
+
+@register(
+    "q_fn_collation",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)  AS n_ci_match,
+           TRUE                      AS matched_case_insensitively
+    FROM orders
+    WHERE lower(o_orderpriority) IN ('1-urgent', '2-high')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (new in Spark 4): comparisons under
+    ``UTF8_LCASE`` match case-insensitively at the COMPARISON level — the
+    stored bytes are untouched (the oracle mirrors with ``lower()``,
+    which is the pre-collation workaround that loses the original case;
+    collation keeps it, as the un-lowered group key in the output
+    shows).
+
+    Scale: collation-aware equality is scan-level work and collated
+    grouping keys hash consistently — no extra pass, unlike the
+    lower()-projection workaround which doubles the string column in
+    flight."""
+    orders = _t(spark, sf_dir, "orders")
+    pri_ci = F.collate(F.col("o_orderpriority"), "UTF8_LCASE")
+    return (
+        orders.where(pri_ci.isin("1-urgent", "2-high"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_ci_match"))
+        .select(
+            "o_orderpriority",
+            "n_ci_match",
+            F.lit(True).alias("matched_case_insensitively"),
+        )
+    )
