@@ -149,3 +149,45 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted.groupBy("o_orderstatus", "salt").applyInPandas(
         _zscore_group, schema="o_orderkey long, o_orderstatus string, price_z double"
     )
+
+
+@register(
+    "q_udf_sql",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     / 100), 2) AS net_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (new in Spark 4): ``CREATE FUNCTION ...
+    RETURN <expr>`` registers a named, reusable expression that Catalyst
+    INLINES at plan time — unlike Python UDFs there is no serialization
+    boundary, so the aggregate below whole-stage-codegens exactly as if
+    the formula were written inline (the oracle states that inline
+    form). This is the right tool for shared business formulas; the
+    Arrow UDFs in this module remain for logic SQL cannot express.
+
+    The body uses the registry's tie-free cent rounding so both engines
+    agree on half-cent boundaries."""
+    tables.register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE
+        RETURN FLOOR(p * (1 - d) * 100 + 0.5) / 100
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(net_cents(l_extendedprice, l_discount)), 2)
+                 AS net_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
