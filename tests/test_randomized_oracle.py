@@ -160,3 +160,44 @@ def test_except_all_bag_semantics(spark, rows_a, rows_b):
         ).fetchall()
     )
     assert got == want
+
+
+@given(_table)
+@_SETTINGS
+def test_distinct_treats_nulls_as_equal(spark, rows):
+    """DISTINCT (and GROUP BY) use null-safe grouping — all NULLs collapse
+    to one row — unlike join equality where NULL matches nothing; both
+    engines must agree on every generated multiset."""
+    sdf, con = _frames(spark, rows)
+    got = _rowset(sdf.select("k", "v").distinct())
+    want = _nullsafe(
+        con.execute("SELECT DISTINCT k, v FROM t").fetchall()
+    )
+    assert got == want
+
+
+@given(_table)
+@_SETTINGS
+def test_lag_lead_defaults(spark, rows):
+    """lag/lead beyond the partition edge yield the supplied default (lag)
+    or NULL (lead) — pinned over a total order so offsets are
+    deterministic."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    w = W.partitionBy("k").orderBy("id")
+    got = _rowset(
+        sdf.select(
+            "id",
+            F.lag("v", 1, -999).over(w).alias("prev_v"),
+            F.lead("v", 2).over(w).alias("next2_v"),
+        )
+    )
+    want = _nullsafe(
+        con.execute(
+            "SELECT id, LAG(v, 1, -999) OVER w, LEAD(v, 2) OVER w FROM t "
+            "WINDOW w AS (PARTITION BY k ORDER BY id)"
+        ).fetchall()
+    )
+    assert got == want
