@@ -1178,3 +1178,51 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d
         """
     )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+               + o_orderkey AS ord
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, ord)                     AS priciest_order,
+           ROUND(arg_max(o_totalprice, ord), 2)         AS top_price,
+           arg_min(o_orderkey, ord)                     AS cheapest_order,
+           ROUND(arg_min(o_totalprice, ord), 2)         AS bottom_price
+    FROM o
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates (``min_by`` / ``max_by``): the key of the
+    extreme row per group WITHOUT a self-join or window — "which order
+    was the priciest per status" in one aggregate.
+
+    Ties: min_by/max_by pick an arbitrary winner among equal ordering
+    values, so the ordering key is made TOTAL by packing tie-free integer
+    cents with the orderkey into one BIGINT (cents·10^7 + key; both
+    engines compute the identical long). Scale: a plain hash aggregate —
+    partial min/max of (ord, payload) pairs map-side, one #groups-row
+    result; the window/top-k formulation (`q_topk`) shuffles the table,
+    this shuffles one row per group per partition."""
+    orders = tables.load(spark, sf_dir, "orders")
+    ord_col = (
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
+    o = orders.select(
+        "o_orderstatus", "o_orderkey", "o_totalprice", ord_col.alias("ord")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", F.col("ord")).alias("priciest_order"),
+        F.round(F.max_by("o_totalprice", F.col("ord")), 2).alias("top_price"),
+        F.min_by("o_orderkey", F.col("ord")).alias("cheapest_order"),
+        F.round(F.min_by("o_totalprice", F.col("ord")), 2).alias(
+            "bottom_price"
+        ),
+    )
