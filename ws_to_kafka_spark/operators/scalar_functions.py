@@ -563,3 +563,52 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("matched_case_insensitively"),
         )
     )
+
+
+@register(
+    "q_fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                           AS bal_band,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                                                          AS is_building,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'masked')
+                                                          AS segment_masked,
+           CASE WHEN NULLIF(c_mktsegment, 'MACHINERY') IS NOT NULL
+                THEN 'kept' ELSE 'was-machinery' END      AS nvl2_segment,
+           ROUND(GREATEST(c_acctbal, 0.0), 2)             AS bal_clamped
+    FROM customer
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family: multi-branch CASE, IF, NULLIF+COALESCE
+    masking, NVL2 presence dispatch, and clamping — the expressions every
+    derived-column layer is built from. All codegen'd branches inside the
+    scan projection; short-circuit evaluation means no branch cost beyond
+    the taken one."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_building"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")),
+            F.lit("masked"),
+        ).alias("segment_masked"),
+        F.nvl2(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")),
+            F.lit("kept"),
+            F.lit("was-machinery"),
+        ).alias("nvl2_segment"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias(
+            "bal_clamped"
+        ),
+    )

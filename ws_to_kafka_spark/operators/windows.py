@@ -311,3 +311,38 @@ def q_win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last(v, ignorenulls=True).over(w), 4).alias("v_filled"),
         v.isNull().alias("was_gap"),
     )
+
+
+@register(
+    "q_win_nth",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_cheapest_key,
+           FIRST_VALUE(o_orderkey) OVER w  AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` / whole-partition ``first_value``: every row sees its
+    group's cheapest and second-cheapest order keys — the window analytic
+    the lag/lead family can't express (absolute position, not relative
+    offset). Total order (price, key) so the nth row is deterministic;
+    the UNBOUNDED frame is required — the default RANGE frame would make
+    nth_value relative to the current row's peers on both engines.
+
+    Scale: one shuffle + sort on the partition key; the whole-partition
+    frame evaluates with two saved values per partition, not a buffer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_key"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
