@@ -1226,3 +1226,53 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bottom_price"
         ),
     )
+
+
+@register(
+    "q_agg_bitmap",
+    oracle="""
+    WITH words AS (
+      SELECT s_nationkey,
+             s_suppkey // 63 AS widx,
+             bit_or(CAST(1 AS BIGINT) << CAST(s_suppkey % 63 AS INT)) AS word
+      FROM supplier
+      GROUP BY s_nationkey, s_suppkey // 63
+    )
+    SELECT s_nationkey,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT)             AS n_words
+    FROM words
+    GROUP BY s_nationkey
+    """,
+)
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct aggregation: supplier ids folded into 63-bit
+    bitmap words (``bit_or`` per (nation, word-index)), distinct count =
+    popcount sum — the roaring-bitmap/bitmap-index idea as plain longs.
+    63-bit words sidestep the sign bit (shifting into bit 63 overflows
+    DuckDB and flips sign in two's complement).
+
+    Scale: vs COUNT(DISTINCT), the bitmap form's state is one long per
+    64-id range PER GROUP — mergeable by OR (map-side combine does it),
+    rebuildable incrementally (OR new day's words in — same pattern as
+    `q_agg_sketch_merge` but EXACT), and intersectable across groups by
+    AND for distinct-overlap queries. The trade: state is O(id-domain/63)
+    per group, so it fits dense surrogate-key domains (dimension ids),
+    not sparse 64-bit hashes — those take HLL."""
+    supp = tables.load(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_suppkey"
+    )
+    words = supp.groupBy(
+        "s_nationkey",
+        F.expr("s_suppkey div 63").alias("widx"),
+    ).agg(
+        # F.shiftleft only takes a literal shift amount — expr() for the
+        # per-row bit position
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(s_suppkey % 63 AS INT))")
+        ).alias("word")
+    )
+    return words.groupBy("s_nationkey").agg(
+        F.sum(F.bit_count("word")).alias("n_suppliers"),
+        F.count("*").alias("n_words"),
+    )
