@@ -16,6 +16,7 @@ from . import (  # noqa: F401  (imports populate the registry)
     multimodal,
     udfs,
     analytics_ext,
+    tpch_suite,
     pipeline_ops,
     quality,
     timeseries,

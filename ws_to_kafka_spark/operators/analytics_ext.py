@@ -1276,3 +1276,42 @@ def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).alias("n_suppliers"),
         F.count("*").alias("n_words"),
     )
+
+
+@register(
+    "q_agg_regr",
+    oracle="""
+    SELECT l_returnflag,
+           REGR_COUNT(l_extendedprice, l_quantity)               AS n_pairs,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6)     AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6)        AS r2,
+           ROUND(REGR_AVGX(l_extendedprice, l_quantity), 6)      AS avgx,
+           ROUND(REGR_AVGY(l_extendedprice, l_quantity), 4)      AS avgy
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (SQL:2003 REGR_* family): slope,
+    intercept, R², per-axis means and pair count of price-on-quantity,
+    per return flag.
+
+    Scale: all six are moment sketches (sums of x, y, x², xy and a
+    count) — single-pass, mergeable, partial-aggregated map-side like
+    any SUM; no second pass over the data. Spark evaluates them
+    JVM-side inside whole-stage codegen. DuckDB shares the SQL-standard
+    definitions; outputs are rounded on both sides because the moment
+    sums accumulate doubles in different orders. REGR_COUNT is BIGINT
+    in both engines.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n_pairs"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+        F.round(F.regr_avgy(y, x), 4).alias("avgy"),
+    )

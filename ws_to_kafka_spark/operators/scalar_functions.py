@@ -397,7 +397,7 @@ def q_fn_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_regex",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            CAST(LEN(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS n_long_words,
            regexp_extract(text, 's([a-z]+)', 1)                       AS first_s_stem,
