@@ -59,6 +59,8 @@ HEADLINE = (
     "q_sim_centroid",              # centroid build + broadcast argmax scoring
     "q_join_overlap",              # keyed interval-overlap self-join
     "q_dedup_sentences",           # sentence keep-first + reassembly
+    "q_sql_market_share",          # 8-table join graph (Q8 analog)
+    "q_sql_waiting_supplier",      # double-correlated EXISTS/NOT EXISTS (Q21)
 )
 
 

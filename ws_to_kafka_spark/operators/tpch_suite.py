@@ -604,3 +604,203 @@ def q_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey, s_suppkey
         """
     )
+
+
+@register(
+    "q_sql_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity) * 100 + 0.5)
+                    AS BIGINT)) / 100.0 AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q_sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: net profit (revenue minus a
+    retail-price-derived cost proxy — the fixture has no partsupp
+    supplycost) by supplier nation and order year, for parts matching a
+    name pattern.
+
+    Scale: the LIKE filter prunes part before its join; nation
+    broadcasts; the two fact joins shuffle on partkey/orderkey. The
+    profit expression is computed per-row inside the scan projection
+    (codegen) — only (nation, year, partial sum) cross the final
+    exchange.
+
+    Determinism: profit mixes signs, so a double SUM's accumulation
+    error is amplified by cancellation and post-hoc cent-floor rounding
+    can straddle a cent edge (observed at sf0.01). Instead each row is
+    quantized to integer cents FIRST (identical bits in both engines)
+    and summed as BIGINT — exact under any accumulation order.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    supp = tables.load(spark, sf_dir, "supplier")
+    orders = tables.load(spark, sf_dir, "orders")
+    nation = tables.load(spark, sf_dir, "nation")
+    profit = _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(F.floor(profit * 100 + F.lit(0.5)).cast("long")) / 100.0
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q_sql_important_stock",
+    oracle="""
+    SELECT l_suppkey,
+           FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS supp_value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 >
+           (SELECT FLOOR(1.05 * SUM(l_extendedprice)
+                         / COUNT(DISTINCT l_suppkey) * 100 + 0.5) / 100
+            FROM lineitem)
+    ORDER BY supp_value DESC, l_suppkey
+    """,
+)
+def q_sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: suppliers whose shipped value
+    exceeds 1.05x the mean per-supplier value — a scalar subquery inside
+    HAVING, the Q11 decorrelation shape (no partsupp in the fixture, so
+    value = shipped extendedprice).
+
+    Scale: the HAVING scalar is a one-row broadcast joined against the
+    grouped aggregate — the fact table is scanned twice (once per
+    aggregate); at cluster scale the grouped frame would be persisted
+    and both reductions derived from it. The relative threshold keeps
+    the result selective at ANY corpus size. Both sides of the compare
+    are cent-floored, so the frontier is engine-independent.
+    """
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS supp_value
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 >
+               (SELECT FLOOR(1.05 * SUM(l_extendedprice)
+                             / COUNT(DISTINCT l_suppkey) * 100 + 0.5) / 100
+                FROM lineitem)
+        ORDER BY supp_value DESC, l_suppkey
+        """
+    )
+
+
+@register(
+    "q_sql_cust_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_sql_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer distribution: the histogram of orders
+    per customer, INCLUDING zero-order customers — the outer-join +
+    COUNT(column) NULL-semantics shape (COUNT(o_orderkey) counts only
+    non-NULL, so unmatched customers land in bucket 0).
+
+    Scale: one outer-join shuffle on custkey, a per-customer count on
+    the same key (partitioning reused), then a tiny histogram aggregate
+    — the same two-level shape as q_graph_degrees.
+    """
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_sql_waiting_supplier",
+    oracle="""
+    WITH order_supp AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM order_supp l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM order_supp l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM order_supp l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: suppliers who
+    were the SOLE late shipper (>60-day ship lag) on a multi-supplier
+    order — the hardest decorrelation shape in the suite: correlated
+    EXISTS and NOT EXISTS against the same derived table.
+
+    Scale: both correlations decorrelate to semi/anti joins on
+    ``l_orderkey`` — the same key the CTE's aggregate grouped on, so
+    all three consumers share one shuffle partitioning of a frame
+    that is already reduced to one row per (order, supplier). No
+    per-row re-execution, no self-cartesian within orders.
+    """
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH order_supp AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY l_orderkey, l_suppkey
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM order_supp l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.is_late = 1
+          AND EXISTS (SELECT 1 FROM order_supp l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM order_supp l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late = 1)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
