@@ -201,3 +201,67 @@ def test_lag_lead_defaults(spark, rows):
         ).fetchall()
     )
     assert got == want
+
+
+def _two_tables(spark, rows_a, rows_b):
+    sdf_a, con = _frames(spark, rows_a)
+    rows_b = [(i, k, v) for i, (k, v) in enumerate(rows_b)]
+    sdf_b = spark.createDataFrame(rows_b, schema=_SCHEMA)
+    con.execute("CREATE TABLE u (id BIGINT, k BIGINT, v BIGINT)")
+    if rows_b:
+        con.executemany("INSERT INTO u VALUES (?, ?, ?)", rows_b)
+    sdf_a.createOrReplaceTempView("rand_t")
+    sdf_b.createOrReplaceTempView("rand_u")
+    return con
+
+
+@given(_table, _table)
+@_SETTINGS
+def test_not_in_null_semantics(spark, rows_a, rows_b):
+    """NOT IN against a subquery that may yield NULL: three-valued logic
+    makes the whole predicate UNKNOWN for every row once a single NULL is
+    in the list (and a NULL probe never passes) — the classic silent-
+    wrong-answer trap that fixture data, with its non-null keys, can
+    never catch. Both engines must agree on every generated pair."""
+    con = _two_tables(spark, rows_a, rows_b)
+    q = "SELECT id FROM {t} WHERE v NOT IN (SELECT v FROM {u})"
+    got = _rowset(spark.sql(q.format(t="rand_t", u="rand_u")))
+    want = _nullsafe(con.execute(q.format(t="t", u="u")).fetchall())
+    assert got == want
+
+
+@given(_table, _table)
+@_SETTINGS
+def test_correlated_exists_vs_in(spark, rows_a, rows_b):
+    """Correlated EXISTS (v = v) and plain IN over the same data: both
+    use two-valued matching for the row filter (NULL keys match nothing,
+    but the row is simply dropped, not poisoned as with NOT IN), so
+    EXISTS and IN must agree with each other AND across engines."""
+    con = _two_tables(spark, rows_a, rows_b)
+    q_exists = (
+        "SELECT id FROM {t} WHERE EXISTS "
+        "(SELECT 1 FROM {u} WHERE {u}.v = {t}.v)"
+    )
+    q_in = "SELECT id FROM {t} WHERE v IN (SELECT v FROM {u})"
+    got_exists = _rowset(spark.sql(q_exists.format(t="rand_t", u="rand_u")))
+    got_in = _rowset(spark.sql(q_in.format(t="rand_t", u="rand_u")))
+    want = _nullsafe(con.execute(q_exists.format(t="t", u="u")).fetchall())
+    assert got_exists == want
+    assert got_in == want
+
+
+@given(_table, _table)
+@_SETTINGS
+def test_correlated_scalar_subquery_empty_group(spark, rows_a, rows_b):
+    """A correlated scalar aggregate over an EMPTY correlated slice yields
+    NULL (never 0, never a dropped row) — the decorrelation rewrite must
+    preserve the left-outer shape; an inner-join rewrite silently loses
+    exactly the rows whose group is absent."""
+    con = _two_tables(spark, rows_a, rows_b)
+    q = (
+        "SELECT id, (SELECT MAX(v) FROM {u} WHERE {u}.k = {t}.k) AS mx "
+        "FROM {t}"
+    )
+    got = _rowset(spark.sql(q.format(t="rand_t", u="rand_u")))
+    want = _nullsafe(con.execute(q.format(t="t", u="u")).fetchall())
+    assert got == want
