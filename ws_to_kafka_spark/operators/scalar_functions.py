@@ -612,3 +612,45 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_clamped"
         ),
     )
+
+
+@register(
+    "q_fn_map_hof",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS doubled_half,
+           CAST(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END
+              + CASE WHEN o_totalprice / 2 > 1000 THEN 1 ELSE 0 END
+              AS BIGINT)          AS n_over_1000,
+           ROUND(o_totalprice + 1.0, 2) AS zipped_base,
+           'BASE,HALF'           AS upper_keys
+    FROM orders
+    """,
+)
+def q_fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — ``transform_values``, ``map_filter``,
+    ``map_zip_with``, ``transform_keys`` — with an oracle that states each
+    expected value from first principles (the lambdas are chosen so the
+    float round-trips are exact: x/2*2 == x in IEEE).
+
+    Scale: like the array HOFs, map lambdas run per-row inside the scan
+    projection — map-only, no shuffle, no UDF; this is the form keyed
+    per-row state takes before reaching for explode or Python.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    m1 = F.create_map(
+        F.lit("base"), F.col("o_totalprice"),
+        F.lit("half"), F.col("o_totalprice") / 2,
+    )
+    m2 = F.create_map(F.lit("base"), F.lit(1.0), F.lit("half"), F.lit(2.0))
+    doubled = F.transform_values(m1, lambda k, v: v * 2)
+    filtered = F.map_filter(m1, lambda k, v: v > 1000)
+    zipped = F.map_zip_with(m1, m2, lambda k, v1, v2: v1 + v2)
+    upper = F.transform_keys(m1, lambda k, v: F.upper(k))
+    return orders.select(
+        "o_orderkey",
+        F.round(F.element_at(doubled, "half"), 2).alias("doubled_half"),
+        F.size(filtered).cast("long").alias("n_over_1000"),
+        F.round(F.element_at(zipped, "base"), 2).alias("zipped_base"),
+        F.array_join(F.array_sort(F.map_keys(upper)), ",").alias("upper_keys"),
+    )
