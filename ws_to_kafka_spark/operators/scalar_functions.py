@@ -654,3 +654,87 @@ def q_fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(zipped, "base"), 2).alias("zipped_base"),
         F.array_join(F.array_sort(F.map_keys(upper)), ",").alias("upper_keys"),
     )
+
+
+@register(
+    "q_fn_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_brand, '#B', '_b')                    AS brand_translated,
+           repeat(p_brand, 2)                                AS brand_twice,
+           reverse(p_name)                                   AS name_rev,
+           CAST(strpos(p_name, 'a') AS INT)                  AS a_pos,
+           to_base64(CAST(p_brand AS BLOB))                  AS brand_b64,
+           lower(hex(p_brand))                               AS brand_hex,
+           CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT)   AS brand_editdist,
+           md5(p_name)                                       AS name_md5,
+           sha256(p_name)                                    AS name_sha256
+    FROM part
+    """,
+)
+def q_fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family: translate / repeat / reverse / position /
+    base64 / hex / Levenshtein edit distance / md5 / sha-256.
+
+    Alignment notes: hex case differs across engines (lower() both
+    sides); Spark's ``instr`` is 1-based like DuckDB ``strpos`` but
+    returns INT vs BIGINT (cast the oracle); ``sha2(x, 256)`` (Spark)
+    and ``sha256`` (DuckDB) both return lowercase hex strings directly.
+    All JVM built-ins, codegen'd, map-only."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.translate("p_brand", "#B", "_b").alias("brand_translated"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.base64(F.encode("p_brand", "UTF-8")).alias("brand_b64"),
+        F.lower(F.hex(F.col("p_brand"))).alias("brand_hex"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("long").alias(
+            "brand_editdist"
+        ),
+        F.md5(F.col("p_name")).alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+    )
+
+
+@register(
+    "q_fn_datetime_extra",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m / %d')                    AS fmt,
+           CAST(isodow(o_orderdate) AS BIGINT)                    AS iso_weekday,
+           CAST(weekofyear(o_orderdate) AS BIGINT)                AS iso_week,
+           CAST(epoch(o_orderdate) AS BIGINT)                     AS unix_sec,
+           make_date(CAST(EXTRACT(year FROM o_orderdate) AS INT), 12, 31)
+                                                                  AS year_end,
+           CAST((2001 - EXTRACT(year FROM o_orderdate)) * 12
+                + (8 - EXTRACT(month FROM o_orderdate)) AS BIGINT)
+                                                                  AS whole_months_to_ref
+    FROM orders
+    """,
+)
+def q_fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended datetime family: format patterns, ISO weekday/week,
+    Unix epoch seconds, date construction, and whole-month distance.
+
+    Alignment notes: Spark ``dayofweek`` is 1=Sunday vs DuckDB 0=Sunday
+    — the ISO forms (Spark ``weekday``+1 == DuckDB ``isodow``) are the
+    portable pair. ``months_between`` is fractional in Spark but
+    boundary-counting in DuckDB, so whole-month distance is expressed
+    as explicit (year, month) arithmetic — identical by construction.
+    Epoch seconds: the session TZ is pinned UTC so TIMESTAMP_NTZ
+    converts identically."""
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(od, "yyyy-MM / dd").alias("fmt"),
+        (F.weekday(od) + 1).cast("long").alias("iso_weekday"),
+        F.weekofyear(od).cast("long").alias("iso_week"),
+        F.unix_timestamp(od).alias("unix_sec"),
+        F.make_date(F.year(od), F.lit(12), F.lit(31)).alias("year_end"),
+        ((2001 - F.year(od)) * 12 + (8 - F.month(od))).cast("long").alias(
+            "whole_months_to_ref"
+        ),
+    )
