@@ -723,3 +723,143 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edits") <= _FUZZY_MAX_EDITS)
         .select("doc_a", "doc_b", "edits")
     )
+
+
+# Minimum duplicated-span length in tokens for q_dedup_substring.  The
+# published operating point is 50 BPE tokens on web corpora (ExactSubstr);
+# the fixtures are ~50-word documents, so 8 keeps the semantics exercised.
+_SUBSTR_K = 8
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(w[i:i+{_SUBSTR_K - 1}], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(w) - {_SUBSTR_K - 2})) AS t(i)
+      WHERE len(w) >= {_SUBSTR_K}
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
+    ), marked AS (
+      SELECT g.doc_id, g.pos, g.pos + {_SUBSTR_K - 1} AS e
+      FROM grams g JOIN dup USING (gram)
+    ), flagged AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked
+    ), islands AS (
+      SELECT doc_id, pos, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                              ) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS ee
+      FROM islands GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS dup_spans, SUM(ee - s + 1) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(p.dup_tokens, 0) /
+                 NULLIF(len(string_split(d.text, ' ')), 0), 6) AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: find token spans of length >= K that occur
+    more than once anywhere in the corpus (within OR across documents) and
+    report, per document, the merged duplicated-span count, the tokens they
+    cover, and the duplicated fraction — the span-removal statistic of the
+    ExactSubstr pass in published training-data dedup (Lee et al. 2022),
+    re-expressed declaratively over positioned k-grams instead of a suffix
+    array.
+
+    Plan shape: tokenize once, emit (doc_id, pos, gram) for every K-token
+    window JVM-side (``transform(sequence(...))`` over a MATERIALIZED words
+    array — the module-header gotchas), count gram occurrences with one
+    hash aggregate keyed by ``xxhash64(gram)`` (8-byte shuffle key, not the
+    K-token string), join the duplicated keys back, then merge overlapping
+    [pos, pos+K-1] intervals per document with the classic gaps-and-islands
+    window (running MAX(end) over pos order).
+
+    Scale: the gram exchange is the dominant cost — each token is re-sent
+    once per covering gram, so the group-by key MUST be the 8-byte hash,
+    never the gram text (the text stays columnar in the scan).  The dup set
+    shrinks to repeated grams only, so AQE turns the mark-back join into a
+    broadcast on clean corpora.  The per-doc island merge shuffles only
+    (doc_id, pos, end) triples.  The exact-suffix-array formulation is the
+    single-node alternative; this positioned-gram plan is how the same
+    K-floor semantics distribute.  Oracle groups by the gram string itself
+    (DuckDB has no xxhash64); identical grouping up to 2^-64 collisions.
+    """
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    k = _SUBSTR_K
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    gram_structs = F.when(
+        F.size("w") >= k,
+        F.expr(
+            f"transform(sequence(1, size(w) - {k - 1}), "
+            f"i -> struct(CAST(i AS BIGINT) AS pos, "
+            f"concat_ws(' ', slice(w, i, {k})) AS gram))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<pos:bigint,gram:string>>)"))
+    # explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+    # would re-inline the whole transform (see _explode_shingles).
+    grams = (
+        toks.select("doc_id", gram_structs.alias("gs"))
+        .select("doc_id", F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.xxhash64("g.gram").alias("gh"),
+        )
+    )
+    dup_keys = (
+        grams.groupBy("gh").agg(F.count("*").alias("cnt")).filter("cnt > 1")
+    ).select("gh")
+    marked = grams.join(dup_keys, "gh").select(
+        "doc_id", "pos", (F.col("pos") + (k - 1)).alias("e")
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_e = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    flagged = marked.withColumn(
+        "is_new",
+        F.when(F.col("pos") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("e").alias("ee")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("dup_spans"),
+        F.sum(F.col("ee") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
