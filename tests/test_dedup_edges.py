@@ -1,0 +1,122 @@
+"""Dedup-family edge pins: the driver fixtures are duplicate-free-ish,
+small-vocab synthetic text, so degenerate corpus shapes — documents
+shorter than the gram width, exact duplicate pairs, heavy WITHIN-document
+repetition, trailing-separator empty tokens — never occur in any gate.
+These tests run query AND registered oracle over a constructed corpus
+built to hit each of those shapes and require the engines to agree, plus
+pin the q_dedup_substring semantics (span merge, within-doc repeats
+count) against hand-computed values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ws_to_kafka_spark.operators import QUERIES
+
+# Corpus design (K = 8 tokens for q_dedup_substring):
+#  1: 20-token doc, first 10 tokens repeated verbatim in doc 2 -> cross-doc
+#     duplicated span of 10 tokens = 3 overlapping 8-grams merging to one
+#     island covering positions 1..10 in both docs.
+#  2: shares doc 1's 10-token prefix, unique tail.
+#  3: a 16-token doc that is one 8-token phrase stated twice -> WITHIN-doc
+#     duplication; all 9 grams of the repeated phrase region dup somewhere.
+#  4: exactly 7 tokens -> below the gram width, zero grams, zero spans.
+#  5: trailing space -> split() yields a final empty token; both engines
+#     must tokenize identically.
+#  6, 7: byte-identical documents -> exact-dup pair AND full-doc span dup.
+_P10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+_PHR = "one two three four five six seven eight"
+_DOCS = [
+    (1, _P10 + " kilo lima mike november oscar papa quebec romeo sierra tango"),
+    (2, _P10 + " uniform victor whiskey xray yankee zulu aa bb cc dd"),
+    (3, _PHR + " " + _PHR),
+    (4, "just seven little tokens and no more"),
+    (5, "trailing separator makes an empty final token here friend "),
+    (6, "identical twin document body with enough tokens to gram fully"),
+    (7, "identical twin document body with enough tokens to gram fully"),
+]
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+_DEDUP_QUERIES = [
+    "q_dedup_substring",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_sentences",
+    "q_dedup_fuzzy",
+    "q_dedup_url",
+]
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(spark, tmp_path_factory) -> str:
+    rows = [(i, t, "en", "web", len(t)) for (i, t) in _DOCS]
+    dst = str(tmp_path_factory.mktemp("sf_dup"))
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    return dst
+
+
+def _norm(rows) -> list[tuple]:
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(x, 6) if isinstance(x, float) and math.isfinite(x) else x
+                for x in r
+            )
+        )
+    return sorted(out, key=str)
+
+
+@pytest.mark.parametrize("qname", _DEDUP_QUERIES)
+def test_dedup_query_matches_oracle_on_edge_corpus(spark, dup_sf_dir, qname):
+    spec = QUERIES[qname]
+    if spec.oracle is None:
+        pytest.skip("rows-only query")
+    df = spec.fn(spark, dup_sf_dir)
+    got = _norm(tuple(r) for r in df.select(sorted(df.columns)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dup_sf_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _norm(tuple(r[i] for i in order) for r in rows)
+    assert got == want, f"{qname} diverges on the dup-edge corpus"
+
+
+def test_substring_semantics_pinned(spark, dup_sf_dir):
+    """Hand-computed expectations for the constructed corpus."""
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["q_dedup_substring"].fn(spark, dup_sf_dir).collect()
+    }
+    # docs 1 and 2: the shared 10-token prefix -> one merged island of
+    # exactly 10 tokens starting at position 1.
+    for d in (1, 2):
+        assert rows[d]["dup_spans"] == 1, rows[d]
+        assert rows[d]["dup_tokens"] == 10, rows[d]
+    # doc 3: phrase repeated back-to-back; the only recurring 8-gram is the
+    # phrase itself, at positions 1 and 9 -> islands [1,8] and [9,16]: two
+    # spans whose union covers the whole doc (interior grams like
+    # "two..one" occur once, so the islands don't bridge).
+    assert rows[3]["dup_spans"] == 2
+    assert rows[3]["dup_tokens"] == rows[3]["n_tokens"] == 16
+    # doc 4: shorter than the gram width -> no grams, no spans.
+    assert rows[4]["dup_spans"] == 0 and rows[4]["dup_tokens"] == 0
+    assert rows[4]["dup_ratio"] == 0.0
+    # trailing separator: the empty final token still counts in n_tokens
+    # (split semantics, pinned so both engines keep agreeing).
+    assert rows[5]["n_tokens"] == 10
+    # byte-identical twins: every gram dups -> fully covered docs.
+    for d in (6, 7):
+        assert rows[d]["dup_tokens"] == rows[d]["n_tokens"]
+        assert rows[d]["dup_ratio"] == 1.0

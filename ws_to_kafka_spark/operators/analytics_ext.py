@@ -1315,3 +1315,64 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avgx"),
         F.round(F.regr_avgy(y, x), 4).alias("avgy"),
     )
+
+
+@register(
+    "q_agg_money",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(c) AS BIGINT)                                   AS sum_cents,
+           CAST(CAST(SUM(c) AS DECIMAL(20,2)) / 100
+                AS DECIMAL(20,2))                                   AS total_price,
+           CAST(CAST(MIN(c) AS DECIMAL(20,2)) / 100
+                AS DECIMAL(20,2))                                   AS min_price,
+           CAST(CAST(MAX(c) AS DECIMAL(20,2)) / 100
+                AS DECIMAL(20,2))                                   AS max_price,
+           COUNT(*)                                                 AS n
+    FROM cents
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation: price totals carried as integer cents
+    (BIGINT) and presented as DECIMAL(20,2) — the fixed-point discipline a
+    financial pipeline needs at 100 TB, where double SUM drifts with
+    partial-aggregation order and decimal columns are the lossless
+    interchange type.
+
+    Cents conversion uses the repo's tie-stable ``floor(x*100 + 0.5)`` on
+    BOTH sides (module conventions), so the two engines quantize the same
+    binary double identically; every aggregate after that is exact integer
+    arithmetic, and the decimal presentation divides a <=2-decimal value —
+    no rounding anywhere downstream.  Scale: SUM/MIN/MAX/COUNT over a
+    single groupBy — partial-aggregated, codegen, one small-key exchange;
+    integer cents also make the agg state 8 bytes instead of a 16-byte
+    decimal accumulator."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    as_price = lambda c: F.expr(  # noqa: E731 - local presentation helper
+        f"CAST(CAST({c} AS DECIMAL(20,2)) / 100 AS DECIMAL(20,2))"
+    )
+    return (
+        li.select("l_returnflag", cents.alias("c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("c").alias("sum_cents"),
+            F.min("c").alias("min_c"),
+            F.max("c").alias("max_c"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "sum_cents",
+            as_price("sum_cents").alias("total_price"),
+            as_price("min_c").alias("min_price"),
+            as_price("max_c").alias("max_price"),
+            "n",
+        )
+    )
