@@ -514,6 +514,50 @@ def test_stateful_running_max(spark, tmp_path, event_frames):
         server.close()
 
 
+def test_stateful_zscore_flags_spike(spark, tmp_path):
+    """Welford anomaly operator end-to-end: user 0 sends six calm values
+    then a spike (z >> 3 against the prior stats) -> exactly one anomaly;
+    user 1 sends a constant series (prior std == 0) -> the zero-std guard
+    must suppress every flag."""
+    from ws_to_kafka_spark.streaming.ops import stateful_zscore
+
+    calm = [10.0, 10.1, 9.9, 10.05, 9.95, 10.02, 50.0]
+    frames = [
+        json.dumps(
+            {
+                "event_id": i * 2 + u,
+                "user_id": u,
+                "value": (calm[i] if u == 0 else 5.0),
+                "ts_ms": 1704067200000 + i * 60000,
+            }
+        ).encode()
+        for i in range(7)
+        for u in (0, 1)
+    ]
+    server = RecordingWsServer(frames_per_connection=frames)
+    stream = stateful_zscore(_typed_stream(spark, server.url))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("zscore_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        def final_state_ok():
+            rows = spark.sql(
+                "SELECT user_id, MAX(n_events) n, MAX(n_anomalies) a "
+                "FROM zscore_test GROUP BY user_id"
+            ).collect()
+            got = {r.user_id: (r.n, r.a) for r in rows}
+            return got == {0: (7, 1), 1: (7, 0)}
+
+        assert wait_until(final_state_ok, timeout=60), "zscore never converged"
+    finally:
+        query.stop()
+        server.close()
+
+
 def test_transform_with_state_user_totals(spark, tmp_path, event_frames):
     """The Spark-4 arbitrary-state API (transformWithStateInPandas with a
     typed ValueState) must converge to the batch aggregate per user.

@@ -181,6 +181,79 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_zscore(
+    events: DataFrame,
+    threshold: float = 3.0,
+    min_history: int = 5,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming anomaly detection via ``applyInPandasWithState``: per-user
+    Welford state (count, mean, M2) carried across microbatches; each event
+    is scored against the statistics of everything BEFORE it (prior mean /
+    sample std), flagged when ``|z| > threshold`` after ``min_history``
+    prior events, then folded into the state.
+
+    The batch twin ``q_stream_anomaly`` expresses the identical
+    prior-window semantics with cumulative window aggregates ordered by
+    (ts, event_id) and is oracle-checked; this operator processes rows in
+    that same order within each batch, so final per-key outputs agree.
+
+    Scale: one shuffle on user_id, O(1) state per key (three floats + two
+    counters) — the streaming z-score never re-reads history, which is the
+    point: the batch formulation re-sorts the past every run, the stateful
+    one amortizes it to a constant per event.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, n_events long, n_anomalies long, "
+        "mean_value double, std_value double"
+    )
+    state_schema = "n long, mean double, m2 double, anomalies long"
+
+    def update(key, pdfs, state: GroupState):
+        n, mean, m2, anomalies = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # arrival order == event-time order in the twins; make it
+            # explicit so a re-partitioned batch can't reorder scoring
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].astype(float):
+                if n >= min_history and n >= 2:
+                    std = (m2 / (n - 1)) ** 0.5
+                    if std > 0 and round(abs(v - mean) / std, 4) > threshold:
+                        anomalies += 1
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2, anomalies))
+        std_final = (m2 / (n - 1)) ** 0.5 if n >= 2 else None
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_anomalies": [anomalies],
+                "mean_value": [round(mean, 4) if n else None],
+                "std_value": [
+                    round(std_final, 4) if std_final is not None else None
+                ],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
 def stream_stream_join(
     purchases: DataFrame,
     signups: DataFrame,
@@ -406,4 +479,75 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("c_mktsegment").alias("segment"),
         F.round("value", 4).alias("value"),
+    )
+
+
+@register(
+    "q_stream_anomaly",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value,
+             COUNT(*)          OVER w AS n_prior,
+             AVG(value)        OVER w AS mean_prior,
+             STDDEV_SAMP(value) OVER w AS std_prior
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), flags AS (
+      SELECT user_id, value,
+             CASE WHEN n_prior >= 5 AND COALESCE(std_prior, 0) > 0
+                       AND ROUND(ABS(value - mean_prior)
+                                 / NULLIF(std_prior, 0), 4) > 3.0
+                  THEN 1 ELSE 0 END AS is_anom
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)     AS n_events,
+           CAST(SUM(is_anom) AS BIGINT) AS n_anomalies,
+           ROUND(AVG(value), 4)         AS mean_value,
+           ROUND(STDDEV_SAMP(value), 4) AS std_value
+    FROM flags
+    GROUP BY user_id
+    """,
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`stateful_zscore`: each event scored against the
+    cumulative mean / sample std of its user's PRIOR events (ordered by
+    ts, event_id — the arrival order the streaming form consumes), flagged
+    at |z| > 3 once 5 prior events exist, aggregated to per-user totals
+    plus final running statistics.
+
+    The prior-window framing matters: scoring against stats that include
+    the current value dilutes every spike by its own weight — the Welford
+    operator naturally scores-then-folds, and the ROWS ... 1 PRECEDING
+    frame is its exact batch transcription.  Scale: one shuffle on
+    user_id serving both the cumulative windows and the final aggregate
+    (same key, AQE reuses the exchange); z is rounded before the
+    threshold compare on both sides so last-ulp cumulative-moment drift
+    can't flip a flag."""
+    events = tables.load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n_prior = F.count("*").over(w)
+    mean_prior = F.avg("value").over(w)
+    std_prior = F.stddev_samp("value").over(w)
+    z = F.round(
+        F.abs(F.col("value") - mean_prior) / F.nullif(std_prior, F.lit(0.0)), 4
+    )
+    is_anom = F.when(
+        (n_prior >= 5) & (F.coalesce(std_prior, F.lit(0.0)) > 0) & (z > 3.0),
+        1,
+    ).otherwise(0)
+    return (
+        events.select("user_id", "value", is_anom.alias("is_anom"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_anom").cast("long").alias("n_anomalies"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        )
     )
