@@ -61,6 +61,7 @@ HEADLINE = (
     "q_dedup_sentences",           # sentence keep-first + reassembly
     "q_sql_market_share",          # 8-table join graph (Q8 analog)
     "q_sql_waiting_supplier",      # double-correlated EXISTS/NOT EXISTS (Q21)
+    "q_dedup_substring",           # positioned k-gram span dedup + island merge
 )
 
 

@@ -265,3 +265,61 @@ def test_correlated_scalar_subquery_empty_group(spark, rows_a, rows_b):
     got = _rowset(spark.sql(q.format(t="rand_t", u="rand_u")))
     want = _nullsafe(con.execute(q.format(t="t", u="u")).fetchall())
     assert got == want
+
+
+# --- substring-span dedup: random tiny-vocab corpora -----------------------
+#
+# q_dedup_substring's gram/island pipeline has order-of-operations traps
+# (sub-K docs, whole-doc periodicity, islands that touch at exactly one
+# token, within-doc repeats) that constructed fixtures can only sample.
+# Generate corpora from a 3-token vocabulary — maximal gram collision
+# pressure at K=8 — and require Spark and the registered DuckDB oracle to
+# agree on every document's span statistics.
+
+_vocab_doc = st.lists(
+    st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=24
+)
+_corpus = st.lists(_vocab_doc, min_size=1, max_size=5)
+
+
+@given(_corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_substring_dedup_matches_oracle_on_random_corpus(
+    spark, tmp_path_factory, docs
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    rows = [
+        (i, " ".join(toks), "en", "web", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_sub"))
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    spec = QUERIES["q_dedup_substring"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(
+        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+        for r in sdf.select(sorted(sdf.columns)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(
+        tuple(
+            round(r[i], 6) if isinstance(r[i], float) else r[i] for i in order
+        )
+        for r in cur.fetchall()
+    )
+    assert got == want
