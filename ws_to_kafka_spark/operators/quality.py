@@ -147,3 +147,80 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# PSI epsilon: conventional floor so empty buckets contribute a finite,
+# deterministic term instead of +-inf (monitoring practice, not statistics).
+_PSI_EPS = 1e-6
+_PSI_SPLIT = "1998-01-01"
+_PSI_WIDTH = 50000
+
+
+@register(
+    "q_drift_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(LEAST(9, floor(o_totalprice / {_PSI_WIDTH})) AS BIGINT) AS bucket,
+             o_orderdate < TIMESTAMP '{_PSI_SPLIT}' AS in_a
+      FROM orders
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)     AS na,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)     AS nb
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+      FROM counts
+    )
+    SELECT bucket, na, nb,
+           ROUND(na / ta, 6) AS p_a,
+           ROUND(nb / tb, 6) AS p_b,
+           ROUND((GREATEST(nb / tb, {_PSI_EPS}) - GREATEST(na / ta, {_PSI_EPS}))
+                 * LN(GREATEST(nb / tb, {_PSI_EPS})
+                      / GREATEST(na / ta, {_PSI_EPS})), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the order
+    price distribution between two periods (before/after {split}), over
+    fixed price buckets — the check a training-data pipeline runs per
+    ingest batch to catch corpus drift before it poisons a model (same
+    formula credit-risk monitoring uses for score drift).
+
+    Fixed bucket edges, not quantiles: quantile edges would re-derive from
+    the data and move between runs, making drift unmeasurable — the edge
+    set is part of the monitor's contract.  Empty buckets are floored at
+    eps=1e-6 so PSI stays finite and deterministic.
+
+    Scale: one scan, ten-key aggregate (bucket count is a constant), the
+    totals side is a 1-row broadcast — no shuffle beyond the tiny
+    bucket agg; this runs as a side-output of any ingest job."""
+    orders = tables.load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("o_totalprice") / _PSI_WIDTH)
+    ).cast("long")
+    in_a = F.col("o_orderdate") < _PSI_SPLIT
+    counts = (
+        orders.select(bucket.alias("bucket"), in_a.alias("in_a"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("nb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
+    )
+    pa = F.col("na") / F.col("ta")
+    pb = F.col("nb") / F.col("tb")
+    ga = F.greatest(pa, F.lit(_PSI_EPS))
+    gb = F.greatest(pb, F.lit(_PSI_EPS))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "na",
+        "nb",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round((gb - ga) * F.log(gb / ga), 6).alias("psi_term"),
+    )

@@ -738,3 +738,56 @@ def q_fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "whole_months_to_ref"
         ),
     )
+
+
+@register(
+    "q_fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice / NULLIF(l_quantity - 25, 0) * 10000
+                 + 0.5) / 10000                                   AS safe_div,
+           TRY_CAST(l_returnflag AS INTEGER)                      AS flag_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER)     AS line_rt,
+           TRY_CAST('2024-13-45' AS TIMESTAMP)                    AS bad_ts,
+           [l_quantity, l_extendedprice][3]                       AS beyond,
+           CASE WHEN l_orderkey = 0 THEN 9223372036854775807
+                ELSE CAST(NULL AS BIGINT) END                     AS add_ovf
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safe arithmetic: the ``try_*`` family returns NULL where
+    plain operators under Spark 4's default ANSI mode would raise (divide
+    by zero, overflow, malformed cast) — the error-tolerance contract an
+    ingest pipeline needs when it cannot crash on one bad record.
+
+    Oracle mapping: ``try_divide`` == ``x / NULLIF(y, 0)`` (tie-stable
+    floor-based cent rounding — the quotient lands on .xxxx5 for some
+    rows, where the engines' ROUND disagree); ``try_cast`` ==
+    DuckDB ``TRY_CAST``; ``try_element_at`` beyond the array == DuckDB's
+    native out-of-range list index (NULL); ``try_add`` at BIGINT max
+    overflows to NULL for every key >= 1 (key 0 alone survives at the
+    max), so the oracle pins that case split directly.  Scale: pure codegen'd row expressions, no shuffle —
+    the point of try_* over UDF guards is staying JVM-side."""
+    li = tables.load(spark, sf_dir, "lineitem").filter("l_orderkey <= 100")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("safe_div"),
+        F.expr("try_cast(l_returnflag AS int)").alias("flag_int"),
+        F.expr("try_cast(CAST(l_linenumber AS string) AS int)").alias("line_rt"),
+        F.try_to_timestamp(F.lit("2024-13-45")).alias("bad_ts"),
+        F.try_element_at(
+            F.array("l_quantity", "l_extendedprice"), F.lit(3)
+        ).alias("beyond"),
+        F.try_add(F.lit(9223372036854775807), F.col("l_orderkey")).alias(
+            "add_ovf"
+        ),
+    )
