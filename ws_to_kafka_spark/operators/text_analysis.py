@@ -635,3 +635,79 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(nll) / F.sum("k"), 4).alias("avg_nll"),
         )
     )
+
+
+# Fixed classifier weights for q_score_logistic: (intercept, n_words/100,
+# avg_word_len, stopword_ratio, unique_ratio). Stand-ins for a trained
+# quality model's coefficients — fixed constants are part of the scoring
+# contract, exactly like the PSI bucket edges.
+_LOGIT_W = (-2.0, 0.8, 0.15, 3.0, 2.5)
+
+
+@register(
+    "q_score_logistic",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) * 1.0               AS n_words,
+             len(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' '))                 AS awl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN {_STOPWORDS!r})) * 1.0
+               / len(string_split(text, ' '))                 AS stop_ratio,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' '))                 AS uniq_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             {_LOGIT_W[0]} + {_LOGIT_W[1]} * (n_words / 100)
+               + {_LOGIT_W[2]} * awl + {_LOGIT_W[3]} * stop_ratio
+               + {_LOGIT_W[4]} * uniq_ratio                   AS z
+      FROM feat
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+    FROM scored
+    """,
+)
+def q_score_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring at scale: a logistic model with FIXED
+    published-style coefficients over cheap text features (length, mean
+    word length, stopword ratio, lexical diversity) -> sigmoid score ->
+    keep/drop — the fastText-quality-filter stage of a pre-training
+    pipeline, reduced to pure columnar math.
+
+    The weights are constants by design (a deployed filter's coefficients
+    are frozen artifacts); scoring is therefore one codegen'd scan with no
+    shuffle, no UDF, no model runtime — the shape that lets a 100 TB
+    corpus be scored as a side effect of its first read.  The keep
+    decision compares the ROUNDED score on both engines so a last-ulp
+    exp() difference cannot flip a document at the boundary."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("w")
+    )
+    n_words = F.size("w") * F.lit(1.0)
+    awl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * F.lit(1.0)
+        / F.size("w")
+    )
+    stop_ratio = (
+        F.size(F.filter(F.col("w"), lambda t: t.isin(*_STOPWORDS)))
+        * F.lit(1.0)
+        / F.size("w")
+    )
+    uniq_ratio = F.size(F.array_distinct("w")) * F.lit(1.0) / F.size("w")
+    z = (
+        F.lit(_LOGIT_W[0])
+        + F.lit(_LOGIT_W[1]) * (n_words / 100)
+        + F.lit(_LOGIT_W[2]) * awl
+        + F.lit(_LOGIT_W[3]) * stop_ratio
+        + F.lit(_LOGIT_W[4]) * uniq_ratio
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
