@@ -43,6 +43,7 @@ EXPECTED_NESTED_LOOP = {
     "q_quality_checks",  # two 1-row aggregate frames joined into the report
     "q_join_bloom",  # probe × broadcast 1-row bloom-bitset frame (16 KiB)
     "q_mix_sample",  # per-lang rates × broadcast 1-row token-total frame
+    "q_drift_psi",  # 10-row bucket counts × broadcast 1-row totals frame
     "q_sim_centroid",  # corpus × broadcast #labels centroid frame (argmax scoring)
     "q_agg_countmin",  # probe keys × broadcast 1-row stream-total frame
 }
