@@ -1376,3 +1376,47 @@ def q_agg_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q_agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(MAX(m.med), 4)                                    AS qty_median,
+           ROUND(quantile_cont(ABS(l.l_quantity - m.med), 0.5), 4) AS qty_mad
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation of quantity per return
+    flag — the outlier-resistant spread statistic (std dev is hostage to
+    one bad row; MAD isn't), and the canonical TWO-PASS aggregate: pass 1
+    computes each group's exact interpolated median, pass 2 re-scans
+    scoring |x - median| and takes the median of that.
+
+    Scale: the per-group median frame is group-cardinality-sized —
+    broadcast here (3 groups); at high group cardinality it becomes a
+    shuffle join on the group key whose exchange pass 2's groupBy then
+    reuses (one effective shuffle).  Exact percentile, not approx: both
+    engines interpolate identically, so only presentation rounding is
+    needed."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("med"), 4).alias("qty_median"),
+            F.round(
+                F.percentile(F.abs(F.col("l_quantity") - F.col("med")), F.lit(0.5)),
+                4,
+            ).alias("qty_mad"),
+        )
+    )
