@@ -485,6 +485,68 @@ def test_stream_stream_join(spark, tmp_path):
         server.close()
 
 
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Left-outer stream-stream join: user 3's purchase has no signup
+    anywhere — its NULL row may only emit after the watermark passes the
+    point where a matching signup could still arrive, so the stream
+    advances event time far past it with a late sentinel pair and the
+    test asserts the unmatched purchase eventually surfaces with NULL
+    signup columns."""
+    from pyspark.sql import functions as F
+    from ws_to_kafka_spark.streaming.ops import stream_stream_join
+    from ws_to_kafka_spark.sources.websocket import register_websocket_source
+
+    base = 1704067200000
+    mk = lambda i, u, ty, off_min: json.dumps(
+        {"event_id": i, "user_id": u, "value": 1.0, "ts_ms": base + off_min * 60000, "event_type": ty}
+    ).encode()
+    frames = [
+        mk(1, 1, "signup", 0),
+        mk(2, 1, "purchase", 30),   # matches signup 1
+        mk(5, 3, "purchase", 30),   # no signup ever -> NULL row
+        # sentinel pair 10 h later: advances both watermarks past every
+        # earlier purchase's match horizon (and matches itself)
+        mk(8, 9, "signup", 600),
+        mk(9, 9, "purchase", 600),
+    ]
+    server = RecordingWsServer(frames_per_connection=frames)
+    register_websocket_source(spark)
+    raw = spark.readStream.format("websocket").option("url", server.url).load()
+    parsed = raw.select(
+        F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("value", "$.event_type").alias("event_type"),
+        F.timestamp_millis(
+            F.get_json_object("value", "$.ts_ms").cast("long")
+        ).alias("ts"),
+    )
+    joined = stream_stream_join(
+        parsed.filter(F.col("event_type") == "purchase"),
+        parsed.filter(F.col("event_type") == "signup"),
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        def outer_row_emitted():
+            rows = spark.sql("SELECT * FROM ssj_outer_test").collect()
+            got = {(r.purchase_id, r.signup_id) for r in rows}
+            return got == {(2, 1), (9, 8), (5, None)}
+
+        assert wait_until(outer_row_emitted, timeout=90), (
+            "unmatched purchase never emitted its NULL row: "
+            + str(spark.sql("SELECT * FROM ssj_outer_test").collect())
+        )
+    finally:
+        query.stop()
+        server.close()
+
+
 def test_stateful_running_max(spark, tmp_path, event_frames):
     from ws_to_kafka_spark.streaming.ops import stateful_running_max
 

@@ -259,11 +259,20 @@ def stream_stream_join(
     signups: DataFrame,
     window: str = "1 hour",
     watermark: str = DEFAULT_WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: purchases matched to same-user signups in
-    the preceding ``window``. Both sides carry watermarks and the join
+    """Stream-stream join: purchases matched to same-user signups in the
+    preceding ``window``. Both sides carry watermarks and the join
     condition is time-bounded — REQUIRED for streaming: they let the engine
-    expire buffered rows, keeping state O(window), not O(stream)."""
+    expire buffered rows, keeping state O(window), not O(stream).
+
+    ``how="left_outer"`` additionally emits unmatched purchases with NULL
+    signup columns — but only once the watermark has passed the point
+    where a matching signup could still arrive (the engine cannot know a
+    purchase is unmatched earlier), so outer results trail the inner ones
+    by up to watermark + window. Same state bound; the outer form is how
+    an attribution pipeline finds organic (signup-less) purchases without
+    a second batch pass."""
     p = purchases.withWatermark("ts", watermark).alias("p")
     s = signups.withWatermark("ts", watermark).alias("s")
     return p.join(
@@ -271,6 +280,7 @@ def stream_stream_join(
         (F.col("p.user_id") == F.col("s.user_id"))
         & (F.col("s.ts") <= F.col("p.ts"))
         & (F.col("s.ts") > F.col("p.ts") - F.expr(f"INTERVAL {window}")),
+        how,
     ).select(
         F.col("p.event_id").alias("purchase_id"),
         F.col("p.user_id").alias("user_id"),
@@ -550,4 +560,45 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("mean_value"),
             F.round(F.stddev_samp("value"), 4).alias("std_value"),
         )
+    )
+
+
+@register(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           p.ts       AS purchase_ts,
+           s.event_id AS signup_id,
+           s.ts       AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts
+     AND s.ts >  p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`stream_stream_join` with ``how="left_outer"``:
+    every purchase, joined to in-window signups where they exist, NULL
+    signup columns where they don't — in batch the unmatched rows appear
+    immediately (no watermark gate to wait out), which is exactly why the
+    twin pins the join's row-set semantics while the streaming test pins
+    the delayed-emission behavior."""
+    ev = tables.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    p, s = purchases.alias("p"), signups.alias("s")
+    return p.join(
+        s,
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("s.ts") <= F.col("p.ts"))
+        & (F.col("s.ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("s.ts").alias("signup_ts"),
     )
