@@ -1,0 +1,94 @@
+"""Streaming-ingest throughput measurement: frames/sec through the full
+WebSocket source -> Structured Streaming -> memory sink path.
+
+The reference publishes no throughput numbers (BASELINE.md), so this tool
+exists to make OUR single-node streaming rate a measured fact instead of a
+claim. It spins up the test suite's in-process WS server with N JSON
+frames, runs the production pipeline projection over the registered
+``websocket`` data source, and times arrival of the last frame at the sink.
+
+Usage::
+
+    python tools/stream_bench.py [n_frames]      # default 20000
+
+Prints one JSON line: {"metric": "stream_ingest_fps", "value": ..., ...}.
+
+What the number covers: RFC 6455 client decode, driver-side buffering in
+the SimpleDataSourceStreamReader, Arrow conversion, the projection, and
+sink append — i.e. the whole source path a real deployment pays per
+frame. What it does not cover: a Kafka broker (absent here; the
+reference's librdkafka write is its own bottleneck) and network latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.ws_server import RecordingWsServer  # noqa: E402
+from ws_to_kafka_spark.session import get_spark  # noqa: E402
+from ws_to_kafka_spark.sources.websocket import register_websocket_source  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    frames = [
+        json.dumps(
+            {"event_id": i, "user_id": i % 100, "value": float(i), "ts_ms": 1704067200000 + i}
+        ).encode()
+        for i in range(n)
+    ]
+    spark = get_spark("stream-bench")
+    server = RecordingWsServer(frames_per_connection=frames)
+    register_websocket_source(spark)
+    raw = spark.readStream.format("websocket").option("url", server.url).load()
+    start = time.perf_counter()
+    query = (
+        raw.writeStream.format("memory")
+        .queryName("stream_bench")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        count = 0
+        while time.time() < deadline:
+            count = spark.sql("SELECT COUNT(*) c FROM stream_bench").first().c
+            if count >= n:
+                break
+            time.sleep(0.2)
+        elapsed = time.perf_counter() - start
+        if count < n:
+            print(json.dumps({"metric": "stream_ingest_fps", "error":
+                              f"only {count}/{n} frames in {elapsed:.1f}s"}))
+            raise SystemExit(1)
+        # Steady-state rate from the engine's own progress metrics,
+        # excluding batch 0 (one-time codegen + sink init, ~3 s — a fixed
+        # cost that would otherwise dominate any finite run).
+        steady_rows = steady_ms = 0
+        for p in query.recentProgress:
+            if p["batchId"] == 0 or p["numInputRows"] == 0:
+                continue
+            steady_rows += p["numInputRows"]
+            steady_ms += p["durationMs"].get("triggerExecution", 0)
+        print(json.dumps({
+            "metric": "stream_ingest_fps",
+            "value": round(n / elapsed, 1),
+            "steady_state_fps": (
+                round(steady_rows / (steady_ms / 1000.0), 1) if steady_ms else None
+            ),
+            "unit": "frames/sec",
+            "n_frames": n,
+            "elapsed_sec": round(elapsed, 2),
+        }))
+    finally:
+        query.stop()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()
