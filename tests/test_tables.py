@@ -42,3 +42,32 @@ def test_read_csv_roundtrip(spark, tmp_path):
     ).csv(p)
     back = tables.read_csv(spark, p, schema="id long, name string")
     assert sorted(r.name for r in back.collect()) == ["n0", "n1", "n2", "n3"]
+
+
+def test_read_json_malformed_record_policies(spark, tmp_path):
+    """The three malformed-record policies an ingest job chooses between:
+    PERMISSIVE quarantines the raw line in the corrupt column, DROPMALFORMED
+    silently drops it, FAILFAST raises on materialization."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id": 1, "v": 10}\n{broken!!\n{"id": 2, "v": 20}\n')
+    path, schema = str(p), "id long, v long, _bad string"
+
+    perm = tables.read_json(spark, path, schema=schema, corrupt_col="_bad")
+    rows = {r.id: r for r in perm.collect()}
+    assert rows[1].v == 10 and rows[1]._bad is None
+    assert rows[2].v == 20
+    bad = [r for r in perm.collect() if r.id is None]
+    assert len(bad) == 1 and bad[0]._bad == "{broken!!"
+
+    dropped = tables.read_json(
+        spark, path, schema="id long, v long", mode="DROPMALFORMED"
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 2]
+
+    with pytest.raises(Py4JJavaError):
+        tables.read_json(
+            spark, path, schema="id long, v long", mode="FAILFAST"
+        ).collect()

@@ -53,11 +53,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """JSON-lines scan. An explicit schema skips the inference pass — at
     100 TB schema inference is a full extra read of the dataset, so
-    production paths must always pass one."""
-    reader = spark.read
+    production paths must always pass one.
+
+    ``mode`` is the malformed-record policy an ingest job must choose
+    explicitly: PERMISSIVE (default) nulls the row's fields and, when
+    ``corrupt_col`` names a string column present in ``schema``, preserves
+    the raw line there for a quarantine side-output; DROPMALFORMED
+    silently drops bad lines (count them against the source first);
+    FAILFAST aborts the scan — right for backfills where one bad record
+    means the upstream export is broken, wrong for 24/7 ingest."""
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
