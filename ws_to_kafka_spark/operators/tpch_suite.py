@@ -823,3 +823,103 @@ def q_sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+"""
+
+
+@register("q_sql_ship_priority_counts", oracle=_Q12_SQL)
+def q_sql_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-priority audit: per line category (the
+    fixture has no shipmode, so l_returnflag stands in), how many lines
+    shipped in the window belong to critical-priority orders vs not — the
+    join + dual-CASE-counting shape of Q12.
+
+    Scale: the date filter pushes into the lineitem scan; one shuffle
+    joins orders (priority column only, 15k rows/SF) to the filtered
+    lines; the dual conditional SUM is a single pass with map-side
+    partials — Q12's plan is a semi-aggregated join, never two queries.
+    """
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+          )
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q_sql_supplier_part_variety", oracle=_Q16_SQL)
+def q_sql_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped parts/supplier relationship: distinct suppliers
+    per (brand, type, size) over selected sizes, excluding a
+    complaint-list of suppliers via NOT IN (the fixture encodes the list
+    as a name pattern).
+
+    Scale: NOT IN over a NON-NULLABLE key decorrelates to a null-aware
+    anti join against the (tiny, broadcast) supplier exclusion; the
+    distinct count shuffles on the (brand, type, size) group key after an
+    Expand — the Q16 plan is anti-join-then-distinct-agg, with the part
+    predicates pushed to the scan.
+    """
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT sh.l_suppkey FROM shipped sh
+      WHERE sh.qty > 0.3 * (
+        SELECT SUM(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = sh.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l2.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      )
+    )
+"""
+
+
+@register("q_sql_excess_share_supplier", oracle=_Q20_SQL)
+def q_sql_excess_share_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant-supplier probe: suppliers who shipped
+    more than 30% of some small-part's total windowed volume (the fixture
+    has no partsupp.availqty, so the correlated comparison is against the
+    part's corpus-wide shipped total — same nesting depth as Q20's
+    half-of-availqty).
+
+    Scale: the hard part is the correlated scalar SUM inside the IN
+    subquery's predicate — Catalyst decorrelates it to an aggregate
+    joined back on l_partkey, so the plan is two aggregations over the
+    same filtered scan joined on the part key, then a semi join into
+    supplier: no per-row re-execution anywhere.
+    """
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
