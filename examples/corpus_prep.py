@@ -44,6 +44,20 @@ def main() -> None:
     print("-- 3. filter funnel (first failing rule per doc)")
     q["q_corpus_filter"](spark, SF_DIR).orderBy("lang", "reason").show(50)
 
+    print("-- 3b. quality-classifier scores (frozen logistic model)")
+    q["q_score_logistic"](spark, SF_DIR).groupBy("keep").count().show()
+
+    print("-- 3c. duplicated-span statistics (ExactSubstr-style)")
+    q["q_dedup_substring"](spark, SF_DIR).agg(
+        F.count("*").alias("docs"),
+        F.sum("dup_spans").alias("total_spans"),
+        F.round(F.avg("dup_ratio"), 4).alias("mean_dup_ratio"),
+    ).show()
+
+    print("-- 3d. distribution drift vs the reference period (PSI)")
+    psi = q["q_drift_psi"](spark, SF_DIR)
+    psi.agg(F.round(F.sum("psi_term"), 6).alias("psi_total")).show()
+
     print("-- 4. duplicate clusters -> keeper per cluster")
     clusters = q["q_dedup_clusters"](spark, SF_DIR)
     n_members = clusters.count()
