@@ -323,3 +323,63 @@ def test_substring_dedup_matches_oracle_on_random_corpus(
         for r in cur.fetchall()
     )
     assert got == want
+
+
+# --- as-of join: union + window-carry vs DuckDB's native ASOF JOIN --------
+#
+# q_join_asof's distributed formulation (tag sides, sort by (ts, side),
+# carry the last right-side ts forward) is verified on the fixtures
+# against DuckDB's native ASOF JOIN; this property re-derives the same
+# comparison on random corpora where the traps live: duplicate
+# timestamps within and across sides, equal purchase/signup instants
+# (inclusive match), users with no right-side rows, and empty sides.
+
+_ts_row = st.tuples(
+    st.integers(min_value=0, max_value=3),   # user
+    st.integers(min_value=0, max_value=20),  # ts (int stand-in)
+)
+_ts_table = st.lists(_ts_row, min_size=0, max_size=25)
+
+
+@given(_ts_table, _ts_table)
+@_SETTINGS
+def test_asof_union_carry_matches_native_asof(spark, purchases, signups):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    p_rows = [(i, u, t, 1) for i, (u, t) in enumerate(purchases)]
+    s_rows = [(10_000 + i, u, t, 0) for i, (u, t) in enumerate(signups)]
+    schema = "event_id long, user_id long, ts long, is_p int"
+    u = spark.createDataFrame(p_rows + s_rows, schema=schema)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    got = _rowset(
+        u.withColumn("signup_ts", carried)
+        .filter((F.col("is_p") == 1) & F.col("signup_ts").isNotNull())
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "signup_ts")
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (event_id BIGINT, user_id BIGINT, ts BIGINT)")
+    con.execute("CREATE TABLE s (user_id BIGINT, ts BIGINT)")
+    if p_rows:
+        con.executemany(
+            "INSERT INTO p VALUES (?, ?, ?)", [r[:3] for r in p_rows]
+        )
+    if s_rows:
+        con.executemany(
+            "INSERT INTO s VALUES (?, ?)", [(r[1], r[2]) for r in s_rows]
+        )
+    want = _nullsafe(
+        con.execute(
+            "SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts "
+            "FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ).fetchall()
+    )
+    assert got == want
