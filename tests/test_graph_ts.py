@@ -124,3 +124,57 @@ def test_perplexity_scores_are_positive_and_total(spark, sf_dir):
     n_multi = docs.filter(F.size(F.split("text", " ")) >= 2).count()
     assert len(out) == n_multi
     assert all(r.avg_nll >= 0 for r in out)
+
+
+def test_triangles_constructed_graph_exact(spark, tmp_path):
+    """Exact pin on a constructed co-purchase graph the fixtures can't
+    give (fixtures are near-random; this one has KNOWN topology): one
+    plain triangle, one K4, a duplicated edge (distinct must collapse
+    it), an edge-only order, an isolated single-part order. Per-node
+    counts: 3 nodes with 1 triangle (bucket 1), the 4 K4 nodes with 3
+    each (bucket 2); triangle-free parts never appear (same on both
+    engines). Runs the registered Spark query AND its DuckDB oracle."""
+    rows = [
+        (1, 1), (1, 2), (1, 3),           # triangle {1,2,3}
+        (2, 3), (2, 4),                   # edge only
+        (3, 1), (3, 2),                   # duplicate edge 1-2
+        (4, 5), (4, 6), (4, 7), (4, 8),   # K4 -> 4 triangles
+        (5, 9),                           # isolated part
+    ]
+    dst = str(tmp_path / "sf_tri")
+    spark.createDataFrame(
+        rows, schema="l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{dst}/lineitem.parquet")
+
+    got = {
+        r.tri_bucket: (r.n_parts, r.sum_node_triangles)
+        for r in QUERIES["q_graph_triangles"].fn(spark, dst).collect()
+    }
+    assert got == {1: (3, 3), 2: (4, 12)}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{dst}/lineitem.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["q_graph_triangles"].oracle).fetchall()
+    }
+    assert got == want
+
+
+def test_triangle_histogram_invariants(spark, sf_dir):
+    """Structural invariants on real data: total per-node participation
+    is 3x the triangle count (every triangle has exactly 3 corners), and
+    each bucket's sum is consistent with its bit-length range
+    [2^(b-1), 2^b - 1] per part."""
+    rows = QUERIES["q_graph_triangles"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.sum_node_triangles for r in rows)
+    assert total % 3 == 0 and total > 0
+    for r in rows:
+        lo, hi = 2 ** (r.tri_bucket - 1), 2**r.tri_bucket - 1
+        assert lo * r.n_parts <= r.sum_node_triangles <= hi * r.n_parts, r
