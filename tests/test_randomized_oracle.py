@@ -383,3 +383,50 @@ def test_asof_union_carry_matches_native_asof(spark, purchases, signups):
         ).fetchall()
     )
     assert got == want
+
+
+# --- triangle counting: degree-ordered Spark plan vs id-ordered oracle ----
+#
+# q_graph_triangles enumerates each triangle ONCE via (degree, id)-rank
+# edge orientation while the DuckDB oracle enumerates a < b < c by id —
+# two independent formulations that must agree on every graph. Random
+# incidence lists concentrate the traps: massively TIED degrees (the id
+# tiebreak must orient consistently), duplicate (order, part) rows and
+# parallel edges from different orders (both collapse in the distinct),
+# empty graphs, and edge-only graphs with zero triangles (empty result
+# on both engines, not a NULL row).
+
+_inc_row = st.tuples(
+    st.integers(min_value=0, max_value=5),   # l_orderkey
+    st.integers(min_value=0, max_value=8),   # l_partkey
+)
+_inc_table = st.lists(_inc_row, min_size=0, max_size=30)
+
+
+@given(_inc_table)
+@_SETTINGS
+def test_triangle_count_matches_oracle_on_random_graphs(
+    spark, tmp_path_factory, rows
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_tri"))
+    spark.createDataFrame(
+        rows or [(None, None)], schema="l_orderkey long, l_partkey long"
+    ).filter("l_orderkey IS NOT NULL").coalesce(1).write.parquet(
+        f"{sf_dir}/lineitem.parquet"
+    )
+
+    spec = QUERIES["q_graph_triangles"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want
