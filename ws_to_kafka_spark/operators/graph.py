@@ -218,10 +218,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         db = deg.select(F.col("node").alias("eb"), F.col("d").alias("db"))
         ranked = edges.join(F.broadcast(da), "ea").join(F.broadcast(db), "eb")
         fwd = F.struct("da", "ea") < F.struct("db", "eb")
+        # The (degree, id) rank is packed into ONE long (degree in the
+        # high bits) so the wedge filter — evaluated Σ C(outdeg⁺, 2)
+        # times, the hottest expression of the whole plan — is a single
+        # long compare instead of a struct compare. Safe while id and
+        # degree both fit 31 bits; at a scale where they don't, compare
+        # the (degree, id) struct directly and pay the constant.
+        pack = lambda d, n: F.shiftleft(F.col(d).cast("long"), 32) + F.col(n)
         return ranked.select(
             F.when(fwd, F.col("ea")).otherwise(F.col("eb")).alias("u"),
             F.when(fwd, F.col("eb")).otherwise(F.col("ea")).alias("v"),
-            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("vd"),
+            F.when(fwd, pack("db", "eb")).otherwise(pack("da", "ea")).alias("vr"),
         # The wedge self-join keys on u; persisting the index already
         # hash-partitioned on u lets BOTH sides of that self-join reuse
         # the stored partitioning instead of re-shuffling the edge list
@@ -235,9 +242,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # common subtrees across self-joins.
     oriented = _cached_frame(spark, sf_dir, "triangle_oriented", build_oriented)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(o2, "u").where(
-        F.struct("o1.vd", "o1.v") < F.struct("o2.vd", "o2.v")
-    )
+    wedges = o1.join(o2, "u").where(F.col("o1.vr") < F.col("o2.vr"))
     closing = oriented.select(
         F.col("u").alias("cu"), F.col("v").alias("cv")
     )
