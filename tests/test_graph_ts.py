@@ -178,3 +178,30 @@ def test_triangle_histogram_invariants(spark, sf_dir):
     for r in rows:
         lo, hi = 2 ** (r.tri_bucket - 1), 2**r.tri_bucket - 1
         assert lo * r.n_parts <= r.sum_node_triangles <= hi * r.n_parts, r
+
+
+def test_ewma_closed_form_equals_recursion(spark, sf_dir):
+    """The windowed closed form must equal the literal per-user recursion
+    y_0 = x_0, y_i = (1-a)y_{i-1} + a*x_i — recomputed sequentially in
+    plain Python over the same (ts, event_id) order, for every user."""
+    from ws_to_kafka_spark.operators.timeseries import _EWMA_ALPHA
+    from ws_to_kafka_spark import tables
+
+    got = {
+        r.event_id: r.ewma
+        for r in QUERIES["q_ts_ewma"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        y_prev = by_user.get(r.user_id)
+        y = r.value if y_prev is None else (
+            (1 - _EWMA_ALPHA) * y_prev + _EWMA_ALPHA * r.value
+        )
+        by_user[r.user_id] = y
+        assert abs(got[r.event_id] - y) < 1e-3, (r.event_id, got[r.event_id], y)

@@ -325,3 +325,93 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value_sum"), 4).alias("value_sum"),
         )
     )
+
+
+_EWMA_ALPHA = 0.5
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH idx AS (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER w - 1 AS i,
+             FIRST_VALUE(value) OVER w AS x0
+      FROM events
+      WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seq AS (
+      SELECT event_id, user_id, value, i, x0,
+             SUM(value * POWER({1 - _EWMA_ALPHA}, -i))
+               OVER (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_i
+      FROM idx
+    )
+    SELECT event_id, user_id, value,
+           FLOOR(POWER({1 - _EWMA_ALPHA}, i)
+                 * ({_EWMA_ALPHA} * (a_i - x0) + x0) * 10000 + 0.5)
+             / 10000 AS ewma
+    FROM seq
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (the classic
+    smoothing signal dashboards and alerting put over raw event values):
+    y_0 = x_0, y_i = (1-a)*y_{i-1} + a*x_i over (ts, event_id) order.
+
+    The recursion is sequential, which SQL engines cannot express
+    directly — but it has a CLOSED FORM over one cumulative window:
+    with p_j = (1-a)^(-j) and A_i = SUM(x_j * p_j) running over the
+    partition, y_i = (1-a)^i * (a*(A_i - x_0) + x_0). That is ONE
+    shuffle + local sort on (user_id, ts) and pure codegen'd arithmetic.
+
+    a = 0.5 is chosen for cross-engine DETERMINISM, not just smoothing
+    taste: p_j = 2^j is exact in ANY IEEE-754 engine (a power-of-two
+    scale changes only the exponent field), so both engines sum
+    identical doubles in the identical order and every downstream
+    multiply/add sees bit-equal inputs. With a generic a (say 0.1),
+    pow() last-ulp differences between libm implementations put ~1e-9
+    relative divergence into A_i, and over 100k rows a couple of them
+    land exactly on a 4dp rounding boundary — observed, not
+    hypothetical (2 rows flipped at sf0.1 before the change). The
+    tie-free floor rounding (registry convention) then settles the last
+    representational difference.
+
+    Scale honesty: p_j doubles per event, so A_i overflows double past
+    ~10^3 events per key (and terms older than 52 steps leave the
+    mantissa — harmlessly, since their weight is < 2^-52). Beyond that,
+    EWMA belongs in the STREAM: an O(1) ValueState carrying y (the
+    stateful_* pattern in streaming/ops.py) amortizes the recursion to
+    constant work per event with no exponent at all — the same
+    batch-recomputes-what-the-stream-carries trade as q_stream_anomaly.
+    A batch-only fallback is segmented renormalization (reset p every K
+    rows, carry y across segments via one extra join per segment count —
+    bounded, not data-dependent, loop).
+    """
+    alpha = _EWMA_ALPHA
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    idx = F.row_number().over(w) - 1
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        idx.alias("i"),
+        F.first("value").over(cum).alias("x0"),
+        F.sum(F.col("value") * F.pow(F.lit(1 - alpha), -idx))
+        .over(cum)
+        .alias("a_i"),
+    )
+    ewma = F.pow(F.lit(1 - alpha), F.col("i")) * (
+        alpha * (F.col("a_i") - F.col("x0")) + F.col("x0")
+    )
+    # tie-free rounding (registry convention): round() half-up diverges
+    # between the engines when the double lands on a 4dp boundary
+    return seq.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.floor(ewma * 10000 + 0.5) / 10000).alias("ewma"),
+    )
