@@ -191,3 +191,77 @@ def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+_CHUNK_WORDS = 8
+
+
+@register(
+    "q_udtf_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(FLOOR((n_tok - 1) / {_CHUNK_WORDS}.0) AS BIGINT)))
+               AS sidx,
+             words
+      FROM d
+    )
+    SELECT doc_id, sidx,
+           array_to_string(words[(sidx * {_CHUNK_WORDS} + 1):
+                                 (sidx * {_CHUNK_WORDS} + {_CHUNK_WORDS})],
+                           ' ') AS sentence,
+           CAST(LENGTH(array_to_string(
+             words[(sidx * {_CHUNK_WORDS} + 1):
+                   (sidx * {_CHUNK_WORDS} + {_CHUNK_WORDS})], ' '))
+             AS BIGINT) AS n_chars
+    FROM s
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (new API in Spark 4): a class
+    whose ``eval`` yields zero-or-more rows per input row, invoked with
+    ``LATERAL`` in SQL — the generator shape (one doc -> many chunks)
+    that scalar UDFs cannot express. The chunker emits {w}-word segments
+    with position and length, mirroring q_dedup_sentences' segmentation
+    so the DuckDB oracle is the same slicing algebra.
+
+    Scale honesty: a Python UDTF is the SLOW PATH — per-row Python
+    generator dispatch (Arrow-batched transfer, but not vectorized
+    compute), and this exact segmentation compiles to pure-JVM
+    ``explode(sequence) + slice`` in q_dedup_sentences/q_doc_chunks,
+    which is what production should run. UDTFs earn their keep when the
+    per-row expansion is genuinely imperative — a stateful parser, an
+    ML tokenizer with carry-over, a format sniffer — and this query
+    exists to keep that API surface covered and oracle-checked. The
+    plan itself is scale-clean: map-only (Generate over the scan, no
+    shuffle), so throughput is bounded by the Python workers, not by
+    data movement.
+    """.replace("{w}", str(_CHUNK_WORDS))
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id long, sidx long, sentence string, n_chars long"
+    ))
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+            if text is None:
+                return
+            words = text.split(" ")
+            for k in range(0, len(words), _CHUNK_WORDS):
+                chunk = " ".join(words[k : k + _CHUNK_WORDS])
+                yield doc_id, k // _CHUNK_WORDS, chunk, len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.sidx, c.sentence, c.n_chars
+        FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c
+        WHERE d.text IS NOT NULL
+        """
+    )
