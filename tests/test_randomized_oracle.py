@@ -430,3 +430,64 @@ def test_triangle_count_matches_oracle_on_random_graphs(
     order = [cols.index(c) for c in sorted(cols)]
     want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
     assert got == want
+
+
+# --- EWMA: closed-form window vs DuckDB, on degenerate event streams ------
+#
+# q_ts_ewma's scaled-sum closed form is pinned on fixtures; random
+# corpora add what fixtures lack: duplicate timestamps WITHIN a user
+# (the (ts, event_id) tiebreak must pick the same recursion order in
+# both engines), NULL values (excluded from the series, indexes must
+# re-compact identically), single-event users (y = x0 exactly), and
+# empty tables.
+
+_ev_row = st.tuples(
+    st.integers(min_value=0, max_value=3),                    # user
+    st.integers(min_value=0, max_value=10),                   # ts bucket
+    st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),  # value
+)
+_ev_table = st.lists(_ev_row, min_size=0, max_size=30)
+
+
+@given(_ev_table)
+@_SETTINGS
+def test_ewma_matches_oracle_on_random_events(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    from ws_to_kafka_spark.operators import QUERIES
+
+    data = [
+        (
+            i,
+            datetime(2024, 1, 1, 0, t, 0),
+            u,
+            "view",
+            float(v) if v is not None else None,
+            "{}",
+        )
+        for i, (u, t, v) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_ewma"))
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(data or [], schema=schema).coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    spec = QUERIES["q_ts_ewma"]
+    got = _nullsafe(spec.fn(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    spark_cols = ["event_id", "user_id", "value", "ewma"]
+    order = [cols.index(c) for c in spark_cols]
+    want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want

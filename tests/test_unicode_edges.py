@@ -39,6 +39,9 @@ _TEXT_QUERIES = [
     "q_text_pii",
     "q_text_repetition",
     "q_text_fingerprint",
+    # the UDTF computes len() in PYTHON (chars) — must agree with the
+    # oracle's LENGTH (chars) on multi-byte text, not byte counts
+    "q_udtf_chunks",
 ]
 
 

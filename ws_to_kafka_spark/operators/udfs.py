@@ -257,7 +257,11 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, k // _CHUNK_WORDS, chunk, len(chunk)
 
     spark.udtf.register("chunk_doc", ChunkDoc)
-    tables.register_views(spark, sf_dir)
+    # register only the table this query reads: partial corpora (edge
+    # fixtures with just documents.parquet) must work like full ones
+    tables.load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
     return spark.sql(
         """
         SELECT c.doc_id, c.sidx, c.sentence, c.n_chars
