@@ -104,6 +104,11 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture as a temp view for the SQL API."""
+    """Register every fixture PRESENT in ``sf_dir`` as a temp view for the
+    SQL API. Partial corpora (edge fixtures carrying a single table) skip
+    the missing ones — a query referencing an unregistered view still
+    fails with a clear TABLE_OR_VIEW_NOT_FOUND, just at its own analysis
+    instead of inside this helper."""
     for name in TABLE_NAMES:
-        load(spark, sf_dir, name).createOrReplaceTempView(name)
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
