@@ -22,6 +22,10 @@ _DOCS = [
     (3, "数据 处理 引擎 的 测试 文本", "zh", "web", None),
     (4, "mixed ascii and café 数据 🚀 tokens here", "en", "web", None),
     (5, "plain ascii control text for comparison", "en", "web", None),
+    # decomposed accents (e + COMBINING ACUTE): NFC must compose them
+    (6, "cafe\u0301 de\u0301ja\u0300 vu de nouveau ici", "fr", "web", None),
+    # control chars and space runs for the normalization pass
+    (7, "tab\there and\x01  double  spaces \x1f end", "en", "web", None),
 ]
 _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -42,6 +46,9 @@ _TEXT_QUERIES = [
     # the UDTF computes len() in PYTHON (chars) — must agree with the
     # oracle's LENGTH (chars) on multi-byte text, not byte counts
     "q_udtf_chunks",
+    # two independent Unicode implementations (Python unicodedata vs
+    # DuckDB utf8proc) must produce the same NFC composition
+    "q_text_normalize",
 ]
 
 

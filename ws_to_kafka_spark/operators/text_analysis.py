@@ -18,6 +18,10 @@ engines agree) rather than engine-private hashes; all doubles rounded.
 
 from __future__ import annotations
 
+# module-level so pandas_udf type hints (PEP 563 strings under this
+# future import) resolve against module globals
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -710,4 +714,67 @@ def q_score_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "q_text_normalize",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, text,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(nfc_normalize(text),
+                  '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+      FROM documents
+    )
+    SELECT doc_id, cleaned,
+           (cleaned != text) AS changed,
+           CAST(LENGTH(text) - LENGTH(cleaned) AS BIGINT) AS char_delta
+    FROM c
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the stage every corpus pipeline runs FIRST,
+    so downstream hashes/shingles/tokens see one canonical byte form:
+    Unicode NFC (composed accents; 'e'+COMBINING ACUTE and U+00E9 must
+    dedup as the same document), control characters to spaces, space
+    runs collapsed, ends trimmed. Reports the cleaned text, a changed
+    flag, and the character delta.
+
+    NFC is the ONLY step that needs Python (Spark has no normalization
+    built-in): an Arrow-batched pandas UDF over ``unicodedata`` —
+    vectorized transfer, per-string normalize, no JVM round-trips per
+    row. Control-strip and whitespace-collapse stay JVM-side
+    (``regexp_replace`` in whole-stage codegen) so the slow path is
+    exactly one column transform. The DuckDB oracle uses utf8proc's
+    ``nfc_normalize`` — two independent Unicode implementations
+    agreeing is the point of the check (pinned on decomposed input in
+    the unicode edge corpus; ASCII fixtures normalize to themselves).
+
+    Scale: map-only, no shuffle — normalization cost is bounded by the
+    Python workers exactly like q_udf_scalar, and at 100 TB this is the
+    scan you fuse the cheap JVM filters into rather than running alone.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(F.col("text")), "[\\x00-\\x1F\\x7F]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (cleaned != F.col("text")).alias("changed"),
+        (F.length("text") - F.length(cleaned)).cast("long").alias("char_delta"),
     )
