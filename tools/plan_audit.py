@@ -46,6 +46,7 @@ EXPECTED_NESTED_LOOP = {
     "q_drift_psi",  # 10-row bucket counts × broadcast 1-row totals frame
     "q_sim_centroid",  # corpus × broadcast #labels centroid frame (argmax scoring)
     "q_agg_countmin",  # probe keys × broadcast 1-row stream-total frame
+    "q_ts_similarity",  # user profiles × broadcast bounded query-user set
 }
 
 

@@ -415,3 +415,123 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.floor(ewma * 10000 + 0.5) / 10000).alias("ewma"),
     )
+
+
+_TSSIM_QUERY_USERS = 5  # users probing the corpus (like similarity._N_QUERIES)
+_TSSIM_TOP_K = 3
+
+
+@register(
+    "q_ts_similarity",
+    oracle=f"""
+    WITH hod AS (
+      SELECT user_id, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             FLOOR(AVG(value) * 1000000 + 0.5) / 1000000 AS m
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, EXTRACT(hour FROM ts)
+    ),
+    grid AS (
+      SELECT u.user_id, gs.h, COALESCE(hod.m, 0.0) AS m
+      FROM (SELECT DISTINCT user_id FROM hod) u
+      CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) gs
+      LEFT JOIN hod ON hod.user_id = u.user_id AND hod.h = gs.h
+    ),
+    vec AS (
+      SELECT user_id, list(m ORDER BY h) AS v FROM grid GROUP BY user_id
+    ),
+    scored AS (
+      SELECT q.user_id AS query_user, c.user_id AS match_user,
+             FLOOR(list_dot_product(q.v, c.v)
+                   / NULLIF(SQRT(list_dot_product(q.v, q.v))
+                            * SQRT(list_dot_product(c.v, c.v)), 0.0)
+                   * 1000000 + 0.5) / 1000000 AS cos_sim
+      FROM vec q JOIN vec c ON c.user_id != q.user_id
+      WHERE q.user_id < {_TSSIM_QUERY_USERS}
+    )
+    SELECT query_user, match_user, cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_user
+        ORDER BY cos_sim DESC NULLS LAST, match_user) AS rk
+      FROM scored
+    )
+    WHERE rk <= {_TSSIM_TOP_K}
+    """,
+)
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the distributed streaming-similarity
+    problem of EDBT'19, batch form): each query user's activity profile is
+    matched to the most similar other users by cosine over a fixed
+    24-dimension hour-of-day signature (mean value per hour, zero-filled)
+    — the resample-to-aligned-vector step that turns variable-length,
+    irregularly sampled series into a comparable space.
+
+    Spark-first shape: the profile build is ONE shuffle (groupBy user,
+    hour-of-day) followed by a map-only 24-slot assembly via
+    ``map_from_entries`` + ``transform(sequence(0,23))`` — no pivot, no
+    second shuffle; the search reuses q_sim_topk's pattern (broadcast the
+    bounded query side, one scan of the corpus vectors, WindowGroupLimit
+    top-k). Hour means are tie-free-rounded to 6dp BEFORE the dot product
+    on both engines so AVG's partial-aggregation order cannot leak into
+    the ranking; zero-activity profiles null out under the ANSI nullif
+    guard and sort NULLS LAST identically.
+
+    Scale: profiles are 24 doubles per user — a 100 TB event history
+    compresses to O(|users|) vectors in one pass, after which even a
+    billion-user all-pairs probe is the ANN problem q_sim_ann already
+    solves (LSH over these vectors); the brute-force form here is the
+    exact baseline, linear in users per query."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hod = ev.groupBy(
+        "user_id", F.hour("ts").cast("long").alias("h")
+    ).agg(
+        (F.floor(F.avg("value") * 1000000 + 0.5) / 1000000).alias("m")
+    )
+    vec = hod.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("h", "m"))).alias("mm")
+    ).select(
+        "user_id",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(23).cast("long")),
+            # map lookup by KEY (hours 0-23); try_element_at because ANSI
+            # mode makes plain element_at throw on a missing map key
+            lambda h: F.coalesce(F.try_element_at("mm", h), F.lit(0.0)),
+        ).alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = vec.filter(F.col("user_id") < _TSSIM_QUERY_USERS).select(
+        F.col("user_id").alias("query_user"), F.col("v").alias("qv")
+    )
+    scored = (
+        vec.join(F.broadcast(q), F.col("user_id") != F.col("query_user"))
+        .select(
+            "query_user",
+            F.col("user_id").alias("match_user"),
+            (
+                F.floor(
+                    dot(F.col("qv"), F.col("v"))
+                    / F.nullif(
+                        F.sqrt(dot(F.col("qv"), F.col("qv")))
+                        * F.sqrt(dot(F.col("v"), F.col("v"))),
+                        F.lit(0.0),
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_user").orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("match_user")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TSSIM_TOP_K)
+        .select("query_user", "match_user", "cos_sim", "rk")
+    )
