@@ -49,6 +49,7 @@ _TEXT_QUERIES = [
     # two independent Unicode implementations (Python unicodedata vs
     # DuckDB utf8proc) must produce the same NFC composition
     "q_text_normalize",
+    "q_text_polarity",
 ]
 
 

@@ -778,3 +778,85 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cleaned != F.col("text")).alias("changed"),
         (F.length("text") - F.length(cleaned)).cast("long").alias("char_delta"),
     )
+
+
+_POLAR_POS = ("fast", "small")
+_POLAR_NEG = ("slow", "big", "dup")
+
+
+@register(
+    "q_text_polarity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(words, x -> x IN {_POLAR_POS!r}))
+               AS BIGINT) AS n_pos,
+             CAST(len(list_filter(words, x -> x IN {_POLAR_NEG!r}))
+               AS BIGINT) AS n_neg,
+             CAST(len(words) AS BIGINT) AS n_words
+      FROM w
+    )
+    SELECT doc_id, n_pos, n_neg,
+           FLOOR((n_pos - n_neg) * 1.0 / NULLIF(n_words, 0)
+                 * 1000000 + 0.5) / 1000000 AS polarity,
+           CASE WHEN n_pos > n_neg THEN 'positive'
+                WHEN n_neg > n_pos THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM c
+    """,
+)
+def q_text_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based polarity scoring (the distributed sentiment-analysis
+    shape of EDBT'16 Twitter-scale studies): per-document counts of
+    positive/negative lexicon hits, a length-normalized polarity score,
+    and a three-way label. The fixtures' vocabulary carries a real
+    performance polarity (fast/small vs slow/big/dup); production swaps
+    the two tuples for a full sentiment lexicon — the dataflow (token
+    membership against a broadcast-small dictionary) is identical, and
+    at real lexicon sizes the IN-list becomes a broadcast join against
+    a lexicon table instead of a literal.
+
+    Scale: map-only single scan — tokenize once, two codegen'd
+    ``filter`` HOFs over the words array (bounded lexicon, no shuffle),
+    everything fused into the parquet scan's stage. The division is
+    NULLIF-guarded (ANSI) and tie-free-rounded: counts-over-counts
+    ratios DO land exactly on rounding boundaries (a 128-word doc with
+    an odd hit delta is a .5 case at 6dp).
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    d = docs.select(
+        "doc_id",
+        words.alias("w"),
+        F.size(words).cast("long").alias("n_words"),
+    ).select(
+        "doc_id",
+        F.size(F.filter(F.col("w"), lambda x: x.isin(*_POLAR_POS)))
+        .cast("long")
+        .alias("n_pos"),
+        F.size(F.filter(F.col("w"), lambda x: x.isin(*_POLAR_NEG)))
+        .cast("long")
+        .alias("n_neg"),
+        "n_words",
+    )
+    polarity = (
+        F.floor(
+            (F.col("n_pos") - F.col("n_neg"))
+            * 1.0
+            / F.nullif(F.col("n_words"), F.lit(0))
+            * 1000000
+            + 0.5
+        )
+        / 1000000
+    )
+    label = (
+        F.when(F.col("n_pos") > F.col("n_neg"), F.lit("positive"))
+        .when(F.col("n_neg") > F.col("n_pos"), F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    return d.select(
+        "doc_id", "n_pos", "n_neg", polarity.alias("polarity"), label.alias("label")
+    )
