@@ -491,3 +491,48 @@ def test_ewma_matches_oracle_on_random_events(
     order = [cols.index(c) for c in spark_cols]
     want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
     assert got == want
+
+
+@given(_ts_table, _ts_table)
+@_SETTINGS
+def test_asof_nearest_matches_allpairs_oracle(
+    spark, tmp_path_factory, purchases, signups
+):
+    """Nearest-direction as-of: the union + two-carry form vs the
+    all-pairs ROW_NUMBER oracle, on random corpora where the traps live —
+    EQUAL distances before and after (tie must go to the earlier
+    signup), purchases with only a forward match, duplicate timestamps
+    on either side, users with no signups at all."""
+    from datetime import datetime
+
+    from ws_to_kafka_spark.operators import QUERIES
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, t, 0), u, "purchase", 1.0, "{}")
+        for i, (u, t) in enumerate(purchases)
+    ] + [
+        (10_000 + i, datetime(2024, 1, 1, 0, t, 0), u, "signup", 1.0, "{}")
+        for i, (u, t) in enumerate(signups)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_asof_near"))
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows or [], schema=schema).coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    spec = QUERIES["q_join_asof_nearest"]
+    got = _nullsafe(spec.fn(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    spark_cols = ["event_id", "user_id", "purchase_ts", "signup_ts", "usecs_offset"]
+    order = [cols.index(c) for c in spark_cols]
+    want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want

@@ -1420,3 +1420,86 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qty_mad"),
         )
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    pairs AS (
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts,
+             ABS(epoch_us(p.ts) - epoch_us(s.ts)) AS adiff
+      FROM p JOIN s ON p.user_id = s.user_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY adiff, signup_ts) AS rn
+      FROM pairs
+    )
+    SELECT event_id, user_id, purchase_ts, signup_ts,
+           CAST(epoch_us(purchase_ts) - epoch_us(signup_ts) AS BIGINT)
+             AS usecs_offset
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase matched to the signup closest in
+    time in EITHER direction (sensor/series alignment semantics — pandas
+    ``merge_asof(direction='nearest')``), ties resolved toward the
+    earlier (backward) signup.
+
+    Same scalable union form as q_join_asof, now with two O(1)-state
+    passes over ONE sorted partition: a running last-signup-at-or-before
+    (backward carry) and a running first-signup-after (forward carry) —
+    both windows share the (ts, side, event_id) ordering, so Spark plans
+    one shuffle and ONE local sort for the pair. The nearest pick is a
+    scalar comparison of exact microsecond deltas. The oracle is an
+    INDEPENDENT formulation (all purchase x signup pairs per user,
+    ROW_NUMBER by |delta| with the same tiebreak) — quadratic per user,
+    fine for DuckDB at gate scale, exactly the plan the union-carry form
+    exists to avoid at 100 TB.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p")
+    )
+    u = p.unionByName(s)
+    # equal timestamps: signups sort BEFORE purchases, so an equal-ts
+    # signup is visible to the backward carry (diff 0, always wins) and
+    # excluded from the forward frame — inclusive match, counted once.
+    order = ["ts", "is_p", "event_id"]
+    wb = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        0, W.unboundedFollowing
+    )
+    sig_ts = F.when(F.col("is_p") == 0, F.col("ts"))
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    carried = (
+        u.withColumn("back_ts", F.last(sig_ts, ignorenulls=True).over(wb))
+        .withColumn("fwd_ts", F.first(sig_ts, ignorenulls=True).over(wf))
+        .filter(F.col("is_p") == 1)
+        .filter(F.col("back_ts").isNotNull() | F.col("fwd_ts").isNotNull())
+    )
+    bd = us(F.col("ts")) - us(F.col("back_ts"))
+    fd = us(F.col("fwd_ts")) - us(F.col("ts"))
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(fd < bd, F.col("fwd_ts"))
+        .otherwise(F.col("back_ts"))  # tie -> earlier (backward) signup
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        nearest.alias("signup_ts"),
+        (us(F.col("ts")) - us(nearest)).alias("usecs_offset"),
+    )
