@@ -346,3 +346,49 @@ def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_key"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
     )
+
+
+@register(
+    "q_win_sliding_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT)
+             AS distinct_types_1h
+    FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct cardinality: how many DISTINCT event types each
+    user produced in the trailing hour of every event — the diversity/
+    breadth signal (distinct pages, distinct endpoints, distinct SKUs)
+    that plain rolling counts miss. Frame membership matches
+    q_win_range_interval (floored epoch seconds, RANGE peers).
+
+    Spark's window functions cannot evaluate COUNT(DISTINCT) over a
+    frame, so the query composes it: ``collect_list`` over the RANGE
+    frame -> ``array_distinct`` -> ``size`` — exact, single pass, same
+    one shuffle + sort as any frame, but O(window) memory per row while
+    the frame's values are gathered. That is fine for bounded windows
+    (an hour of one user's events); for wide windows or hot keys the
+    scale form trades exactness for mergeability: pre-bucket to minutes
+    and merge HLL sketches across the frame (the q_agg_sketch_merge
+    pattern), which drops per-row state to a constant-size sketch.
+    DuckDB evaluates the same semantics natively (COUNT(DISTINCT) OVER),
+    giving an independent implementation to agree with.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    secs = events.withColumn("sec", F.unix_timestamp("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return secs.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("long")
+        .alias("distinct_types_1h"),
+    )
