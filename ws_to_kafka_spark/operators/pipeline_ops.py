@@ -1319,3 +1319,71 @@ def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+_WEIGHTED_K = 3
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+             FLOOR(-LN((CAST((doc_id * {_LCG_A}) % {_LCG_P} AS DOUBLE) + 1)
+                       / {_LCG_P + 1}.0)
+                   / NULLIF(CAST(n_chars AS DOUBLE), 0.0)
+                   * 1000000000 + 0.5) / 1000000000 AS es_key
+      FROM documents
+    )
+    SELECT doc_id, lang, weight, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY es_key ASC NULLS LAST, doc_id) AS rk
+      FROM keyed
+    ) WHERE rk <= {_WEIGHTED_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k per language, by the
+    exponential race (A-ES / Efraimidis-Spirakis 2006): each doc gets
+    key = -ln(u)/w and the k SMALLEST keys win — inclusion probability
+    proportional to weight (here n_chars: longer docs more likely),
+    the distributed, single-pass, merge-friendly form of weighted
+    reservoir sampling (partial top-k per partition merges to global
+    top-k, exactly how Spark's window group-limit executes it).
+
+    Determinism contract: u comes from the registry's multiplicative
+    LCG on doc_id — integer arithmetic, bit-identical on both engines —
+    and the only libm call (ln of an identical double) can diverge by a
+    last ulp, so keys are tie-free-rounded at 9dp with a doc_id
+    tiebreak before ranking. Zero weights NULL out (ANSI nullif) and
+    sort NULLS LAST on both engines.
+
+    Scale: one scan, one shuffle on lang for the group-limit; no
+    sorting of the full table (WindowGroupLimit keeps k per partition
+    map-side before the shuffle).
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    u = (
+        (F.pmod(F.col("doc_id") * _LCG_A, F.lit(_LCG_P)).cast("double") + 1)
+        / float(_LCG_P + 1)
+    )
+    es_key = F.floor(
+        -F.ln(u)
+        / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+        * 1000000000
+        + 0.5
+    ) / 1000000000
+    w = W.partitionBy("lang").orderBy(
+        F.col("es_key").asc_nulls_last(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            es_key.alias("es_key"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _WEIGHTED_K)
+        .select("doc_id", "lang", "weight", "rk")
+    )
