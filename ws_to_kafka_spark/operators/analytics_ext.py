@@ -1503,3 +1503,57 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.alias("signup_ts"),
         (us(F.col("ts")) - us(nearest)).alias("usecs_offset"),
     )
+
+
+@register(
+    "q_feat_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderkey, o.o_orderstatus,
+           ROUND(CASE WHEN o_totalprice < lo THEN lo
+                      WHEN o_totalprice > hi THEN hi
+                      ELSE o_totalprice END, 4) AS price_winsor,
+           (o_totalprice < lo OR o_totalprice > hi) AS clipped
+    FROM orders o JOIN cuts c ON o.o_orderstatus = c.o_orderstatus
+    """,
+)
+def q_feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — per-group percentile clipping (values outside
+    [p5, p95] snapped to the boundary), the outlier-robust feature
+    cleaning every tabular ML pipeline runs before normalization, plus
+    a clipped flag for monitoring the tail mass.
+
+    Shape: exact per-group percentiles via ONE aggregate over the scan
+    (3-row cutpoint frame), broadcast back, then a map-only clip — the
+    same aggregate-then-broadcast pattern as q_anomaly_zscore, never a
+    whole-partition window (which would shuffle the table into one
+    partition per status: the skew worst case). Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share linear
+    interpolation semantics; outputs rounded at 4dp.
+
+    Scale: at 100 TB exact percentiles become the bottleneck (they
+    gather per-group value multisets); the drop-in is
+    ``approx_percentile`` with a bounded error — same plan shape, the
+    q_agg_approx_pct contract covers its accuracy.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    cuts = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    joined = orders.join(F.broadcast(cuts), "o_orderstatus")
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return joined.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(clipped, 4).alias("price_winsor"),
+        (
+            (F.col("o_totalprice") < F.col("lo"))
+            | (F.col("o_totalprice") > F.col("hi"))
+        ).alias("clipped"),
+    )
