@@ -224,3 +224,92 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_b"),
         F.round((gb - ga) * F.log(gb / ga), 6).alias("psi_term"),
     )
+
+
+# log10(1 + 1/d) for d = 1..9, precomputed to 6dp so the expectation is a
+# pure literal on both engines (no libm in the comparison path)
+_BENFORD = (0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+            0.066947, 0.057992, 0.051153, 0.045757)
+
+
+def _benford_case_sql() -> str:
+    # CAST each literal: a bare decimal literal makes the whole CASE a
+    # DECIMAL in DuckDB while Spark's map lookup yields DOUBLE
+    whens = " ".join(
+        f"WHEN '{d + 1}' THEN CAST({p} AS DOUBLE)"
+        for d, p in enumerate(_BENFORD)
+    )
+    return f"CASE digit {whens} END"
+
+
+@register(
+    "q_quality_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderstatus,
+             SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS digit
+      FROM orders
+      WHERE FLOOR(o_totalprice * 100 + 0.5) > 0
+    ),
+    c AS (
+      SELECT o_orderstatus, digit, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+               AS n_total
+      FROM d GROUP BY o_orderstatus, digit
+    )
+    SELECT o_orderstatus, digit, n,
+           FLOOR(n * 1.0 / n_total * 1000000 + 0.5) / 1000000 AS obs_freq,
+           {_benford_case_sql()} AS exp_freq,
+           FLOOR(ABS(n * 1.0 / n_total - {_benford_case_sql()})
+                 * 1000000 + 0.5) / 1000000 AS abs_dev
+    FROM c
+    """,
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance check on the money column: the
+    first-significant-digit histogram per order status against the
+    log10(1 + 1/d) expectation — the forensic data-quality monitor for
+    financial columns (fabricated or truncated amounts shift the digit
+    mass; a synthetic-uniform generator fails it loudly, which is
+    itself a data-quality finding about the fixture).
+
+    Digit extraction avoids libm entirely: tie-free integer cents, then
+    the FIRST CHARACTER of the integer's decimal string — integer
+    formatting is exact and identical on both engines, where a
+    floor(log10(x)) formulation can misbin at exact powers of ten if
+    one engine's log10 lands an ulp low. Expected frequencies are
+    precomputed 6dp literals.
+
+    Scale: one scan, a 9-key-per-group aggregate (map-side combined),
+    and a per-group total via a window over the TINY aggregated frame
+    (54 rows) — never over the raw table.
+    """
+    from pyspark.sql import Window as W
+
+    orders = tables.load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+    d = orders.filter(cents > 0).select(
+        "o_orderstatus",
+        F.substring(cents.cast("long").cast("string"), 1, 1).alias("digit"),
+    )
+    c = d.groupBy("o_orderstatus", "digit").agg(F.count("*").alias("n"))
+    n_total = F.sum("n").over(W.partitionBy("o_orderstatus"))
+    obs = F.col("n") * 1.0 / F.col("n_total")
+    exp_map = F.create_map(
+        *[x for dd, p in enumerate(_BENFORD) for x in (F.lit(str(dd + 1)), F.lit(p))]
+    )
+    exp = F.try_element_at(exp_map, F.col("digit"))
+    return (
+        c.withColumn("n_total", n_total)
+        .select(
+            "o_orderstatus",
+            "digit",
+            "n",
+            (F.floor(obs * 1000000 + 0.5) / 1000000).alias("obs_freq"),
+            exp.alias("exp_freq"),
+            (F.floor(F.abs(obs - exp) * 1000000 + 0.5) / 1000000).alias(
+                "abs_dev"
+            ),
+        )
+    )
