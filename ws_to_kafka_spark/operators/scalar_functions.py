@@ -791,3 +791,43 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             "add_ovf"
         ),
     )
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE)  AS next_month,
+           CAST(o_orderdate + INTERVAL 18 MONTH AS DATE) AS plus_18m,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 36 HOUR AS plus_36h,
+           CAST(date_diff('day', o_orderdate, DATE '1998-12-01') AS BIGINT)
+             AS days_to_ref,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/calendar arithmetic: month addition with END-OF-MONTH
+    CLAMPING (Jan 31 + 1 month = Feb 28 — both engines clamp, the corner
+    every billing/retention job hits), exact hour intervals on
+    timestamps, day distance to a reference date, and quarter
+    truncation. Month DIFFERENCES are deliberately absent here: Spark's
+    ``timestamp_diff(MONTH)`` counts full elapsed months while DuckDB's
+    ``date_diff('month')`` counts boundary crossings (Jan 31 -> Feb 28
+    is 0 vs 1), so portable month distances must be computed from
+    year*12+month arithmetic — q_fn_datetime_extra does exactly that.
+
+    Scale: map-only scalar projection, fused into the scan.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return orders.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 1).alias("next_month"),
+        F.add_months("o_orderdate", 18).alias("plus_18m"),
+        F.timestamp_add("HOUR", F.lit(36), ts).alias("plus_36h"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_ref"),
+        F.trunc("o_orderdate", "quarter").alias("quarter_start"),
+    )
