@@ -1557,3 +1557,67 @@ def q_feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("o_totalprice") > F.col("hi"))
         ).alias("clipped"),
     )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE)   AS n,
+             SUM(l_quantity)            AS s1,
+             SUM(l_quantity * l_quantity) AS s2,
+             SUM(l_quantity * l_quantity * l_quantity) AS s3,
+             SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / POWER(NULLIF(s2/n - (s1/n)*(s1/n), 0.0), 1.5), 6)
+             AS skewness,
+           ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / POWER(NULLIF(s2/n - (s1/n)*(s1/n), 0.0), 2) - 3, 6)
+             AS kurtosis
+    FROM s
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments — population skewness and excess
+    kurtosis per return flag — computed from RAW power sums with
+    identical algebra on both engines, NOT from the built-ins: Spark's
+    ``skewness``/``kurtosis`` are population-form while DuckDB's are
+    sample-bias-corrected (Fisher), so the built-ins legitimately
+    disagree; the moment algebra (m_k from s_1..s_4) is the portable
+    ground truth, and incidentally the MERGEABLE form — power sums add
+    across partitions, which is how any distributed engine implements
+    these anyway (one map-side-combined aggregate, 3-row result).
+
+    Zero-variance groups NULL out via the ANSI nullif guard on m2.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = F.col("s3") / F.col("n") - 3 * m1 * (F.col("s2") / F.col("n")) + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * m1 * m1 * (F.col("s2") / F.col("n"))
+        - 3 * m1 * m1 * m1 * m1
+    )
+    guard = F.nullif(m2, F.lit(0.0))
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(m3 / F.pow(guard, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(guard, 2) - 3, 6).alias("kurtosis"),
+    )
