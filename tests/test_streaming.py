@@ -748,3 +748,57 @@ def test_streaming_session_window(spark, tmp_path, event_frames):
     finally:
         query.stop()
         server.close()
+
+
+def test_stateful_ewma_matches_recursion(spark, tmp_path):
+    """Streaming EWMA converges to the literal recursion per user — the
+    same semantics the batch twin q_ts_ewma pins against DuckDB, here
+    carried as O(1) ValueState across microbatches (the production form
+    for unbounded histories, where the batch closed form's scaling
+    factor would overflow)."""
+    from ws_to_kafka_spark.streaming.ops import stateful_ewma
+
+    series = {0: [10.0, 20.0, 30.0, 40.0], 1: [5.0, 5.0, 5.0, 5.0]}
+    frames = [
+        json.dumps(
+            {
+                "event_id": i * 2 + u,
+                "user_id": u,
+                "value": series[u][i],
+                "ts_ms": 1704067200000 + i * 60000,
+            }
+        ).encode()
+        for i in range(4)
+        for u in (0, 1)
+    ]
+
+    def ewma(xs, a=0.5):
+        y = xs[0]
+        for x in xs[1:]:
+            y = (1 - a) * y + a * x
+        return round(y, 4)
+
+    want = {u: (len(xs), ewma(xs)) for u, xs in series.items()}
+
+    server = RecordingWsServer(frames_per_connection=frames)
+    stream = stateful_ewma(_typed_stream(spark, server.url))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        def final_state_ok():
+            rows = spark.sql(
+                "SELECT user_id, MAX(n_events) n, MAX(ewma) y "
+                "FROM ewma_test GROUP BY user_id"
+            ).collect()
+            got = {r.user_id: (r.n, r.y) for r in rows}
+            return got == want
+
+        assert wait_until(final_state_ok, timeout=60), "ewma never converged"
+    finally:
+        query.stop()
+        server.close()

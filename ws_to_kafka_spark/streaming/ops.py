@@ -602,3 +602,50 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_id").alias("signup_id"),
         F.col("s.ts").alias("signup_ts"),
     )
+
+
+def stateful_ewma(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming EWMA via ``applyInPandasWithState``: the O(1)
+    ValueState form of the recursion y_0 = x_0, y = (1-a)y + a*x that
+    the batch twin ``q_ts_ewma`` reconstructs with a cumulative-window
+    closed form. This is the operator's PRODUCTION shape at unbounded
+    per-key history: the batch closed form's scaling factor (1-a)^(-i)
+    overflows past ~10^3 events per key, while the stream carries one
+    double per key forever — the same batch-recomputes-what-the-stream-
+    carries trade as stateful_zscore.
+
+    Rows are processed in (ts, event_id) order within each batch so a
+    re-partitioned microbatch cannot reorder the recursion; state is
+    (n, y) — two fields per key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, ewma double"
+    state_schema = "n long, y double"
+
+    def update(key, pdfs, state: GroupState):
+        n, y = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].astype(float):
+                y = v if n == 0 else (1 - alpha) * y + alpha * v
+                n += 1
+        state.update((n, y))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma": [round(y, 4) if n else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
