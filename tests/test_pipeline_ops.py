@@ -147,3 +147,47 @@ def test_mix_sample_realizes_mix_weights(spark, sf_dir):
         assert abs(row["count"] - expected) < 8 * sigma + 6, (
             row["lang"], row["count"], expected,
         )
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Exponential-race keys must actually bias selection by weight: the
+    mean length of sampled docs exceeds the corpus mean (a fixed-fixture
+    determinism pin, not a statistical flake — the sample is a pure
+    function of doc_id), and every language contributes exactly k or its
+    full doc count."""
+    import pyspark.sql.functions as F
+
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators import QUERIES
+
+    out = QUERIES["q_sample_weighted"].fn(spark, sf_dir)
+    sampled_mean = out.agg(F.avg("weight")).collect()[0][0]
+    docs = tables.load(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert sampled_mean > corpus_mean, (sampled_mean, corpus_mean)
+
+    per_lang = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, n in per_lang.items():
+        assert n == min(3, avail[lang]), (lang, n, avail[lang])
+
+
+def test_benford_frequencies_partition_unity(spark, sf_dir):
+    """Per status, observed digit frequencies must sum to ~1 and digits
+    must be a subset of 1..9 (integer-cents extraction can never emit a
+    leading zero)."""
+    import pyspark.sql.functions as F
+
+    from ws_to_kafka_spark.operators import QUERIES
+
+    rows = QUERIES["q_quality_benford"].fn(spark, sf_dir).collect()
+    assert rows
+    by_status: dict = {}
+    for r in rows:
+        assert r.digit in set("123456789"), r
+        by_status.setdefault(r.o_orderstatus, 0.0)
+        by_status[r.o_orderstatus] += r.obs_freq
+    for status, total in by_status.items():
+        assert abs(total - 1.0) < 1e-4, (status, total)
