@@ -24,7 +24,7 @@ distinct — the same shuffle shape as q_dedup_exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -427,3 +427,176 @@ def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         "support",
         (F.floor(jac * 1000000 + 0.5) / 1000000).alias("jaccard"),
     )
+
+
+
+
+_TRUSS_PEELS = 2   # fixed peel rounds so the oracle unrolls (like PageRank)
+_TRUSS_PSIZE = 12  # part family bound: keeps the id-ordered oracle tractable
+
+
+def _truss_oracle() -> str:
+    """Unrolled median-threshold truss peeling: per round, recompute
+    per-edge support on the surviving subgraph, then keep edges at or
+    above the round's MEDIAN support (rank-based: the largest support
+    level s with |{support >= s}| >= half the edges — exact integer
+    logic, no interpolation, so both engines agree at any scale)."""
+    parts = [f"""
+    WITH po AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size <= {_TRUSS_PSIZE}
+    ),
+    e0 AS (
+      SELECT DISTINCT p1.l_partkey AS a, p2.l_partkey AS b
+      FROM po p1 JOIN po p2 ON p1.l_orderkey = p2.l_orderkey
+       AND p1.l_partkey < p2.l_partkey
+    )"""]
+    prev = "e0"
+    for i in range(1, _TRUSS_PEELS + 1):
+        parts.append(f""",
+    tri{i} AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM {prev} e1
+      JOIN {prev} e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    sup{i} AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT x AS a, y AS b FROM tri{i}
+        UNION ALL SELECT x, z FROM tri{i}
+        UNION ALL SELECT y, z FROM tri{i}
+      ) GROUP BY a, b
+    ),
+    cum{i} AS (
+      SELECT support,
+             SUM(c) OVER (ORDER BY support DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM (SELECT support, COUNT(*) AS c FROM sup{i} GROUP BY support)
+    ),
+    thr{i} AS (
+      SELECT MAX(support) AS t FROM cum{i}
+      WHERE 2 * cum >= (SELECT COUNT(*) FROM sup{i})
+    ),
+    e{i} AS (
+      SELECT a, b FROM sup{i}, thr{i} WHERE support >= t
+    )""")
+        prev = f"e{i}"
+    parts.append(f"""
+    SELECT s.a, s.b, s.support
+    FROM sup{_TRUSS_PEELS} s
+    JOIN e{_TRUSS_PEELS} e ON e.a = s.a AND e.b = s.b
+    """)
+    return "".join(parts)
+
+
+@register("q_graph_truss", oracle=_truss_oracle())
+def q_graph_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss-style community-core peeling ({p} fixed rounds): each round
+    recomputes per-edge triangle support on the SURVIVING subgraph and
+    drops the weak half — edges below the round's median support — so
+    the result is the dense co-purchase core at any data scale (a fixed
+    absolute k cannot peel meaningfully at both sf0.001 and sf0.01:
+    their support medians differ 4x). Fixed round count so the DuckDB
+    oracle unrolls (the PageRank pattern); classic k-truss iterates the
+    same plan to fixpoint with an absolute threshold. The graph is the
+    SMALL-PARTS family (p_size <= {s}, a broadcast dimension filter):
+    the Spark side would happily peel the full graph, but the oracle's
+    id-ordered triangle enumeration has no degree orientation and goes
+    quadratic-ish on the full co-purchase graph — bounding the family
+    keeps the cross-check tractable while exercising the identical
+    dataflow.
+
+    The median is computed IN-PLAN with exact integer logic: a tiny
+    support histogram (O(max support) rows), a descending cumulative
+    count, and the largest level s with 2*cum(s) >= |E| — no collect(),
+    no interpolating percentile (whose .5 results would need float
+    comparisons), and the 1-row threshold frame broadcasts back like
+    q_drift_psi's totals. Per round the subgraph is re-oriented by its
+    own (degree, id) rank — degrees change as edges drop, so rank reuse
+    across peels is the classic truss bug — and `localCheckpoint`
+    truncates the doubling lineage, same as the iterative CC in
+    q_dedup_clusters.
+    """.replace("{p}", str(_TRUSS_PEELS)).replace("{s}", str(_TRUSS_PSIZE))
+
+    def support_of(edges: DataFrame) -> DataFrame:
+        deg = (
+            edges.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        da = deg.select(F.col("node").alias("a"), F.col("d").alias("dda"))
+        db = deg.select(F.col("node").alias("b"), F.col("d").alias("ddb"))
+        ranked = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+        fwd = F.struct("dda", "a") < F.struct("ddb", "b")
+        pack = lambda d, n: F.shiftleft(F.col(d).cast("long"), 32) + F.col(n)
+        o = ranked.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, pack("ddb", "b")).otherwise(pack("dda", "a")).alias("vr"),
+        ).localCheckpoint(eager=False)
+        o1, o2 = o.alias("o1"), o.alias("o2")
+        wedges = o1.join(o2, "u").where(F.col("o1.vr") < F.col("o2.vr"))
+        closing = o.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+        tri = wedges.join(
+            F.broadcast(closing),
+            (F.col("o1.v") == F.col("cu")) & (F.col("o2.v") == F.col("cv")),
+        ).select("u", F.col("o1.v").alias("v1"), F.col("o2.v").alias("v2"))
+        pair = lambda x, y: F.struct(
+            F.least(F.col(x), F.col(y)).alias("a"),
+            F.greatest(F.col(x), F.col(y)).alias("b"),
+        )
+        return (
+            tri.select(
+                F.explode(
+                    F.array(pair("u", "v1"), pair("u", "v2"), pair("v1", "v2"))
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+
+    def median_keep(sup: DataFrame) -> DataFrame:
+        hist = sup.groupBy("support").agg(F.count("*").alias("c"))
+        wcum = (
+            W.orderBy(F.col("support").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = hist.withColumn("cum", F.sum("c").over(wcum))
+        tot = hist.agg(F.sum("c").alias("tot"))
+        thr = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(2 * F.col("cum") >= F.col("tot"))
+            .agg(F.max("support").alias("t"))
+        )
+        return (
+            sup.crossJoin(F.broadcast(thr))
+            .filter(F.col("support") >= F.col("t"))
+            .select("a", "b")
+        )
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_size") <= _TRUSS_PSIZE
+    ).select("p_partkey")
+    po = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pa, pb = po.alias("pa"), po.alias("pb")
+    edges = (
+        pa.join(pb, "l_orderkey")
+        .where(F.col("pa.l_partkey") < F.col("pb.l_partkey"))
+        .select(
+            F.col("pa.l_partkey").alias("a"), F.col("pb.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    sup = None
+    for _ in range(_TRUSS_PEELS):
+        sup = support_of(edges)
+        edges = median_keep(sup)
+    return sup.join(edges, ["a", "b"]).select("a", "b", "support")
