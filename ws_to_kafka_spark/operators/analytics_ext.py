@@ -1621,3 +1621,58 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(guard, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(guard, 2) - 3, 6).alias("kurtosis"),
     )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS i
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((2.0 * SUM(i * o_totalprice) / (COUNT(*) * SUM(o_totalprice))
+                  - (COUNT(*) + 1.0) / COUNT(*)) * 1000000 + 0.5) / 1000000
+             AS gini
+    FROM ranked
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per status — the concentration /
+    inequality metric (revenue concentration, whale detection) in its
+    sorted-rank closed form: G = 2*Sum(i * x_(i)) / (n * Sum(x)) -
+    (n+1)/n over values ranked ascending within the group.
+
+    Plan: ONE shuffle + local sort gives the within-group ranks (total
+    order via the o_orderkey tiebreak, so both engines weight ties
+    identically), then a grouped aggregate over the same partitioning —
+    AQE reuses the exchange. The two sums accumulate in the same
+    within-group order on both engines, and the output is tie-free
+    floor-rounded at 6dp.
+
+    Scale: rank-based Gini needs the per-group sort — at 100 TB that is
+    the same cost class as any windowed analytic (one skew-aware
+    shuffle); the approximation path is a quantile-sketch Lorenz curve
+    (percentile_approx at k points), trading exactness for a
+    sketch-merge plan.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.count("*")
+    gini = (
+        2.0 * F.sum(F.col("i") * F.col("o_totalprice")) / (n * F.sum("o_totalprice"))
+        - (n + 1.0) / n
+    )
+    return ranked.groupBy("o_orderstatus").agg(
+        n.cast("long").alias("n_orders"),
+        (F.floor(gini * 1000000 + 0.5) / 1000000).alias("gini"),
+    )
