@@ -536,3 +536,57 @@ def test_asof_nearest_matches_allpairs_oracle(
     order = [cols.index(c) for c in spark_cols]
     want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
     assert got == want
+
+
+# --- feature statistics on degenerate random orders -----------------------
+#
+# q_agg_gini / q_feat_winsorize / q_agg_moments are pinned on fixtures;
+# random mini-tables add the traps fixtures lack: CONSTANT-value groups
+# (gini 0, lo == hi so nothing clips, zero variance -> NULL moments via
+# the nullif guard), single-row groups, duplicate values (tie weighting
+# in the rank-based gini), and tiny n where bias terms dominate.
+
+_ord_row = st.tuples(
+    st.integers(min_value=0, max_value=2),          # status bucket
+    st.integers(min_value=1, max_value=50),         # price (small ints)
+)
+_ord_table = st.lists(_ord_row, min_size=1, max_size=25)
+
+
+@given(_ord_table)
+@_SETTINGS
+def test_feature_stats_match_oracle_on_random_orders(
+    spark, tmp_path_factory, rows
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    data = [
+        (i, "NOF"[s], float(v), 0)
+        for i, (s, v) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_feat"))
+    spark.createDataFrame(
+        data,
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double,"
+               " o_custkey long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    lineitem_cols = "l_returnflag string, l_quantity double"
+    spark.createDataFrame(
+        [("A", float(v)) for _, v in rows], schema=lineitem_cols
+    ).coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    for qname in ("q_agg_gini", "q_feat_winsorize", "q_agg_moments"):
+        spec = QUERIES[qname]
+        sdf = spec.fn(spark, sf_dir)
+        got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
+        cur = con.execute(spec.oracle)
+        cols = [d[0] for d in cur.description]
+        order = [cols.index(c) for c in sorted(cols)]
+        want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+        assert got == want, qname
