@@ -48,6 +48,7 @@ EXPECTED_NESTED_LOOP = {
     "q_agg_countmin",  # probe keys × broadcast 1-row stream-total frame
     "q_ts_similarity",  # user profiles × broadcast bounded query-user set
     "q_graph_truss",  # per-peel 1-row median-threshold frame broadcast back
+    "q_mix_temperature",  # |langs|-row shares × broadcast 1-row normalizer
 }
 
 

@@ -1387,3 +1387,60 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _WEIGHTED_K)
         .select("doc_id", "lang", "weight", "rk")
     )
+
+
+@register(
+    "q_mix_temperature",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             SUM(SQRT(n_tokens)) AS z
+      FROM per_lang
+    )
+    SELECT lang, n_tokens,
+           FLOOR(n_tokens / CAST(total_tokens AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS actual_share,
+           FLOOR(SQRT(n_tokens) / z * 1000000 + 0.5) / 1000000
+             AS sample_share
+    FROM per_lang, tot
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling shares (the multilingual
+    pre-training standard — mBERT/XLM-R style p_l ∝ n_l^(1/T), here
+    T = 2): low-resource languages are upsampled relative to their raw
+    token share without the hand-set targets of q_mix_weights. T = 2 is
+    not only the common operating point, it makes the scaling an exact
+    ``sqrt`` — correctly rounded in IEEE 754 on BOTH engines, unlike a
+    generic ``pow(x, 1/T)`` whose libm last-ulp drift is the q_ts_ewma
+    lesson; shares are tie-free floor-rounded at 6dp after the one
+    normalizing division.
+
+    Scale: one scan + a ~|langs|-row aggregate; the normalizer is a
+    1-row frame broadcast back (the q_mix_weights pattern). The shares
+    feed the SAME deterministic md5-keep machinery as q_mix_sample for
+    the materialized corpus.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.sqrt("n_tokens")).alias("z"),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        r6(F.col("n_tokens") / F.col("total_tokens").cast("double")).alias(
+            "actual_share"
+        ),
+        r6(F.sqrt("n_tokens") / F.col("z")).alias("sample_share"),
+    )
