@@ -11,7 +11,7 @@ time a distributed plan). Methodology: one unmeasured warmup pass over the
 whole headline set (JVM + per-query codegen compile + caches), then each
 query is billed the MEDIAN of 3 measured runs with rounds interleaved —
 see the inline comments in ``main`` for why. Per-query deltas against the
-pinned round-2 ``BENCH_BASELINE.json`` go to stderr; stdout stays one line.
+pinned ``BENCH_BASELINE.json`` go to stderr; stdout stays one line.
 """
 
 from __future__ import annotations
@@ -73,10 +73,10 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 
 
 def compare_to_baseline(per_query: dict[str, float], sf: float):
-    """Per-query deltas vs the pinned round-2 baseline (details on stderr —
+    """Per-query deltas vs the pinned baseline (details on stderr —
     the stdout contract stays one JSON line; the intersection ratio is also
     returned for the JSON so a grown headline set stays comparable). Flags
-    any query >2x its baseline time, the regression bar VERDICT round 2 set.
+    any query >2x its baseline time (the >2x regression bar set in round 2).
     """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_BASELINE.json")
