@@ -1508,11 +1508,16 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_feat_winsorize",
     oracle="""
-    WITH cuts AS (
+    WITH raw AS (
       SELECT o_orderstatus,
-             quantile_cont(o_totalprice, 0.05) AS lo,
-             quantile_cont(o_totalprice, 0.95) AS hi
+             quantile_cont(o_totalprice, 0.05) AS lo_raw,
+             quantile_cont(o_totalprice, 0.95) AS hi_raw
       FROM orders GROUP BY o_orderstatus
+    ), cuts AS (
+      SELECT o_orderstatus,
+             FLOOR(lo_raw * 10000 + 0.5) / 10000 AS lo,
+             FLOOR(hi_raw * 10000 + 0.5) / 10000 AS hi
+      FROM raw
     )
     SELECT o_orderkey, o.o_orderstatus,
            ROUND(CASE WHEN o_totalprice < lo THEN lo
@@ -1534,7 +1539,17 @@ def q_feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-partition window (which would shuffle the table into one
     partition per status: the skew worst case). Spark's exact
     ``percentile`` and DuckDB's ``quantile_cont`` share linear
-    interpolation semantics; outputs rounded at 4dp.
+    interpolation SEMANTICS but not float expression form
+    ((1-f)*lo+f*hi vs lo+f*(hi-lo)): on input [21,21,40] DuckDB yields
+    21.000000000000004 where Spark yields exactly 21.0, and an
+    unrounded cutpoint feeding ``<`` flips ``clipped`` on any value
+    tied with the boundary (round-3 verdict item #1; falsified by
+    hypothesis in test_randomized_oracle.py). Fix: the cutpoints are
+    tie-free-ROUNDED to 4dp (floor(x*1e4+0.5)/1e4) on BOTH engines
+    before the compare/clip. 4dp is boundary-safe here: with 2dp
+    prices and percentile fractions that are multiples of 0.05, the
+    exact cutpoint is a multiple of 0.0005 — never on a 4dp half-ulp
+    boundary — so a ~1e-9 cross-engine drift cannot flip the floor.
 
     Scale: at 100 TB exact percentiles become the bottleneck (they
     gather per-group value multisets); the drop-in is
@@ -1542,9 +1557,10 @@ def q_feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_approx_pct contract covers its accuracy.
     """
     orders = tables.load(spark, sf_dir, "orders")
+    tf_round = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
     cuts = orders.groupBy("o_orderstatus").agg(
-        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
-        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+        tf_round(F.percentile("o_totalprice", F.lit(0.05))).alias("lo"),
+        tf_round(F.percentile("o_totalprice", F.lit(0.95))).alias("hi"),
     )
     joined = orders.join(F.broadcast(cuts), "o_orderstatus")
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
