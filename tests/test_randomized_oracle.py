@@ -590,3 +590,145 @@ def test_feature_stats_match_oracle_on_random_orders(
         order = [cols.index(c) for c in sorted(cols)]
         want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
         assert got == want, qname
+
+
+# --- unrounded-threshold bug class: engine-computed float cutpoints --------
+#
+# Round-3 verdict item #2: any operator comparing raw values against an
+# engine-computed float threshold (percentile / mean±k·std cutoffs) can
+# flip membership when the threshold lands on a value tie and the two
+# engines' float expression forms differ by an ulp. These properties feed
+# each family TIE-HEAVY tables (tiny value domains, 2dp prices, constant
+# groups) so interpolated cutpoints land exactly ON data values — the
+# configuration fixtures never contain (they are duplicate-free by
+# design; see CLAUDE.md).
+
+def _run_spec_vs_oracle(spark, con, qname, sf_dir):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    spec = QUERIES[qname]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want, qname
+
+
+# 2dp prices from a small cents domain: decile cutpoints interpolate to
+# 0.001-multiples that collide with data values constantly
+_price_row = st.tuples(
+    st.integers(min_value=0, max_value=2),     # status bucket
+    st.integers(min_value=0, max_value=120),   # price in cents (tie-heavy)
+    st.booleans(),                             # period A / period B (PSI)
+)
+_price_table = st.lists(_price_row, min_size=1, max_size=25)
+
+
+@given(_price_table)
+@_SETTINGS
+def test_quantile_thresholds_match_oracle_on_tied_prices(
+    spark, tmp_path_factory, rows
+):
+    """q_quantile_buckets + q_feat_winsorize + q_drift_psi on tie-heavy
+    2dp prices: decile/percentile cutpoints land exactly on data values,
+    so any unrounded (or boundary-unsafe-rounded) threshold compare
+    diverges between Spark's (1-f)*lo+f*hi and DuckDB's lo+f*(hi-lo)."""
+    from datetime import datetime
+
+    data = [
+        (
+            i,
+            "NOF"[s],
+            c / 100.0,
+            0,
+            datetime(1997, 6, 1) if in_a else datetime(1998, 6, 1),
+        )
+        for i, (s, c, in_a) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_thresh"))
+    spark.createDataFrame(
+        data,
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double,"
+               " o_custkey long, o_orderdate timestamp_ntz",
+    ).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
+    )
+    for qname in ("q_quantile_buckets", "q_feat_winsorize", "q_drift_psi"):
+        _run_spec_vs_oracle(spark, con, qname, sf_dir)
+
+
+# z-score: values engineered so group std can be RATIONAL (e.g. three
+# equal values plus one outlier gives std = x/2 and z exactly 1.5/-0.5),
+# putting the rounded-z threshold compare under maximal tie pressure
+_ev_val_row = st.tuples(
+    st.integers(min_value=0, max_value=1),                    # type bucket
+    st.integers(min_value=-40, max_value=40),                 # value
+)
+_ev_val_table = st.lists(_ev_val_row, min_size=1, max_size=20)
+
+
+@given(_ev_val_table)
+@_SETTINGS
+def test_zscore_threshold_matches_oracle_on_tied_values(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    data = [
+        (
+            i,
+            datetime(2024, 1, 1, 0, 0, 0),
+            0,
+            ("view", "click")[t],
+            float(v),
+            "{}",
+        )
+        for i, (t, v) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_z"))
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(data, schema=schema).coalesce(1).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_anomaly_zscore", sf_dir)
+
+
+# MAD: 2dp quantities stress BOTH percentile passes (median of the raw
+# values, then median of |x - med|), where f=0.5 interpolation forms
+# differ by an ulp on non-integer doubles
+_qty_row = st.tuples(
+    st.integers(min_value=0, max_value=1),     # flag bucket
+    st.integers(min_value=0, max_value=80),    # quantity in hundredths
+)
+_qty_table = st.lists(_qty_row, min_size=1, max_size=20)
+
+
+@given(_qty_table)
+@_SETTINGS
+def test_mad_matches_oracle_on_tied_2dp_quantities(
+    spark, tmp_path_factory, rows
+):
+    data = [("AR"[f], q / 100.0) for f, q in rows]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_mad"))
+    spark.createDataFrame(
+        data, schema="l_returnflag string, l_quantity double"
+    ).coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_agg_mad", sf_dir)

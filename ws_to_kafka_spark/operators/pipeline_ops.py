@@ -127,7 +127,7 @@ def q_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cut AS (
       SELECT list_transform(
                quantile_cont(o_totalprice, {_DECILES}),
-               c -> FLOOR(c * 100 + 0.5) / 100) AS cl
+               c -> FLOOR(c * 1000 + 0.5) / 1000) AS cl
       FROM orders
     )
     SELECT CAST(len(list_filter(cl, c -> c < o_totalprice)) AS BIGINT)
@@ -150,15 +150,21 @@ def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ``percentile`` aggregate (which buffers values per executor) is
     used here because the oracle must reproduce the cutpoints bit-for-bit;
     a production run swaps in ``approx_percentile`` — same plan shape,
-    sketch-sized state.  Cutpoints are tie-free-rounded to cents on both
-    sides per the registry convention.
+    sketch-sized state.  Cutpoints are tie-free-rounded at 3dp on both
+    sides: cent-rounding is NOT boundary-safe here because decile
+    interpolations of 2dp prices are exact multiples of 0.001, which CAN
+    land exactly on a half-cent (X.XX5) where floor(c*100+0.5) sits on
+    an integer boundary and a last-ulp cross-engine interpolation
+    difference flips the bucket; 0.001-multiples never hit a 3dp
+    half-boundary (0.0005 offsets), so floor(c*1000+0.5)/1000 is exact
+    on both engines (round-3 unrounded-threshold sweep).
     """
     orders = tables.load(spark, sf_dir, "orders")
     deciles = ", ".join(str(d) for d in _DECILES)
     cuts = orders.agg(
         F.expr(f"percentile(o_totalprice, array({deciles}))").alias("cl")
     ).select(
-        F.transform("cl", lambda c: F.floor(c * 100 + 0.5) / 100).alias("cl")
+        F.transform("cl", lambda c: F.floor(c * 1000 + 0.5) / 1000).alias("cl")
     )
     return (
         orders.crossJoin(F.broadcast(cuts))
@@ -1358,6 +1364,15 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak before ranking. Zero weights NULL out (ANSI nullif) and
     sort NULLS LAST on both engines.
 
+    RESIDUAL cross-engine risk (round-3 ADVICE, accepted): the 9dp
+    rounding removes ulp-noise everywhere EXCEPT when -ln(u)/w lands
+    within an ulp of a 9dp floor boundary, where a JVM-vs-DuckDB libm
+    ln() difference could flip the floor and reorder ranks. The inputs
+    are LCG residues (effectively uniform), so the per-row probability
+    is ~1e-7 at double precision and no fixture or random corpus has
+    hit it; if one ever does, the fallback is to ALSO order by the raw
+    LCG residue after es_key so a boundary ulp cannot reorder ranks.
+
     Scale: one scan, one shuffle on lang for the group-limit; no
     sorting of the full table (WindowGroupLimit keeps k per partition
     map-side before the shuffle).
@@ -1396,17 +1411,21 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
+    ), scaled AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(SQRT(n_tokens) * 1000000 + 0.5) AS BIGINT) AS s6
+      FROM per_lang
     ), tot AS (
       SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-             SUM(SQRT(n_tokens)) AS z
-      FROM per_lang
+             CAST(SUM(s6) AS BIGINT) AS z6
+      FROM scaled
     )
     SELECT lang, n_tokens,
            FLOOR(n_tokens / CAST(total_tokens AS DOUBLE)
                  * 1000000 + 0.5) / 1000000 AS actual_share,
-           FLOOR(SQRT(n_tokens) / z * 1000000 + 0.5) / 1000000
+           FLOOR(s6 / CAST(z6 AS DOUBLE) * 1000000 + 0.5) / 1000000
              AS sample_share
-    FROM per_lang, tot
+    FROM scaled, tot
     """,
 )
 def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,8 +1436,16 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     not only the common operating point, it makes the scaling an exact
     ``sqrt`` — correctly rounded in IEEE 754 on BOTH engines, unlike a
     generic ``pow(x, 1/T)`` whose libm last-ulp drift is the q_ts_ewma
-    lesson; shares are tie-free floor-rounded at 6dp after the one
-    normalizing division.
+    lesson.
+
+    The normalizer is summed in INTEGER micro-units, not doubles: a raw
+    ``SUM(SQRT(n))`` is an order-dependent float reduction (Spark's
+    partial-aggregate order differs from DuckDB's row order), so z could
+    drift by an ulp and flip the floor-rounded share on a boundary
+    (round-3 ADVICE). Each sqrt is floor-scaled to a BIGINT s6 =
+    floor(sqrt(n)*1e6+0.5) first — sqrt is correctly rounded and the
+    scaling deterministic on both engines — and integer summation is
+    exact and order-free; shares divide the identical s6/z6 integers.
 
     Scale: one scan + a ~|langs|-row aggregate; the normalizer is a
     1-row frame broadcast back (the q_mix_weights pattern). The shares
@@ -1431,16 +1458,20 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens")
     )
-    tot = per_lang.agg(
+    scaled = per_lang.withColumn(
+        "s6",
+        F.floor(F.sqrt("n_tokens") * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    tot = scaled.agg(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.sum(F.sqrt("n_tokens")).alias("z"),
+        F.sum("s6").cast("long").alias("z6"),
     )
     r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000
-    return per_lang.crossJoin(F.broadcast(tot)).select(
+    return scaled.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_tokens",
         r6(F.col("n_tokens") / F.col("total_tokens").cast("double")).alias(
             "actual_share"
         ),
-        r6(F.sqrt("n_tokens") / F.col("z")).alias("sample_share"),
+        r6(F.col("s6") / F.col("z6").cast("double")).alias("sample_share"),
     )

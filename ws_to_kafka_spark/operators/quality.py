@@ -212,8 +212,14 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
     )
-    pa = F.col("na") / F.col("ta")
-    pb = F.col("nb") / F.col("tb")
+    # An EMPTY period (ta or tb = 0) must yield NULL shares, not a crash:
+    # ANSI divide throws where DuckDB's x/0 yields NULL, so the nullif
+    # guard makes the engines agree automatically (registry convention).
+    # GREATEST skips NULLs on BOTH engines, so the eps floor then kicks in
+    # and psi_term stays finite (found by the tie-heavy threshold property
+    # in test_randomized_oracle.py, rows=[(0, 0, False)]).
+    pa = F.col("na") / F.nullif(F.col("ta"), F.lit(0))
+    pb = F.col("nb") / F.nullif(F.col("tb"), F.lit(0))
     ga = F.greatest(pa, F.lit(_PSI_EPS))
     gb = F.greatest(pb, F.lit(_PSI_EPS))
     return counts.crossJoin(F.broadcast(tot)).select(
