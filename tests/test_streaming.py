@@ -155,7 +155,7 @@ def test_feed_worker_reconnects_and_resubscribes():
         # unread bytes) — that loss is the documented at-most-once window
         # (reference drops frames during reconnect too, wsclient.hpp:158-162).
         assert wait_until(
-            lambda: [r.value for r in worker.snapshot(0)[0]][-2:] == ["a", "b"]
+            lambda: [r.value for r in worker.snapshot(0)[0]][-2:] == [b"a", b"b"]
         )
     finally:
         worker.stop()
@@ -178,7 +178,7 @@ def test_idle_feed_stays_connected():
         time.sleep(12)  # cross the idle-timeout boundary
         server.push_frame(b"late")
         assert wait_until(
-            lambda: [r.value for r in worker.snapshot(0)[0]] == ["early", "late"]
+            lambda: [r.value for r in worker.snapshot(0)[0]] == [b"early", b"late"]
         ), "late frame lost or duplicated after idle interval"
         assert server.connections == 1, "client redialed a healthy idle feed"
     finally:
@@ -257,6 +257,41 @@ def test_pipeline_end_to_end_memory_sink(spark, tmp_path, event_frames):
     finally:
         query.stop()
         spark.streams.removeListener(listener)
+        server.close()
+
+
+def test_binary_frames_survive_byte_for_byte(spark, tmp_path):
+    """O5 byte-faithfulness (round-3 verdict item #3): the reference
+    forwards frame bytes VERBATIM (main.cpp:48-50 → kafka_producer.cpp:
+    47-49, RK_MSG_COPY, no decode). A non-UTF-8 binary frame — invalid
+    continuation bytes, embedded NUL, 0xFF — must reach the sink
+    unchanged; the old string-typed value column decoded with
+    errors='replace' and silently corrupted exactly these."""
+    payloads = [
+        b"\xff\xfe\x00\x01binary\x80\x81",   # invalid UTF-8 + NULs
+        bytes(range(256)),                     # every byte value once
+        b"plain text too",
+    ]
+    server = RecordingWsServer(frames_per_connection=payloads)
+    config = PipelineConfig(
+        url=server.url, brokers="", topic="", key="bin-key",
+    )
+    query = start_pipeline(
+        spark,
+        config,
+        checkpoint_dir=str(tmp_path / "ckpt_bin"),
+        sink_format="memory",
+        query_name="ws_bin_test",
+    )
+    try:
+        assert wait_until(
+            lambda: spark.sql("SELECT COUNT(*) c FROM ws_bin_test").first().c >= 3,
+            timeout=60,
+        ), "binary frames never arrived"
+        rows = spark.sql("SELECT value FROM ws_bin_test").collect()
+        assert sorted(bytes(r.value) for r in rows) == sorted(payloads)
+    finally:
+        query.stop()
         server.close()
 
 
@@ -373,8 +408,8 @@ def test_checkpoint_restart_resumes(spark, tmp_path):
         assert wait_until(
             lambda: _parquet_rows(spark, out) >= 10, timeout=60
         ), "frames after checkpoint restart were skipped"
-        values = [r.value for r in spark.read.parquet(out).collect()]
-        assert sum(1 for v in values if '"run":2' in v) == 2
+        values = [bytes(r.value) for r in spark.read.parquet(out).collect()]
+        assert sum(1 for v in values if b'"run":2' in v) == 2
     finally:
         query2.stop()
         server.close()
@@ -390,6 +425,7 @@ def _typed_stream(spark, url):
 
     register_websocket_source(spark)
     raw = spark.readStream.format("websocket").option("url", url).load()
+    raw = raw.withColumn("value", raw.value.cast("string"))
     parsed = raw.select(
         F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
         F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
@@ -452,6 +488,7 @@ def test_stream_stream_join(spark, tmp_path):
 
     register_websocket_source(spark)
     raw = spark.readStream.format("websocket").option("url", server.url).load()
+    raw = raw.withColumn("value", raw.value.cast("string"))
     parsed = raw.select(
         F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
         F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
@@ -512,6 +549,7 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     server = RecordingWsServer(frames_per_connection=frames)
     register_websocket_source(spark)
     raw = spark.readStream.format("websocket").option("url", server.url).load()
+    raw = raw.withColumn("value", raw.value.cast("string"))
     parsed = raw.select(
         F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
         F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
@@ -678,6 +716,7 @@ def test_stream_static_enrich(spark, tmp_path, sf_dir):
     server = RecordingWsServer(frames_per_connection=frames)
     register_websocket_source(spark)
     raw = spark.readStream.format("websocket").option("url", server.url).load()
+    raw = raw.withColumn("value", raw.value.cast("string"))
     parsed = raw.select(
         F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
         F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),

@@ -216,7 +216,14 @@ class RecordingWsServer:
             buf = buf[need:]
 
     def _send_frame(self, conn: socket.socket, payload: bytes) -> None:
-        header = bytearray([0x81])  # FIN + text
+        # RFC 6455: text frames must be valid UTF-8 — send anything else
+        # as a binary frame (FIN+0x2), as a real feed would
+        try:
+            payload.decode("utf-8")
+            op = 0x81  # FIN + text
+        except UnicodeDecodeError:
+            op = 0x82  # FIN + binary
+        header = bytearray([op])
         n = len(payload)
         if n < 126:
             header.append(n)

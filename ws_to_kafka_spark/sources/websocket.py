@@ -14,7 +14,10 @@ Reference behaviors reproduced (``/root/reference/src/wsclient.hpp``):
   wiring ``main.cpp:54-62``) — sent from a timer thread through the same
   connection (``wsclient.hpp:171-182``);
 * each data frame becomes one record tagged with a processing-time
-  timestamp (``kafka_producer.cpp:41-42``).
+  timestamp (``kafka_producer.cpp:41-42``);
+* payload bytes are forwarded VERBATIM as a ``binary`` column
+  (``main.cpp:48-50`` → ``kafka_producer.cpp:47-49``, ``RK_MSG_COPY`` —
+  the reference never decodes; neither do we).
 
 Delivery semantics are the reference's **at-most-once** (SURVEY.md §2.1):
 a WebSocket is not replayable, so offsets only bound microbatches —
@@ -44,13 +47,19 @@ from pyspark.sql.types import StructType
 
 from .ws_client import RECONNECT_DELAY_S, WsClient, WsError
 
-_SCHEMA_DDL = "value string, ws_timestamp timestamp"
+# value is BINARY, not string: the reference forwards frame bytes verbatim
+# (src/main.cpp:48-50 hands the payload pointer straight to
+# kafka_producer.cpp:47-49, RK_MSG_COPY — no decode), so a non-UTF-8 binary
+# frame must survive byte-for-byte. A string column decoded with
+# errors="replace" is lossy exactly there; Kafka's sink contract accepts
+# binary values natively, and text consumers cast: value.cast("string").
+_SCHEMA_DDL = "value binary, ws_timestamp timestamp"
 
 
 @dataclass
 class _Record:
     index: int
-    value: str
+    value: bytes
     ts: datetime
 
 
@@ -150,7 +159,7 @@ class _FeedWorker:
     def _append(self, payload: bytes) -> None:
         rec = _Record(
             index=self._next_index,
-            value=payload.decode("utf-8", errors="replace"),
+            value=bytes(payload),  # byte-faithful (main.cpp:48-50 parity)
             ts=datetime.now(timezone.utc),
         )
         with self._lock:
