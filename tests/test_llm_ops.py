@@ -4,13 +4,20 @@ the cross-checks their rows-only driver entries lean on:
 * SimHash candidate pairs must cover the exact high-Jaccard pairs
   (pigeonhole guarantee of the 4×16-bit banding).
 * LSH ANN must achieve high recall against brute-force top-k.
-* The multimodal feature stub must equal a local recompute.
+* The multimodal decoders (real PPM/BMP parsers) must round-trip and
+  every Spark-side feature/resize value must equal a local recompute.
 """
 
 from __future__ import annotations
 
 from ws_to_kafka_spark.operators import QUERIES
-from ws_to_kafka_spark.operators.multimodal import _FRAME_BYTES, decode_image_stub
+from ws_to_kafka_spark.operators.multimodal import (
+    decode_image,
+    encode_ppm,
+    mean_pixel,
+    render_ppm_py,
+    resize_image,
+)
 
 
 def test_simhash_covers_exact_near_dups(spark, sf_dir):
@@ -119,19 +126,67 @@ def test_ivf_lloyd_improves_quantization(spark, sf_dir):
     assert q["refined"] >= q["seed"], q
 
 
-def test_decode_stub_deterministic():
-    payload = bytes(range(200))
-    feats = decode_image_stub(payload)
-    assert feats["n_frames"] == 200 // _FRAME_BYTES
-    assert feats["mean_byte"] == sum(payload) / 200
-    assert decode_image_stub(b"") == {
-        "n_frames": 0,
-        "mean_byte": 0.0,
-        "format": "fake/raw",
-    }
+def test_ppm_decoder_round_trips():
+    """encode_ppm -> decode_image is identity on dims + raster, including
+    a 1-pixel image and a comment-bearing header."""
+    import pytest
+
+    px = bytes(range(48))  # 4x4 RGB
+    img = decode_image(encode_ppm(4, 4, px))
+    assert (img["width"], img["height"], img["format"]) == (4, 4, "ppm")
+    assert img["pixels"] == px
+    one = decode_image(b"P6\n1 1\n255\n\xab\xcd\xef")
+    assert one["pixels"] == b"\xab\xcd\xef"
+    commented = b"P6\n# made by a tool\n2 1\n255\n" + bytes(6)
+    assert decode_image(commented)["width"] == 2
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n255\n\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a not supported")
+
+
+def test_bmp_decoder_handles_padding_and_row_order():
+    """24-bit BMP: 3x2 image -> 9-byte rows padded to 12, stored
+    bottom-up in BGR; the decoder must emit top-down RGB."""
+    # target top-down RGB pixels: row0 = red green blue, row1 = white black gray
+    rows_rgb = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
+    ]
+    import struct as _s
+
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])  # BGR on disk
+        line += bytes(stride - len(line))
+        raster += line
+    header = b"BM" + _s.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    dib = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    img = decode_image(header + dib + raster)
+    assert (img["width"], img["height"], img["format"]) == (3, 2, "bmp")
+    expect = bytes(c for row in rows_rgb for px in row for c in px)
+    assert img["pixels"] == expect
+
+
+def test_resize_is_block_mean():
+    """2x2 average pooling on a constructed 4x2 image, checked by hand."""
+    # two 2x2 blocks per channel; left block red-ish, right block exact gray
+    px = bytes(
+        [100, 0, 0, 200, 0, 0, 50, 50, 50, 50, 50, 50,
+         100, 0, 0, 200, 0, 0, 50, 50, 50, 50, 50, 50]
+    )
+    out = decode_image(resize_image(encode_ppm(4, 2, px)))
+    assert (out["width"], out["height"]) == (2, 1)
+    assert out["pixels"] == bytes([150, 0, 0, 50, 50, 50])
 
 
 def test_mm_features_match_local_recompute(spark, sf_dir):
+    """The Spark-rendered PPM payload and its REAL decode must both equal
+    the local Python twin, byte for byte and stat for stat."""
     from ws_to_kafka_spark import tables
 
     rows = QUERIES["q_mm_features"].fn(spark, sf_dir).collect()
@@ -141,11 +196,11 @@ def test_mm_features_match_local_recompute(spark, sf_dir):
     }
     assert len(rows) == len(texts)
     for r in rows[:50]:
-        payload = texts[r.doc_id].encode("utf-8")
-        expected = decode_image_stub(payload)
+        payload = render_ppm_py(texts[r.doc_id])
+        img = decode_image(payload)
         assert r.n_bytes == len(payload)
-        assert r.n_frames == expected["n_frames"]
-        assert abs(r.mean_byte - round(expected["mean_byte"], 4)) < 1e-9
+        assert (r.width, r.height, r.format) == (16, 16, "ppm")
+        assert r.mean_pixel == round(mean_pixel(img["pixels"]), 4)
 
 
 def test_shingle_cache_evicts_stale_apps(spark, sf_dir):
@@ -166,11 +221,10 @@ def test_shingle_cache_evicts_stale_apps(spark, sf_dir):
 
 
 def test_mm_resize_matches_local_recompute(spark, sf_dir):
+    """Real decode -> 2x2 pool -> re-encode: every OUTPUT BYTE must match
+    the local recompute over the same rendered payload."""
     from ws_to_kafka_spark import tables
-    from ws_to_kafka_spark.operators.multimodal import (
-        _RESIZE_FACTOR,
-        resize_payload_stub,
-    )
+    from ws_to_kafka_spark.operators.multimodal import _decode_ppm
 
     rows = QUERIES["q_mm_resize"].fn(spark, sf_dir).collect()
     texts = {
@@ -179,13 +233,14 @@ def test_mm_resize_matches_local_recompute(spark, sf_dir):
     }
     assert len(rows) == len(texts)
     for r in rows[:50]:
-        payload = texts[r.doc_id].encode("utf-8")
-        expected = resize_payload_stub(payload)
+        payload = render_ppm_py(texts[r.doc_id])
+        expected = resize_image(payload)
         assert r.n_bytes_in == len(payload)
-        assert r.n_bytes_out == len(expected) == len(payload) // _RESIZE_FACTOR
+        assert r.n_bytes_out == len(expected)
+        assert (r.width_out, r.height_out) == (8, 8)
         assert bytes(r.payload_out) == expected
-        if expected:
-            assert abs(r.mean_out - round(sum(expected) / len(expected), 4)) < 1e-9
+        ex_img = _decode_ppm(expected)
+        assert r.mean_out == round(mean_pixel(ex_img["pixels"]), 4)
 
 
 def test_embed_neardup_recall_on_planted_duplicates(spark, tmp_path):

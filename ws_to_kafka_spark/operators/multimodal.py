@@ -7,16 +7,19 @@ batch side as the driver-mandated multimodal surface (SURVEY.md §2.3):
 image/audio/video payloads as ``BinaryType`` columns with typed metadata,
 processed by Arrow-batched ``mapInPandas`` pipelines.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-exactly as the brief prescribes: :func:`decode_image` raises
-``NotImplementedError`` and :func:`decode_image_stub` is the deterministic
-fake used by the pipeline + tests. Everything Spark-side — schema,
-Arrow batch shape, partitioning, UDF signatures — is real.
+The decode step is REAL (round-3 verdict item #5): :func:`decode_image`
+is a pure-stdlib parser for two uncompressed public formats — binary PPM
+(Netpbm ``P6``) and 24-bit uncompressed BMP (``BITMAPINFOHEADER``) — and
+the feature/resize operators run on actual decoded pixels. Compressed
+codecs (JPEG/PNG) still need a library this container lacks; they plug
+into the SAME ``mapInPandas`` pipelines by extending only
+:func:`decode_image`.
 
-Since the fixtures ship no binary tables, payloads are derived
-deterministically from ``documents.text`` (utf-8 bytes), which also makes
-the metadata query fully oracle-checkable in DuckDB (``encode``/``sha256``/
-``octet_length`` agree across engines).
+Since the fixtures ship no binary tables, image payloads are RENDERED
+deterministically from ``documents.text``: a 16x16 P6 image whose pixel
+bytes are the document's UTF-8 bytes (zero-padded/truncated), assembled
+with JVM-side binary expressions — so every payload is a real, decodable
+image and tests can recompute everything locally.
 
 Scale notes: binary payloads are the widest column in any multimodal
 table — every plan here projects metadata columns BEFORE any shuffle and
@@ -27,6 +30,7 @@ small fixed-width vectors, so downstream joins/aggs never touch bytes.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,36 +41,120 @@ from pyspark.sql import functions as F
 from .. import tables
 from .registry import register
 
-#: Arrow schema of the stub feature extractor's output.
-_FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, n_frames int, mean_byte double, format string"
-)
+_FRAME_BYTES = 64  # "frame" granularity for the metadata-only sampler
 
-_FRAME_BYTES = 64  # fake "frame" granularity for the sampler stub
+# Rendered-image geometry: 16x16 RGB = 768 pixel bytes per document.
+_IMG_W, _IMG_H = 16, 16
+_IMG_PIXEL_BYTES = _IMG_W * _IMG_H * 3
+_PPM_HEADER = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()
 
 
-def decode_image(payload: bytes):  # pragma: no cover - documented stub
-    """Real image decode — requires a codec library this container lacks.
+# ---------------------------------------------------------------------------
+# Decoders — pure stdlib, no codec libraries
+# ---------------------------------------------------------------------------
 
-    A production deployment swaps this for PIL/libjpeg via the same
-    ``mapInPandas`` pipeline; only this function changes.
+def decode_image(payload: bytes) -> dict:
+    """Decode an uncompressed image payload into RGB pixels.
+
+    Supported formats (both public, both parseable with stdlib only):
+
+    * **PPM (Netpbm P6)** — ``P6`` magic, whitespace/comment-separated
+      width/height/maxval, one whitespace, then ``w*h*3`` raw RGB bytes.
+    * **BMP (24-bit uncompressed)** — ``BM`` magic, pixel-array offset at
+      byte 10, BITMAPINFOHEADER width/height at 18/22, bpp 24,
+      compression BI_RGB; rows are bottom-up and padded to 4 bytes, and
+      samples are BGR — both normalized to top-down RGB here.
+
+    Returns ``{"width", "height", "pixels" (RGB row-major bytes),
+    "format"}``. Raises ``ValueError`` on anything unparseable — a real
+    ingest routes those to a quarantine sink. Compressed formats
+    (JPEG/PNG) require a codec library this container lacks; extend this
+    function (only) to add them.
     """
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use decode_image_stub (deterministic fake) instead"
-    )
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError("unsupported image format (want P6 PPM or 24-bit BMP)")
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """Deterministic fake decode: treats every _FRAME_BYTES slice as a
-    'frame' and byte values as pixels. Pure function of the payload."""
-    n = len(payload)
-    return {
-        "n_frames": n // _FRAME_BYTES,
-        "mean_byte": (sum(payload) / n) if n else 0.0,
-        "format": "fake/raw",
-    }
+def _decode_ppm(payload: bytes) -> dict:
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    pixels = payload[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return {"width": w, "height": h, "pixels": bytes(pixels), "format": "ppm"}
 
+
+def _decode_bmp(payload: bytes) -> dict:
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        src = pixel_offset + src_row * stride
+        if src + row_bytes > len(payload):
+            raise ValueError("truncated BMP raster")
+        dst = row * row_bytes
+        bgr = payload[src : src + row_bytes]
+        out[dst : dst + row_bytes : 3] = bgr[2::3]          # R
+        out[dst + 1 : dst + row_bytes : 3] = bgr[1::3]      # G
+        out[dst + 2 : dst + row_bytes : 3] = bgr[0::3]      # B
+    return {"width": w, "height": h, "pixels": bytes(out), "format": "bmp"}
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Inverse of :func:`_decode_ppm` for the re-encode stage of resize."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    return f"P6\n{width} {height}\n255\n".encode() + pixels
+
+
+def mean_pixel(pixels: bytes) -> float:
+    """Mean sample value — one shared definition so the operator and the
+    local-recompute test cannot diverge by a summation-order ulp."""
+    return (sum(pixels) / len(pixels)) if pixels else 0.0
+
+
+def render_ppm_py(text: str) -> bytes:
+    """Python twin of the JVM-side payload rendering in
+    :func:`with_image_payload` — used by tests to recompute payloads
+    locally. Must stay byte-identical with the Spark expression."""
+    pix = text.encode("utf-8")[:_IMG_PIXEL_BYTES]
+    return _PPM_HEADER + pix + b"\x00" * (_IMG_PIXEL_BYTES - len(pix))
+
+
+# ---------------------------------------------------------------------------
+# Fixture-derived multimodal frames
+# ---------------------------------------------------------------------------
 
 def with_payload(docs: DataFrame) -> DataFrame:
     """documents → multimodal-shaped frame: (doc_id, payload binary, meta).
@@ -84,6 +172,23 @@ def with_payload(docs: DataFrame) -> DataFrame:
             F.octet_length(payload).cast("long").alias("n_bytes"),
             F.sha2(payload, 256).alias("digest"),
         ).alias("meta"),
+    )
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload) where payload is a REAL 16x16 P6 PPM
+    whose raster is the document's UTF-8 bytes, zero-padded/truncated to
+    768 bytes. Assembled entirely with JVM-side binary expressions
+    (concat / substr / rpad on BINARY — no Python in the render path), so
+    the decode stage downstream exercises a genuine parser on genuine
+    image bytes."""
+    raster = F.expr(
+        f"rpad(substr(encode(text, 'UTF-8'), 1, {_IMG_PIXEL_BYTES}), "
+        f"{_IMG_PIXEL_BYTES}, x'00')"
+    )
+    header = F.lit(_PPM_HEADER)
+    return docs.select(
+        "doc_id", F.concat(header, raster).alias("payload")
     )
 
 
@@ -115,36 +220,48 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Arrow schema of the feature extractor's output.
+_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, "
+    "mean_pixel double, format string"
+)
+
+
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: decode-stub each payload, emit fixed-width features.
+    """mapInPandas body: REALLY decode each payload (PPM/BMP parser),
+    emit fixed-width features.
 
     Receives Arrow record batches (pandas frames) of (doc_id, payload);
     payload bytes never leave this partition.
     """
     for pdf in batches:
-        feats = pdf["payload"].map(decode_image_stub)
+        imgs = pdf["payload"].map(lambda p: decode_image(bytes(p)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "n_frames": feats.map(lambda d: d["n_frames"]).astype("int32"),
-                "mean_byte": feats.map(lambda d: round(d["mean_byte"], 4)),
-                "format": feats.map(lambda d: d["format"]),
+                "width": imgs.map(lambda d: d["width"]).astype("int32"),
+                "height": imgs.map(lambda d: d["height"]).astype("int32"),
+                "mean_pixel": imgs.map(
+                    lambda d: round(mean_pixel(d["pixels"]), 4)
+                ),
+                "format": imgs.map(lambda d: d["format"]),
             }
         )
 
 
-@register("q_mm_features", oracle=None)  # decode is stubbed -> rows-only check
+@register("q_mm_features", oracle=None)  # byte-level decode -> rows-only check
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads via ``mapInPandas``:
-    the decode/resize/frame-sample pipeline shape, with the codec stubbed
-    (unit tests pin the stub's arithmetic against a local recompute).
+    """Feature extraction over binary image payloads via ``mapInPandas``,
+    with a REAL decode: every payload is a rendered 16x16 P6 PPM and the
+    parser reads its header and raster for actual pixel statistics
+    (local-recompute tests re-derive every value from the raw text).
 
     Scale: narrow transformation — one Arrow pass per scan partition, no
     shuffle, features are ~40 bytes/row regardless of payload size.
     """
     docs = tables.load(spark, sf_dir, "documents")
-    mm = with_payload(docs).select("doc_id", "payload")
+    mm = with_image_payload(docs)
     return mm.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
 
 
@@ -168,7 +285,7 @@ def q_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plan: explode payloads into per-frame rows (every
     4th frame — the video keyframe-sampling shape) WITHOUT decoding: the
     frame index comes from metadata arithmetic, so the oracle can check the
-    sampling plan exactly even though real decoding is stubbed."""
+    sampling plan exactly without the oracle needing a video codec."""
     docs = tables.load(spark, sf_dir, "documents")
     mm = with_payload(docs)
     n_frames = F.floor(F.col("meta.n_bytes") / _FRAME_BYTES).cast("long")
@@ -188,53 +305,64 @@ def q_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RESIZE_FACTOR = 4
+_POOL = 2  # 2x2 average pooling: 16x16 -> 8x8, 4x fewer pixels
 _RESIZE_SCHEMA = (
     "doc_id long, n_bytes_in long, n_bytes_out long, "
-    "payload_out binary, mean_out double"
+    "width_out int, height_out int, payload_out binary, mean_out double"
 )
 
 
-def resize_payload_stub(payload: bytes) -> bytes:
-    """Deterministic fake resize: block-mean every _RESIZE_FACTOR bytes
-    (the 1-D analogue of average-pooling an image down by 4x).  A real
-    deployment swaps this for PIL's ``Image.resize`` inside the same
-    ``mapInPandas`` pipeline — only this function changes, exactly like
-    :func:`decode_image` / :func:`decode_image_stub`."""
-    n = len(payload) - len(payload) % _RESIZE_FACTOR
-    return bytes(
-        sum(payload[i : i + _RESIZE_FACTOR]) // _RESIZE_FACTOR
-        for i in range(0, n, _RESIZE_FACTOR)
-    )
+def resize_image(payload: bytes) -> bytes:
+    """REAL resize: decode (PPM/BMP), 2x2 average-pool each channel,
+    re-encode as P6 PPM. Pure function of the payload; dimensions must be
+    divisible by the pool factor (the rendered 16x16 frames always are).
+    """
+    img = decode_image(payload)
+    w, h, px = img["width"], img["height"], img["pixels"]
+    ow, oh = w // _POOL, h // _POOL
+    out = bytearray(ow * oh * 3)
+    for oy in range(oh):
+        for ox in range(ow):
+            for c in range(3):
+                acc = 0
+                for dy in range(_POOL):
+                    row = (oy * _POOL + dy) * w * 3
+                    col = ox * _POOL * 3 + c
+                    for dx in range(_POOL):
+                        acc += px[row + col + dx * 3]
+                out[(oy * ow + ox) * 3 + c] = acc // (_POOL * _POOL)
+    return encode_ppm(ow, oh, bytes(out))
 
 
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = pdf["payload"].map(resize_payload_stub)
+        out = pdf["payload"].map(lambda p: resize_image(bytes(p)))
+        decoded = out.map(_decode_ppm)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes_in": pdf["payload"].map(len).astype("int64"),
                 "n_bytes_out": out.map(len).astype("int64"),
+                "width_out": decoded.map(lambda d: d["width"]).astype("int32"),
+                "height_out": decoded.map(lambda d: d["height"]).astype("int32"),
                 "payload_out": out,
-                "mean_out": out.map(
-                    lambda x: round(sum(x) / len(x), 4) if len(x) else 0.0
+                "mean_out": decoded.map(
+                    lambda d: round(mean_pixel(d["pixels"]), 4)
                 ),
             }
         )
 
 
-@register("q_mm_resize", oracle=None)  # codec stubbed -> rows-only check
+@register("q_mm_resize", oracle=None)  # byte-level codec -> rows-only check
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize over binary payloads via ``mapInPandas`` — the
-    decode→resize→re-encode stage of an image pipeline, with the codec
-    stubbed as a deterministic 4x block-mean (tests pin the arithmetic
-    against a local recompute).
+    """Resize over binary image payloads via ``mapInPandas`` — a REAL
+    decode → 2x2 average-pool → re-encode(P6) stage over rendered PPM
+    frames (tests pin every output byte against a local recompute).
 
     Scale: narrow transformation like q_mm_features — payload bytes are
     read and REPLACED inside their scan partition, never shuffled; the
-    output payload is factor-x smaller, so any downstream exchange moves
-    a quarter of the input volume."""
+    output raster is 4x smaller, so any downstream exchange moves a
+    quarter of the input volume."""
     docs = tables.load(spark, sf_dir, "documents")
-    mm = with_payload(docs).select("doc_id", "payload")
+    mm = with_image_payload(docs)
     return mm.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
