@@ -1576,6 +1576,81 @@ def q_feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_feat_winsorize_approx",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           FLOOR(quantile_cont(o_totalprice, 0.05) * 10000 + 0.5) / 10000
+             AS lo_exact,
+           FLOOR(quantile_cont(o_totalprice, 0.95) * 10000 + 0.5) / 10000
+             AS hi_exact,
+           TRUE AS lo_rank_ok,
+           TRUE AS hi_rank_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_feat_winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q_feat_winsorize: percentile cutpoints from the
+    ``approx_percentile`` sketch (mergeable map-side, bounded memory)
+    instead of exact ``percentile`` (which gathers per-group value
+    multisets — the bottleneck the exact form's docstring warns about).
+
+    Contract-style oracle (the q_agg_approx_pct pattern): DuckDB
+    recomputes the EXACT cutpoints and pins the contract booleans TRUE;
+    Spark additionally verifies the sketch against the guarantee GK
+    actually makes — RANK error ≤ n/accuracy — not a value band: with a
+    second conditional-aggregate pass, count(x < approx_lo) must sit
+    within ±(n/accuracy + 1) of rank 0.05·n (ditto 0.95 for hi). A
+    value-distance contract would flake wherever the tail is spread out
+    or a tiny group makes interpolation land between elements; the rank
+    bound is the sketch's theorem and holds for every distribution.
+
+    Shape: aggregate → broadcast the 3-row cutpoint frame → one
+    conditional re-aggregate; both passes map-side-combine.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    acc = 10000
+    tf_round = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    cuts = orders.groupBy("o_orderstatus").agg(
+        tf_round(F.percentile("o_totalprice", F.lit(0.05))).alias("lo_exact"),
+        tf_round(F.percentile("o_totalprice", F.lit(0.95))).alias("hi_exact"),
+        F.approx_percentile(
+            "o_totalprice", F.lit(0.05), F.lit(acc)
+        ).alias("alo"),
+        F.approx_percentile(
+            "o_totalprice", F.lit(0.95), F.lit(acc)
+        ).alias("ahi"),
+    )
+    x = F.col("o_totalprice")
+    ranked = (
+        orders.join(F.broadcast(cuts), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("lo_exact").alias("lo_exact"),
+            F.max("hi_exact").alias("hi_exact"),
+            F.sum((x < F.col("alo")).cast("long")).alias("n_lt_alo"),
+            F.sum((x <= F.col("alo")).cast("long")).alias("n_le_alo"),
+            F.sum((x < F.col("ahi")).cast("long")).alias("n_lt_ahi"),
+            F.sum((x <= F.col("ahi")).cast("long")).alias("n_le_ahi"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    slack = n / acc + 1
+    rank_ok = lambda p, lt, le: (
+        (F.col(lt) <= p * n + slack) & (F.col(le) >= p * n - slack)
+    )
+    return ranked.select(
+        "o_orderstatus",
+        "n_rows",
+        "lo_exact",
+        "hi_exact",
+        rank_ok(0.05, "n_lt_alo", "n_le_alo").alias("lo_rank_ok"),
+        rank_ok(0.95, "n_lt_ahi", "n_le_ahi").alias("hi_rank_ok"),
+    )
+
+
+@register(
     "q_agg_moments",
     oracle="""
     WITH s AS (
