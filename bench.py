@@ -62,7 +62,7 @@ HEADLINE = (
     "q_sql_market_share",          # 8-table join graph (Q8 analog)
     "q_sql_waiting_supplier",      # double-correlated EXISTS/NOT EXISTS (Q21)
     "q_dedup_substring",           # positioned k-gram span dedup + island merge
-    "q_graph_triangles",           # degree-ordered wedge enumeration (41M wedges)
+    "q_graph_triangles",           # degree-oriented adjacency intersection
 )
 
 
