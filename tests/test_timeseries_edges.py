@@ -89,3 +89,18 @@ def test_incremental_rollup_keeps_null_ts_bucket(spark, edge_sf_dir):
     assert any(b is None and n == 1 for (_, b, n, _) in got)
     want = sorted(_oracle(edge_sf_dir, "q_rollup_incremental"), key=str)
     assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+
+def test_acf_constant_series_and_dup_ts(spark, edge_sf_dir):
+    """A constant-value series has stddev 0 at every lag: the ACF divide
+    must degrade to NULL (not DIVIDE_BY_ZERO) on both engines, and
+    duplicate timestamps must not reorder pairs (event_id tiebreak)."""
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.acf)
+        for r in QUERIES["q_ts_acf"].fn(spark, edge_sf_dir).collect()
+    }
+    # 'error' appears twice with the same value 99.0 -> lag-1 pair exists
+    # but is constant: acf must be NULL, not a crash.
+    assert got[("error", 1)] == (1, None)
+    want = {(r[0], r[1]): (r[2], r[3]) for r in _oracle(edge_sf_dir, "q_ts_acf")}
+    assert got == want

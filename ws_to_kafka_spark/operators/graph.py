@@ -633,3 +633,111 @@ def q_graph_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup = support_of(edges)
         edges = median_keep(sup)
     return sup.join(edges, ["a", "b"]).select("a", "b", "support")
+
+
+_COMP_MIN_COORDERS = 2
+_COMP_MAX_ITERS = 40
+
+_COMP_EDGE_SQL = f"""
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_COMP_MIN_COORDERS}
+"""
+
+
+@register(
+    "q_graph_components",
+    oracle=f"""
+    WITH RECURSIVE half AS (
+      {_COMP_EDGE_SQL}
+    ), edges AS (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ), nodes AS (
+      SELECT DISTINCT u AS v FROM edges
+    ), walk(v, r) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.v
+    ), comp AS (
+      SELECT v, MIN(r) AS component_id FROM walk GROUP BY v
+    )
+    SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY component_id
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph (parts joined
+    when they appear in >= {_COMP_MIN_COORDERS} common orders), reporting
+    each component's id (minimum member part) and size — the product-
+    affinity clustering shape (and the generic CC every entity-resolution
+    / dedup pipeline needs as a standalone graph primitive).
+
+    Algorithm: min-label propagation to a convergence FIXPOINT (checked,
+    not assumed — an unconverged exit raises), the same Pregel-on-
+    DataFrames loop as q_dedup_clusters but over a graph with a giant
+    component (diameter ~10), not near-cliques; the oracle is a DuckDB
+    recursive CTE computing min-reachable-vertex, so the driver verifies
+    the full iterative computation, threshold filter included.
+
+    Scale: the edge list is built once (distinct + self-join keyed on
+    l_orderkey, count-filtered — never quadratic in parts, only in
+    per-order basket size) and persisted pre-partitioned on ``u`` via the
+    shared index cache, so each round's join moves only the O(|V|) label
+    side; labels are localCheckpoint()ed per round to truncate lineage.
+    Rounds cost one small shuffle each; count-based convergence telemetry
+    scans the checkpointed frame (no extra join).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def build_edges() -> DataFrame:
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        half = (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= _COMP_MIN_COORDERS)
+            .select("u", "v")
+        )
+        return (
+            half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("u")
+        )
+
+    edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
+    labels = edges.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    changed = -1
+    for _ in range(_COMP_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_label = F.least("label", F.coalesce("nbr_label", F.col("label")))
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select("v", new_label.alias("label"),
+                    (new_label < F.col("label")).alias("chg"))
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("v", "label")
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"components did not converge in {_COMP_MAX_ITERS} rounds "
+            f"({changed} labels still changing) — rounds needed = diameter"
+        )
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(F.count("*").alias("n_nodes"))
+        .select("component_id", "n_nodes")
+    )

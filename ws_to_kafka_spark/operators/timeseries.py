@@ -535,3 +535,83 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TSSIM_TOP_K)
         .select("query_user", "match_user", "cos_sim", "rk")
     )
+
+
+_ACF_MAX_LAG = 3
+
+
+@register(
+    "q_ts_acf",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_type, value,
+             LAG(value, 1) OVER w AS y1,
+             LAG(value, 2) OVER w AS y2,
+             LAG(value, 3) OVER w AS y3
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id)
+    ), pairs AS (
+      SELECT event_type, 1 AS lag, value AS x, y1 AS y FROM ordered WHERE y1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2 AS lag, value AS x, y2 AS y FROM ordered WHERE y2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3 AS lag, value AS x, y3 AS y FROM ordered WHERE y3 IS NOT NULL
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(COVAR_POP(x, y)
+                 / NULLIF(STDDEV_POP(x) * STDDEV_POP(y), 0), 4) AS acf
+    FROM pairs
+    GROUP BY event_type, lag
+    """,
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per series: lag-1..3 Pearson
+    correlation of each event_type's value sequence against its own past
+    (the paired-observation ACF estimator: moments are taken over the
+    n-k aligned pairs, not the full series) — the stationarity /
+    seasonality probe that decides a forecasting model's AR order.
+
+    Scale: ONE shuffle + local sort on (event_type, ts) computes all
+    three lag columns over the same sorted run; the lag rows then unpivot
+    (map-side, 3x fan-out of two doubles, not the event row) into one
+    partial-agg shuffle keyed (event_type, lag) whose output is
+    series_count x 3 rows. Per-series work is a sequential scan
+    — series count, not series length, provides the parallelism (the
+    same shape as every per-key ordered op here: q_ts_ewma, q_win_locf).
+    A constant series (stddev 0) yields NULL acf on both engines via the
+    nullif-guarded divide (ANSI-safe). Moment sums accumulate in
+    different orders on the two engines; the 4dp round at the output is
+    the registry's standard last-ulp absorber.
+    """
+    events = _t(spark, sf_dir, "events")
+    # Explicit NULLS FIRST: Spark's ascending default; DuckDB's window
+    # default is NULLS LAST, so a NULL-ts row would otherwise sit at
+    # opposite ends of the series and shift every pair by one.
+    w = W.partitionBy("event_type").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
+    ordered = events.select(
+        "event_type",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"y{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    pairs = ordered.select(
+        "event_type",
+        F.posexplode(F.array(*[F.col(f"y{k}") for k in range(1, _ACF_MAX_LAG + 1)])).alias(
+            "lag0", "y"
+        ),
+        F.col("value").alias("x"),
+    ).filter(F.col("y").isNotNull())
+    return (
+        pairs.groupBy("event_type", (F.col("lag0") + 1).cast("int").alias("lag"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.covar_pop("x", "y")
+                / F.nullif(F.stddev_pop("x") * F.stddev_pop("y"), F.lit(0.0)),
+                4,
+            ).alias("acf"),
+        )
+        .select("event_type", "lag", "n_pairs", "acf")
+    )
