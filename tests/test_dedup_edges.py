@@ -120,3 +120,47 @@ def test_substring_semantics_pinned(spark, dup_sf_dir):
     for d in (6, 7):
         assert rows[d]["dup_tokens"] == rows[d]["n_tokens"]
         assert rows[d]["dup_ratio"] == 1.0
+
+
+# Containment corpus: an excerpt relation Jaccard can't see. Doc 11 is the
+# verbatim 12-token head of doc 10 (containment 11->10 = 1.0, but Jaccard
+# ~0.4); doc 12 is unrelated; doc 13 is under the 5-shingle floor and must
+# be excluded from BOTH sides even though it is trivially contained.
+_HEAD12 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+_CONT_DOCS = [
+    (10, _HEAD12 + " mike november oscar papa quebec romeo sierra tango"
+         " uniform victor whiskey xray"),
+    (11, _HEAD12),
+    (12, "wholly different words that overlap with nothing else at all here"),
+    (13, "alpha bravo charlie delta"),  # 3 shingles < 5 -> filtered
+]
+
+
+@pytest.fixture(scope="module")
+def cont_sf_dir(spark, tmp_path_factory) -> str:
+    rows = [(i, t, "en", "web", len(t)) for (i, t) in _CONT_DOCS]
+    dst = str(tmp_path_factory.mktemp("sf_cont"))
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    return dst
+
+
+def test_containment_is_directional_and_floored(spark, cont_sf_dir):
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in QUERIES["q_dedup_containment"].fn(spark, cont_sf_dir).collect()
+    }
+    # the excerpt is contained in its container, not vice versa, and the
+    # sub-floor doc appears on neither side
+    assert got == {(11, 10): 1.0}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{cont_sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(QUERIES["q_dedup_containment"].oracle).fetchall()
+    }
+    assert got == want

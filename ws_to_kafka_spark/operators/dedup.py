@@ -863,3 +863,102 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+_CONT_THRESHOLD = 0.9
+_CONT_MIN_SH = 5
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w.words[i:i+2], ' ')
+                            for i in range(1, len(w.words)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+    ), inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      WHERE a.n_sh >= {_CONT_MIN_SH} AND b.n_sh >= {_CONT_MIN_SH}
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / na, 4) AS containment
+    FROM common
+    WHERE ROUND(n_common * 1.0 / na, 4) >= {_CONT_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram CONTAINMENT join: find (excerpt, container) doc
+    pairs where >= 90% of doc_a's shingles also occur in doc_b — the
+    asymmetric relation Jaccard misses (a paragraph quoted inside a long
+    page has tiny Jaccard but containment ~1), and the primitive behind
+    sub-document contamination checks and quote/excerpt collapsing.
+
+    Prefix filter, containment form: with every doc's shingles ordered by
+    the shared (global df, shingle) total order, if A∩B misses ALL of A's
+    first ``n - ceil(t·n) + 1`` shingles then |A∩B| <= ceil(t·n) - 1 <
+    t·n — so indexing only that prefix of the CONTAINED side keeps
+    candidates exact while only the full-indexed container side pays the
+    inverted-index cost (B has no prefix bound: containment ignores |B|).
+    The prefix length is computed in integer arithmetic
+    (``n - (9n+9)//10 + 1``) so both engines agree on every n. Docs under
+    {_CONT_MIN_SH} shingles are excluded on both sides (a 2-shingle doc is
+    "contained" everywhere — noise, filtered identically in the oracle).
+    The df cap applies to the A-prefix only (same boilerplate rationale as
+    q_dedup_ngram; B stays complete so no container is missed).
+
+    Scale: shuffles are (shingle → df), the prefix⋈full index join (bucket
+    work bounded by cap × df, rare-shingle dominated), and the candidate
+    verify against the cached shingle arrays — nothing quadratic in the
+    corpus. Scale note for the verify: containment divides by na only, so
+    the verify reuses the same array_intersect join as the Jaccard family.
+    """
+    sh = _shingled_docs(spark, sf_dir).filter(F.col("n_sh") >= _CONT_MIN_SH)
+    inv = _exploded_shingles(spark, sf_dir).join(
+        sh.select("doc_id", "n_sh"), "doc_id"
+    )
+    df_per_shingle = _exploded_shingles(spark, sf_dir).groupBy("shingle").agg(
+        F.count("*").alias("df")
+    )
+    ranked = inv.join(df_per_shingle, "shingle").withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((F.lit(9) * F.col("n_sh") + F.lit(9)) / F.lit(10))
+        + F.lit(1)
+    )
+    a = ranked.filter(
+        (F.col("pos") <= prefix_len) & (F.col("df") <= _NGRAM_DF_CAP)
+    ).select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    containment = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.col("na"), 4
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= _CONT_THRESHOLD)
+        .select("doc_a", "doc_b", "containment")
+    )
