@@ -732,3 +732,163 @@ def test_mad_matches_oracle_on_tied_2dp_quantities(
         f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
     )
     _run_spec_vs_oracle(spark, con, "q_agg_mad", sf_dir)
+
+
+# --- ACF: paired-moment estimator on degenerate series ---------------------
+#
+# q_ts_acf is pinned on fixtures (tie-free, NULL-free); random streams add
+# the traps: duplicate timestamps within a type (the (ts, event_id)
+# tiebreak must align pairs identically), NULL-ts rows (NULLS FIRST is
+# pinned explicitly — engine defaults differ), NULL values (covar/stddev
+# skip the pair, COUNT(*) does not), constant runs (stddev 0 -> NULL acf,
+# not DIVIDE_BY_ZERO), and series shorter than the lag.
+
+_acf_row = st.tuples(
+    st.integers(min_value=0, max_value=1),                    # type
+    st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # ts bucket
+    st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),  # value
+)
+_acf_table = st.lists(_acf_row, min_size=0, max_size=25)
+
+
+@given(_acf_table)
+@_SETTINGS
+def test_acf_matches_oracle_on_random_events(spark, tmp_path_factory, rows):
+    from datetime import datetime
+
+    from ws_to_kafka_spark.operators import QUERIES
+
+    data = [
+        (
+            i,
+            datetime(2024, 1, 1, 0, t, 0) if t is not None else None,
+            0,
+            "ab"[ty],
+            float(v) if v is not None else None,
+            "{}",
+        )
+        for i, (ty, t, v) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_acf"))
+    spark.createDataFrame(
+        data,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    spec = QUERIES["q_ts_acf"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(
+        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+        for r in sdf.select(sorted(sdf.columns)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(
+        tuple(
+            round(r[i], 6) if isinstance(r[i], float) else r[i] for i in order
+        )
+        for r in cur.fetchall()
+    )
+    assert got == want
+
+
+# --- connected components: fixpoint loop vs recursive CTE ------------------
+#
+# q_graph_components' driver-side convergence loop is the one registered
+# operator whose ROUND COUNT is data-dependent; random order/part tables
+# exercise empty edge sets (zero rounds), long chains (many rounds),
+# isolated nodes (threshold filters every edge), and multi-component
+# splits — each compared against the recursive-CTE oracle.
+
+_li_row = st.tuples(
+    st.integers(min_value=0, max_value=7),   # l_orderkey
+    st.integers(min_value=0, max_value=9),   # l_partkey
+)
+_li_table = st.lists(_li_row, min_size=0, max_size=40)
+
+
+@given(_li_table)
+@_SETTINGS
+def test_components_match_oracle_on_random_baskets(
+    spark, tmp_path_factory, rows
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_cc"))
+    spark.createDataFrame(
+        rows or [(None, None)], schema="l_orderkey long, l_partkey long"
+    ).filter("l_orderkey IS NOT NULL").coalesce(1).write.parquet(
+        f"{sf_dir}/lineitem.parquet"
+    )
+
+    spec = QUERIES["q_graph_components"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want
+
+
+# --- containment: prefix-filter exactness under gram collisions ------------
+#
+# The containment prefix filter is exact by theorem; random 3-token-vocab
+# corpora maximize shingle collisions and within-doc repetition so the
+# (df, shingle) prefix order, the min-shingle floor, and the directional
+# a<>b pairing all get stressed against the all-pairs oracle.
+
+
+@given(_corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_containment_matches_oracle_on_random_corpus(
+    spark, tmp_path_factory, docs
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    rows = [
+        (i, " ".join(toks), "en", "web", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_cont"))
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    spec = QUERIES["q_dedup_containment"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(
+        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+        for r in sdf.select(sorted(sdf.columns)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(
+        tuple(
+            round(r[i], 6) if isinstance(r[i], float) else r[i] for i in order
+        )
+        for r in cur.fetchall()
+    )
+    assert got == want
