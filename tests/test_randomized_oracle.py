@@ -892,3 +892,62 @@ def test_containment_matches_oracle_on_random_corpus(
         for r in cur.fetchall()
     )
     assert got == want
+
+
+# --- changepoint: bit-identical cusum argmax ------------------------------
+#
+# q_ts_changepoint's portability argument is that same-order prefix sums
+# make the cusum values bit-identical, so the ARGMAX (a float ranking,
+# normally the most fragile cross-engine shape) cannot flip. Random
+# streams with duplicate timestamps, NULL ts/values, and constant runs
+# (all cusums 0 -> earliest-row tiebreak) put that claim under test.
+
+
+@given(_acf_table)
+@_SETTINGS
+def test_changepoint_matches_oracle_on_random_events(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    from ws_to_kafka_spark.operators import QUERIES
+
+    data = [
+        (
+            i,
+            datetime(2024, 1, 1, 0, t, 0) if t is not None else None,
+            0,
+            "ab"[ty],
+            float(v) if v is not None else None,
+            "{}",
+        )
+        for i, (ty, t, v) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_cp"))
+    spark.createDataFrame(
+        data,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    spec = QUERIES["q_ts_changepoint"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(
+        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+        for r in sdf.select(sorted(sdf.columns)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(
+        tuple(
+            round(r[i], 6) if isinstance(r[i], float) else r[i] for i in order
+        )
+        for r in cur.fetchall()
+    )
+    assert got == want

@@ -615,3 +615,95 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "lag", "n_pairs", "acf")
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH series AS (
+      SELECT event_type, ts, event_id,
+             SUM(value) OVER w AS s_k,
+             ROW_NUMBER() OVER w AS k
+      FROM events
+      WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), closed AS (
+      SELECT *,
+             LAST_VALUE(s_k) OVER wf AS s_n,
+             MAX(k) OVER wf AS n
+      FROM series
+      WINDOW wf AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ), cusum AS (
+      SELECT event_type, ts, event_id, k,
+             s_k - k * (s_n / n) AS c
+      FROM closed
+    ), ranked AS (
+      SELECT event_type, ts, k AS cp_index,
+             ROUND(ABS(c), 6) AS cp_magnitude,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ROUND(ABS(c), 6) DESC,
+                                         ts NULLS FIRST, event_id) AS rk
+      FROM cusum
+    )
+    SELECT event_type, ts AS cp_ts, CAST(cp_index AS BIGINT) AS cp_index,
+           cp_magnitude
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per series: the index maximizing
+    |S_k − k·(S_n/n)| (cumulative deviation from the series mean) marks
+    the most likely single change in level — Page's CUSUM statistic in
+    its offline argmax form.
+
+    Cross-engine exactness by construction: the prefix sums S_k are
+    accumulated in the SAME pinned order ((ts NULLS FIRST, event_id), a
+    sequential running frame) on both engines, S_n is read as the LAST
+    prefix sum rather than re-aggregated, and the series mean enters as
+    k·(S_n/n) — every double op then has bit-identical operands on both
+    engines, so the cusum values are bit-identical and the argmax cannot
+    flip (the q_ts_ewma same-order-arithmetic portability rule; the 6dp
+    round on the ranking key is belt-and-braces, not load-bearing).
+
+    Scale: one shuffle + local sort per series serves the running frame,
+    the row counter, and the full-frame last-value in a single window
+    pass; the argmax is a per-series group-limit (top-1 truncated before
+    the exchange). Sequential per key, parallel across keys — the
+    standard per-series shape (see q_ts_acf).
+    """
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    order = [F.col("ts").asc_nulls_first(), F.col("event_id")]
+    w = W.partitionBy("event_type").orderBy(*order)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    series = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("value").over(run).alias("s_k"),
+        F.row_number().over(w).alias("k"),
+    )
+    closed = series.select(
+        "*",
+        F.last("s_k").over(full).alias("s_n"),
+        F.max("k").over(full).alias("n"),
+    )
+    cusum = closed.withColumn(
+        "c", F.col("s_k") - F.col("k") * (F.col("s_n") / F.col("n"))
+    )
+    rk = F.row_number().over(
+        w.orderBy(F.round(F.abs("c"), 6).desc(), *order)
+    )
+    return (
+        cusum.withColumn("cp_magnitude", F.round(F.abs("c"), 6))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("cp_ts"),
+            F.col("k").cast("long").alias("cp_index"),
+            "cp_magnitude",
+        )
+    )
