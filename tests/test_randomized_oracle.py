@@ -951,3 +951,61 @@ def test_changepoint_matches_oracle_on_random_events(
         for r in cur.fetchall()
     )
     assert got == want
+
+
+# --- histogram: data-derived edges, boundary-exact binning ----------------
+#
+# q_agg_histogram claims a value exactly ON a bucket edge bins identically
+# because every operand of FLOOR((v-lo)*n/(hi-lo)) is bit-identical on
+# both engines. Quarter-step values (exact binary doubles) with
+# cents-snapped ranges manufacture edge hits constantly; constant series
+# exercise the hi=lo nullif path.
+
+_hist_row = st.tuples(
+    st.integers(min_value=0, max_value=1),           # type
+    st.integers(min_value=-50, max_value=50),        # value quarters
+)
+_hist_table = st.lists(_hist_row, min_size=1, max_size=25)
+
+
+@given(_hist_table)
+@_SETTINGS
+def test_histogram_bins_match_oracle_on_boundary_values(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    from ws_to_kafka_spark.operators import QUERIES
+
+    data = [
+        (i, datetime(2024, 1, 1), 0, "ab"[ty], q / 4.0, "{}")
+        for i, (ty, q) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_hist"))
+    spark.createDataFrame(
+        data,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    spec = QUERIES["q_agg_histogram"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(
+        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+        for r in sdf.select(sorted(sdf.columns)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(
+        tuple(
+            round(r[i], 6) if isinstance(r[i], float) else r[i] for i in order
+        )
+        for r in cur.fetchall()
+    )
+    assert got == want

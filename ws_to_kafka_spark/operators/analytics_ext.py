@@ -1767,3 +1767,87 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_orders"),
         (F.floor(gini * 1000000 + 0.5) / 1000000).alias("gini"),
     )
+
+
+_HIST_BUCKETS = 10
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+    WITH rng AS (
+      SELECT event_type,
+             FLOOR(MIN(value) * 100) / 100   AS lo,
+             CEIL(MAX(value) * 100) / 100    AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), bucketed AS (
+      SELECT e.event_type,
+             CAST(COALESCE(LEAST({_HIST_BUCKETS} - 1,
+               FLOOR((e.value - r.lo) * {_HIST_BUCKETS}
+                     / NULLIF(r.hi - r.lo, 0))), 0) AS INT) AS bucket,
+             r.lo, r.hi
+      FROM events e JOIN rng r USING (event_type)
+      WHERE e.value IS NOT NULL
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(lo + bucket * (hi - lo) / {_HIST_BUCKETS}, 6)       AS bucket_lo,
+           ROUND(lo + (bucket + 1) * (hi - lo) / {_HIST_BUCKETS}, 6) AS bucket_hi
+    FROM bucketed
+    GROUP BY event_type, bucket, lo, hi
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per series with DATA-DERIVED edges — the
+    profiling primitive behind distribution dashboards and drift inputs
+    (q_drift_psi consumes fixed bins; this derives them).
+
+    Engine-computed-threshold discipline (the winsorize bug class): the
+    range edges are snapped to integer cents (FLOOR/CEIL of MIN/MAX —
+    exact-rounded ops on identical doubles, no summation-order exposure),
+    and each bucket index is FLOOR((v − lo)·n / (hi − lo)) where every
+    operand is bit-identical on both engines, so a value exactly on a
+    bucket boundary bins identically — no rounded-compare needed. A
+    constant series (hi = lo) nullif-guards into bucket 0. Max values
+    land in the last bucket via LEAST(n−1, ·), the standard closed-top
+    convention.
+
+    Scale: two hash aggregates over one scan shape — (type → min/max) is
+    a tiny broadcast back onto the big side, bucketing is a map-only
+    expression, and the final (type, bucket) agg partial-combines to at
+    most types × {_HIST_BUCKETS} rows per partition.
+    """
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rng = ev.groupBy("event_type").agg(
+        (F.floor(F.min("value") * 100) / 100).alias("lo"),
+        (F.ceil(F.max("value") * 100) / 100).alias("hi"),
+    )
+    n = F.lit(_HIST_BUCKETS)
+    bucket = F.coalesce(
+        F.least(
+            n - 1,
+            F.floor(
+                (F.col("value") - F.col("lo")) * n
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+            ),
+        ),
+        F.lit(0),
+    ).cast("int")
+    return (
+        ev.join(F.broadcast(rng), "event_type")
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            F.round(
+                F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / n, 6
+            ).alias("bucket_lo"),
+            F.round(
+                F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / n,
+                6,
+            ).alias("bucket_hi"),
+        )
+    )
