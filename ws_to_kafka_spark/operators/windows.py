@@ -392,3 +392,50 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_types_1h"),
     )
+
+
+@register(
+    "q_win_pct_change",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(value) AS total
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day,
+           ROUND(total, 4) AS total,
+           ROUND(100.0 * (total - LAG(total) OVER w)
+                 / NULLIF(LAG(total) OVER w, 0), 4) AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: day-over-day percent change of each
+    series' daily total — the rollup-then-compare composite behind every
+    trend dashboard (first period NULL by definition; a zero prior
+    period nullif-guards to NULL rather than an ANSI divide error).
+
+    Scale: the window runs over the DAILY frame (types × days rows), not
+    raw events — the q_rollup_multires layering rule: aggregate first,
+    window over the tiny result. The lag key (event_type, day) is unique
+    by construction so no tiebreak is needed; daily sums accumulate in
+    engine-specific order; both the totals and the ratio of two such
+    sums carry only last-ulp drift, absorbed by the 4dp output rounds.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("total"))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("total", 4).alias("total"),
+        F.round(
+            100.0 * (F.col("total") - prev) / F.nullif(prev, F.lit(0.0)), 4
+        ).alias("pct_change"),
+    )
