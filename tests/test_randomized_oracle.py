@@ -1009,3 +1009,43 @@ def test_histogram_bins_match_oracle_on_boundary_values(
         for r in cur.fetchall()
     )
     assert got == want
+
+
+# Skyline with heavy (day, price) ties: equal prices across days and
+# duplicate (day, price) points are exactly where a sweep-based frontier
+# can diverge from the NOT-EXISTS domination definition (strict-vs-
+# non-strict mistakes keep or drop tied points on one side only).
+_sky_row = st.tuples(
+    st.integers(min_value=0, max_value=4),   # day offset (tie-heavy)
+    st.integers(min_value=0, max_value=5),   # price (tiny domain => ties)
+)
+_sky_table = st.lists(_sky_row, min_size=1, max_size=25)
+
+
+@given(_sky_table)
+@_SETTINGS
+def test_pareto_frontier_matches_domination_oracle_on_ties(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    from ws_to_kafka_spark.operators import QUERIES
+
+    data = [
+        (i, 0, "O", float(p), datetime(2024, 1, 1 + d), "1-URGENT")
+        for i, (d, p) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_sky"))
+    spark.createDataFrame(
+        data,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_pareto_frontier", sf_dir)

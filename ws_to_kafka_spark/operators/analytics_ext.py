@@ -1851,3 +1851,229 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket_hi"),
         )
     )
+
+
+@register(
+    "q_assoc_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets
+    ), brand_cnt AS (
+      SELECT p_brand, COUNT(*) AS cnt FROM baskets GROUP BY p_brand
+    ), pair_cnt AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS cnt_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b,
+           p.cnt_ab AS support_cnt,
+           ROUND(CAST(p.cnt_ab AS DOUBLE) / CAST(n.n_baskets AS DOUBLE), 6)
+             AS support,
+           ROUND(CAST(p.cnt_ab AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6)
+             AS confidence,
+           ROUND((CAST(p.cnt_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+                 / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6)
+             AS lift
+    FROM pair_cnt p
+    JOIN brand_cnt ca ON ca.p_brand = p.brand_a
+    JOIN brand_cnt cb ON cb.p_brand = p.brand_b
+    CROSS JOIN n
+    WHERE p.cnt_ab >= 20
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    brand pair co-occurring in >=20 orders, emit support, confidence of
+    the a->b rule, and lift — the classic frequent-itemset surface
+    (Agrawal-Srikant a-priori at k=2) behind recommendation features.
+
+    Scale: baskets come from one broadcast join (part is the small dim);
+    the pair generation self-joins baskets on l_orderkey, quadratic only
+    in the per-order DISTINCT-brand count, which the data model bounds
+    (TPC-H-ish orders hold <= 7 lines) — never a corpus-level cross
+    product. Counts shuffle on the (brand_a, brand_b) pair key (25
+    brands -> <=300 groups, map-side combined) and the brand/total
+    frames are broadcast back. Cross-engine floats: every output is a
+    SINGLE IEEE division of exactly-represented integers (products
+    < 2^53), so both engines produce bit-identical doubles and the 6dp
+    round is cosmetic, not a tie-breaker.
+    """
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    baskets = (
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    brand_cnt = baskets.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= 20)
+    )
+    ca = brand_cnt.select(
+        F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = brand_cnt.select(
+        F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pair_cnt.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("cnt_ab").alias("support_cnt"),
+            F.round(d("cnt_ab") / d("n_baskets"), 6).alias("support"),
+            F.round(d("cnt_ab") / d("cnt_a"), 6).alias("confidence"),
+            F.round(
+                (d("cnt_ab") * d("n_baskets")) / (d("cnt_a") * d("cnt_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q_pareto_frontier",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+             o_totalprice
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o.o_orderkey, o.order_day, ROUND(o.o_totalprice, 2) AS price
+    FROM u o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM u d
+      WHERE d.order_day <= o.order_day
+        AND d.o_totalprice >= o.o_totalprice
+        AND (d.order_day < o.order_day
+             OR d.o_totalprice > o.o_totalprice)
+    )
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: urgent orders not dominated by
+    any earlier-or-same-day order with >= price — "largest order seen so
+    far" frontier, the canonical multi-criteria optimization operator
+    (Borzsony et al., ICDE 2001).
+
+    The oracle states the semantics as the O(n^2) NOT EXISTS; the Spark
+    plan computes the SAME set in O(n log n) via the 2-D sweep: reduce
+    to per-day maxima, then a running max over strictly-earlier days —
+    a day's max survives iff it strictly exceeds every prior day's max,
+    and within a day only rows tying the day max survive (equal
+    (day, price) duplicates never strictly dominate each other, so all
+    tied rows are kept by both formulations).
+
+    Scale: the sweep windows over the per-DAY frame (one row per day,
+    ~2.4k rows at any SF since the date domain is fixed), not raw
+    orders; raw rows are touched only by one grouped max and one final
+    broadcast join against the tiny frontier-day frame. No self-join —
+    the quadratic form exists only in the oracle. Floats: prices are
+    compared and MAX-ed, never arithmetically combined, so doubles are
+    engine-identical verbatim.
+    """
+    u = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+            "o_totalprice",
+        )
+    )
+    daily = u.groupBy("order_day").agg(F.max("o_totalprice").alias("dmax"))
+    w = W.orderBy("order_day").rowsBetween(W.unboundedPreceding, -1)
+    frontier_days = daily.withColumn("prev_max", F.max("dmax").over(w)).filter(
+        F.col("prev_max").isNull() | (F.col("dmax") > F.col("prev_max"))
+    )
+    return (
+        u.join(F.broadcast(frontier_days), "order_day")
+        .filter(F.col("o_totalprice") == F.col("dmax"))
+        .select(
+            "o_orderkey",
+            "order_day",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "q_seq_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events WHERE ts IS NOT NULL
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, cnt,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS prob
+    FROM trans
+    """,
+)
+def q_seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count and normalize (prev_type -> next_type) steps, ordering each
+    user's history by (ts, event_id) — the deterministic tiebreak the
+    duplicate-timestamp edge corpus mandates — to give the
+    next-event-prediction prior behind sessionized behavioral models.
+
+    Scale: one shuffle on user_id serves the LAG; the transition count
+    then shuffles on the tiny (prev, next) key (|types|^2 groups,
+    map-side combined) and the row-normalizing SUM windows over that
+    same tiny frame — raw events are read once. Floats: prob is a single
+    IEEE division of exact integer counts (the window SUM of BIGINTs is
+    exact), so both engines agree bit-for-bit before the 6dp round.
+    """
+    events = tables.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("cnt"))
+    wp = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(wp).cast("double"),
+            6,
+        ).alias("prob"),
+    )

@@ -741,3 +741,88 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
         .select("component_id", "n_nodes")
     )
+
+
+@register(
+    "q_graph_jaccard",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+      SELECT supp, COUNT(*) AS deg FROM e GROUP BY supp
+    ), common AS (
+      SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY a.supp, b.supp
+    )
+    SELECT c.supp_a, c.supp_b, c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / CAST(da.deg + db.deg - c.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common c
+    JOIN deg da ON da.supp = c.supp_a
+    JOIN deg db ON db.supp = c.supp_b
+    WHERE c.n_common >= 50
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between supplier nodes of the
+    customer-supplier bipartite graph (suppliers are similar when they
+    serve overlapping customer sets) — the structural link-prediction /
+    node-similarity score (Liben-Nowell & Kleinberg, 2003).
+
+    Scale: co-neighbor pairs are generated by self-joining the DISTINCT
+    edge list on the shared-customer key — quadratic per CUSTOMER degree
+    (suppliers-per-customer, bounded by orders-per-customer in this
+    model), never an all-pairs supplier product; a hub customer at
+    100 TB gets the same df-cap treatment as the PPJoin prefix index
+    (drop customers above a degree cap — they contribute near-zero
+    Jaccard signal while dominating pair volume). Pair counts shuffle
+    on the (supp_a, supp_b) key with map-side combine and the tiny
+    per-supplier degree frame is broadcast back twice. Floats: jaccard
+    is one IEEE division of exact integers — bit-identical on both
+    engines before the cosmetic 6dp round.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("supp").agg(F.count("*").alias("deg"))
+    a = e.alias("a")
+    b = e.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .groupBy(
+            F.col("a.supp").alias("supp_a"), F.col("b.supp").alias("supp_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 50)
+    )
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
