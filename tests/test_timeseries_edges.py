@@ -104,3 +104,23 @@ def test_acf_constant_series_and_dup_ts(spark, edge_sf_dir):
     assert got[("error", 1)] == (1, None)
     want = {(r[0], r[1]): (r[2], r[3]) for r in _oracle(edge_sf_dir, "q_ts_acf")}
     assert got == want
+
+
+def test_seq_transitions_dup_ts_tiebreak_and_null_ts(spark, edge_sf_dir):
+    """Three same-timestamp rows (user 1) force the (ts, event_id)
+    tiebreak to define the step order — without it the LAG order is
+    engine-arbitrary; the NULL-ts row must contribute no transition."""
+    got = {
+        (r.prev_type, r.next_type): (r.cnt, r.prob)
+        for r in QUERIES["q_seq_transitions"].fn(spark, edge_sf_dir).collect()
+    }
+    # user 1 @10:00: view(1) -> error(2) -> view(3) by event_id;
+    # user 2: view -> error -> view; user 3: NULL-ts row dropped,
+    # then view(8) -> view(9).
+    assert got[("view", "error")] == (2, 1.0) or got[("view", "error")][0] == 2
+    assert got[("view", "view")][0] == 1
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in _oracle(edge_sf_dir, "q_seq_transitions")
+    }
+    assert got == want
