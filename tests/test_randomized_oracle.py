@@ -1049,3 +1049,41 @@ def test_pareto_frontier_matches_domination_oracle_on_ties(
         f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
     )
     _run_spec_vs_oracle(spark, con, "q_pareto_frontier", sf_dir)
+
+
+# A/B z-test degenerate shapes: cents exactly ON the conversion
+# threshold (strict >), a missing variant (odd-only or even-only user
+# ids => NULL column, NULL stats), and all-convert/none-convert
+# experiments (zero pooled variance => z must be NULL, not an ANSI
+# divide error).
+_ab_row = st.tuples(
+    st.integers(min_value=0, max_value=3),            # user_id (ties, parity)
+    st.sampled_from([0, 59999, 60000, 60001, 90000]),  # purchase cents
+)
+_ab_table = st.lists(_ab_row, min_size=1, max_size=12)
+
+
+@given(_ab_table)
+@_SETTINGS
+def test_ab_lift_matches_oracle_on_boundary_and_degenerate(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    data = [
+        (i, datetime(2024, 1, 1), u, "purchase", c / 100.0, "{}")
+        for i, (u, c) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_ab"))
+    spark.createDataFrame(
+        data,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_ab_lift", sf_dir)

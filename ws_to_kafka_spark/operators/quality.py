@@ -319,3 +319,131 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_ab_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END), 0) > 60000
+                  THEN 1 ELSE 0 END AS converted
+      FROM events
+      GROUP BY user_id
+    ), v AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM per_user GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n END)    AS n_a,
+        MAX(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+        MAX(CASE WHEN variant = 'B' THEN n END)    AS n_b,
+        MAX(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+      FROM v
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+      ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+      ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+      ROUND((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            - (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 6)
+        AS abs_lift,
+      ROUND(((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             - (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+            / NULLIF(SQRT(
+                (CAST(conv_a + conv_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - (CAST(conv_a + conv_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE)))
+                * ((1.0 / CAST(n_a AS DOUBLE))
+                   + (1.0 / CAST(n_b AS DOUBLE)))
+              ), 0),
+            6) AS z_score
+    FROM wide
+    """,
+)
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic parity split of users into
+    variants, per-user conversion (lifetime purchase value > $600), and
+    the two-proportion z-test (pooled standard error) on the conversion
+    rates — the ship/no-ship statistic behind every experimentation
+    platform.
+
+    Cross-engine floats, the hard part: conversion thresholds a SUM, and
+    a raw double SUM is order-dependent (Spark's partial aggregation vs
+    DuckDB's row order), so the metric accumulates in exact integer
+    CENTS (the q_agg_money pattern) and the threshold compares BIGINTs.
+    Every downstream statistic is then a fixed tree of binary IEEE ops
+    on exactly-represented integers (divisions, one multiply chain, one
+    correctly-rounded sqrt) written with IDENTICAL association on both
+    engines — neither engine reassociates float arithmetic, so the
+    z-score matches bit-for-bit before the cosmetic 6dp round. The z
+    divide is nullif-guarded: a degenerate 0%/100% experiment has zero
+    pooled variance — NULL z on both engines, not an ANSI divide error.
+
+    Scale: one shuffle on user_id for the per-user fold, then a 2-group
+    aggregate; the variant pivot is a constant-size MAX-CASE frame. A
+    z-test at 100 TB is the same two partial-aggregable counts — the
+    statistic never needs the raw rows.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+                            "long"
+                        ),
+                    ).otherwise(F.lit(0).cast("long"))
+                ),
+                F.lit(0).cast("long"),
+            ).alias("cents")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            F.when(F.col("cents") > 60000, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("converted"),
+        )
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rate_a = d("conv_a") / d("n_a")
+    rate_b = d("conv_b") / d("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * ((F.lit(1.0) / d("n_a")) + (F.lit(1.0) / d("n_b")))
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b - rate_a, 6).alias("abs_lift"),
+        F.round((rate_b - rate_a) / F.nullif(se, F.lit(0.0)), 6).alias(
+            "z_score"
+        ),
+    )
