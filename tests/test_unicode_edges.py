@@ -43,6 +43,9 @@ _TEXT_QUERIES = [
     "q_text_pii",
     "q_text_repetition",
     "q_text_fingerprint",
+    # vowel-run/sentence regexes must count CHARS the same way on
+    # multi-byte text (a é or CJK char is one non-vowel, not 2-3 bytes)
+    "q_text_readability",
     # the UDTF computes len() in PYTHON (chars) — must agree with the
     # oracle's LENGTH (chars) on multi-byte text, not byte counts
     "q_udtf_chunks",

@@ -826,3 +826,89 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_BFS_MAX_HOPS = 6
+
+
+@register(
+    "q_graph_bfs",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ), seed AS (
+      SELECT 's' || CAST(MIN(l_suppkey) AS VARCHAR) AS node FROM lineitem
+    ), reach(node, hop) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hop < 6
+    )
+    SELECT node, CAST(MIN(hop) AS INTEGER) AS hop
+    FROM reach GROUP BY node
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest-path hop counts from a deterministic seed
+    (the lowest-id supplier) over the customer-supplier bipartite graph
+    — the reachability/radius primitive behind influence propagation and
+    graph-distance features. The oracle states BFS as a recursive CTE
+    with UNION-dedup; the Spark form is the level-synchronous frontier
+    loop (Pregel BFS): expand the CURRENT frontier by one edge join,
+    anti-join out already-visited nodes, repeat until the frontier
+    empties (bounded at 6 hops on both engines).
+
+    Scale: per level, ONE join keyed on the frontier node plus one
+    left-anti against the visited set — each level's work is
+    O(frontier-adjacent edges), never the whole graph re-scanned; the
+    visited/distance frame is `localCheckpoint()`-ed per level so
+    lineage stays flat over iterations (the q_graph_components rule).
+    The level count is the graph diameter (2-3 on this dense bipartite
+    model); the empty-frontier early exit is a driver-side COUNT of a
+    checkpointed frame, not a data collect. Hops are exact integers —
+    zero float risk.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    seed = li.agg(
+        F.concat(F.lit("s"), F.min("l_suppkey").cast("string")).alias("node")
+    ).select("node", F.lit(0).alias("hop"))
+    dist = seed.localCheckpoint()
+    frontier = dist.select("node")
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).alias("hop"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    edges.unpersist()
+    return dist

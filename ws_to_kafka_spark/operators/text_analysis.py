@@ -860,3 +860,84 @@ def q_text_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "n_pos", "n_neg", polarity.alias("polarity"), label.alias("label")
     )
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS n_words,
+        CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+             AS BIGINT) AS n_sentences,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+      FLOOR((206.835
+             - (1.015 * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE)))
+             - (84.6 * (CAST(n_syllables AS DOUBLE)
+                        / CAST(NULLIF(n_words, 0) AS DOUBLE))))
+            * 10000 + 0.5) / 10000 AS flesch
+    FROM d
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic
+    vowel-group syllable proxy (each maximal [aeiouy]+ run counts one
+    syllable — the standard dictionary-free approximation) — the
+    readability feature of corpus quality scoring (Flesch 1948;
+    Kincaid et al. 1975 for the grade-level variant).
+
+    Cross-engine floats: all three inputs are exact integer counts from
+    regex/split (no float accumulation anywhere); the score is a fixed
+    tree of binary IEEE ops written with identical association on both
+    engines, and the display round is the tie-safe floor-scale form.
+    Punctuation-free docs clamp sentences to 1; empty docs nullif to a
+    NULL score instead of an ANSI divide error.
+
+    Scale: map-only — three codegen'd regex/array expressions per row,
+    no shuffle at all; the score column is a free side-output of
+    whatever scan the pipeline is already doing.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        )
+        .cast("long")
+        .alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit("[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - (
+            F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        )
+        - (
+            F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.nullif(F.col("n_words"), F.lit(0)).cast("double")
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.floor(flesch * 10000 + F.lit(0.5)) / 10000).alias("flesch"),
+    )

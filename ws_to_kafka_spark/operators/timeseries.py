@@ -707,3 +707,106 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cp_magnitude",
         )
     )
+
+
+@register(
+    "q_ts_seasonality",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), hourly AS (
+      SELECT event_type, hour_of_day,
+             COUNT(*) AS n_events, SUM(cents) AS sum_cents
+      FROM base GROUP BY event_type, hour_of_day
+    ), totals AS (
+      SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_all,
+             SUM(sum_cents) AS cents_all
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_of_day, h.n_events,
+      FLOOR(CAST(h.sum_cents AS DOUBLE)
+            / CAST(100 * h.n_events AS DOUBLE) * 10000 + 0.5) / 10000
+        AS mean_value,
+      FLOOR(CAST(h.sum_cents * t.n_all AS DOUBLE)
+            / CAST(NULLIF(t.cents_all * h.n_events, 0) AS DOUBLE)
+            * 1000000 + 0.5) / 1000000
+        AS seasonal_index,
+      CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY h.event_type
+             ORDER BY CAST(h.sum_cents AS DOUBLE)
+                      / CAST(100 * h.n_events AS DOUBLE) DESC,
+                      h.hour_of_day
+           ) = 1 THEN TRUE ELSE FALSE END AS is_peak
+    FROM hourly h JOIN totals t ON t.event_type = h.event_type
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per series: per-hour mean, the
+    seasonal index (hour mean / series mean — the classical
+    ratio-to-moving-average decomposition's seasonal component for a
+    daily cycle), and a deterministic peak-hour flag.
+
+    Cross-engine floats: means of raw doubles are order-dependent sums,
+    so values accumulate as exact integer CENTS (q_agg_money pattern)
+    and every ratio is ONE IEEE division of exactly-represented
+    integers (sum_cents * n_all < 2^53 through sf100) — bit-identical,
+    which also makes the peak-hour ORDER BY mean engine-stable; hour_of_day
+    breaks exact mean ties. A zero series total nullif-guards the index.
+    Display rounding uses the tie-safe floor(x*10^k+0.5)/10^k form on
+    BOTH sides — ROUND() half-way semantics differ between engines and
+    exact-fraction means land on half-way points constantly.
+
+    Scale: two stacked hash aggregates (raw -> |types|x24 -> |types|),
+    both partial-aggregable map-side; the window and join run on the
+    120-row hourly frame. Raw events are scanned once.
+    """
+    base = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").alias("hour_of_day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    hourly = base.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents")
+    )
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("n_all"),
+        F.sum("sum_cents").alias("cents_all"),
+    )
+    mean_expr = F.col("sum_cents").cast("double") / (
+        100 * F.col("n_events")
+    ).cast("double")
+    w = W.partitionBy("event_type").orderBy(
+        mean_expr.desc(), "hour_of_day"
+    )
+    return (
+        hourly.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            (F.floor(mean_expr * 10000 + F.lit(0.5)) / 10000).alias(
+                "mean_value"
+            ),
+            (
+                F.floor(
+                    (F.col("sum_cents") * F.col("n_all")).cast("double")
+                    / F.nullif(
+                        F.col("cents_all") * F.col("n_events"), F.lit(0)
+                    ).cast("double")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("seasonal_index"),
+            (F.row_number().over(w) == 1).alias("is_peak"),
+        )
+    )
