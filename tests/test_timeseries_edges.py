@@ -124,3 +124,19 @@ def test_seq_transitions_dup_ts_tiebreak_and_null_ts(spark, edge_sf_dir):
         for r in _oracle(edge_sf_dir, "q_seq_transitions")
     }
     assert got == want
+
+
+def test_rolling_median_dup_ts_frame_membership(spark, edge_sf_dir):
+    """Three same-timestamp 'view' rows plus user-2 rows interleave into
+    one event_type series: frame membership under ROWS BETWEEN depends
+    entirely on the (ts, event_id) tiebreak on the duplicated
+    timestamps — both engines must agree row for row."""
+    got = sorted(
+        (r.event_id, r.frame_n, r.rolling_median)
+        for r in QUERIES["q_win_rolling_median"].fn(spark, edge_sf_dir).collect()
+    )
+    want = sorted(
+        (r[0], r[4], r[3])
+        for r in _oracle(edge_sf_dir, "q_win_rolling_median")
+    )
+    assert got == want

@@ -50,6 +50,7 @@ EXPECTED_NESTED_LOOP = {
     "q_graph_truss",  # per-peel 1-row median-threshold frame broadcast back
     "q_mix_temperature",  # |langs|-row shares × broadcast 1-row normalizer
     "q_assoc_rules",  # ≤300 pair rows × broadcast 1-row basket-count frame
+    "q_orders_rfm",  # per-customer frame × broadcast 1-row anchor-date frame
 }
 
 

@@ -2077,3 +2077,120 @@ def q_seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prob"),
     )
+
+
+@register(
+    "q_orders_rfm",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             COUNT(*) AS frequency,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), anchor AS (
+      SELECT MAX(last_day) AS max_day FROM per_cust
+    ), rfm AS (
+      SELECT p.o_custkey,
+             CAST(date_diff('day', p.last_day, a.max_day) AS BIGINT)
+               AS recency_days,
+             p.frequency, p.monetary_cents
+      FROM per_cust p CROSS JOIN anchor a
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency,
+             FLOOR(CAST(monetary_cents AS DOUBLE) / 100.0 * 100 + 0.5) / 100
+               AS monetary,
+             CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey)
+                  AS INTEGER) AS r_quintile,
+             CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)
+                  AS INTEGER) AS f_quintile,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                  AS INTEGER) AS m_quintile
+      FROM rfm
+    )
+    SELECT *,
+      CASE WHEN r_quintile <= 2 AND f_quintile <= 2 AND m_quintile <= 2
+             THEN 'champion'
+           WHEN r_quintile >= 4 AND f_quintile <= 2 THEN 'at_risk'
+           WHEN r_quintile <= 2 AND f_quintile >= 4 THEN 'new'
+           ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since last
+    order, anchored to the corpus max date so the query is
+    deterministic), frequency, monetary value, NTILE(5) quintile scores
+    on each axis, and a rule-based segment label — the classic
+    marketing-analytics operator (Hughes 1994).
+
+    Determinism: every NTILE ordering carries o_custkey as the final
+    tiebreak (equal recency/frequency/monetary rows would otherwise
+    tile in engine-arbitrary order); monetary accumulates exact integer
+    cents and recency/frequency are exact integers, so the orderings —
+    and therefore the tiles — are engine-identical.
+
+    Scale: the per-customer fold shuffles once on o_custkey; the anchor
+    is a broadcast 1-row frame. The three NTILEs are global sorts over
+    the per-CUSTOMER frame (entity-level, not event-level — bounded by
+    customer count). At 100 TB-of-events scale that frame is still the
+    customer dimension; if the dimension itself outgrows a sort,
+    quintile boundaries come from approx_percentile cutpoints broadcast
+    into a map-side CASE (the q_quantile_buckets pattern) at the cost
+    of exact-tile parity.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("monetary_cents"),
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("max_day"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("max_day", "last_day").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (
+            F.floor(
+                F.col("monetary_cents").cast("double") / 100.0 * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("monetary"),
+        F.ntile(5)
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .alias("r_quintile"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_quintile"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .alias("m_quintile"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_quintile") <= 2)
+            & (F.col("f_quintile") <= 2)
+            & (F.col("m_quintile") <= 2),
+            F.lit("champion"),
+        )
+        .when(
+            (F.col("r_quintile") >= 4) & (F.col("f_quintile") <= 2),
+            F.lit("at_risk"),
+        )
+        .when(
+            (F.col("r_quintile") <= 2) & (F.col("f_quintile") >= 4),
+            F.lit("new"),
+        )
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select("*", segment.alias("segment"))

@@ -439,3 +439,60 @@ def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * (F.col("total") - prev) / F.nullif(prev, F.lit(0.0)), 4
         ).alias("pct_change"),
     )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           list_sort(vals)[(len(vals) + 1) // 2] AS rolling_median,
+           CAST(len(vals) AS INTEGER) AS frame_n
+    FROM (
+      SELECT event_id, event_type, ts,
+             array_agg(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) AS vals
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    )
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-row median per series — the robust smoother that
+    outlier-heavy telemetry needs where a rolling MEAN chases spikes.
+
+    Median by ELEMENT SELECTION, not interpolation: the frame's values
+    sort and the lower-median element ((k+1)/2-th) is returned
+    verbatim — the winsorize lesson applied up front, since
+    interpolated medians ((1-f)*lo+f*hi vs lo+f*(hi-lo)) diverge by an
+    ulp between engines while a selected element is the same stored
+    double on both. The (ts, event_id) tiebreak pins frame membership
+    on duplicate timestamps.
+
+    Scale: one shuffle on event_type + local sort serves the window;
+    the frame state is O(5) per row. Wide frames switch to the
+    two-heap / skip-list streaming median inside
+    applyInPandasWithState (the q_stream_anomaly shape) — but for
+    fixed small frames the collect-sort-select expression stays fully
+    JVM-side and codegen'd.
+    """
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    return (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.element_at(
+                F.array_sort(vals),
+                ((F.size(vals) + 1) / 2).cast("int"),
+            ).alias("rolling_median"),
+            F.size(vals).alias("frame_n"),
+        )
+    )
