@@ -63,6 +63,13 @@ HEADLINE = (
     "q_sql_waiting_supplier",      # double-correlated EXISTS/NOT EXISTS (Q21)
     "q_dedup_substring",           # positioned k-gram span dedup + island merge
     "q_graph_triangles",           # degree-oriented adjacency intersection
+    # round-4 additions (absent from earlier baselines; the common-subset
+    # comparison below is unaffected)
+    "q_graph_bfs",                 # level-synchronous frontier iteration
+    "q_assoc_rules",               # basket self-join + pair aggregation
+    "q_orders_rfm",                # entity-frame NTILE sorts
+    "q_seq_transitions",           # per-user LAG + tiny-key normalize
+    "q_win_rolling_median",        # sorted-frame selection over row frames
 )
 
 
