@@ -2194,3 +2194,224 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("regular"))
     )
     return scored.select("*", segment.alias("segment"))
+
+
+@register(
+    "q_join_incremental",
+    oracle="""
+    SELECT o.o_orderpriority, l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR(CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                     * (1 - l.l_discount) * 100 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100 * 100 + 0.5)
+             / 100 AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority, l.l_returnflag
+    """,
+)
+def q_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the oracle states the
+    view directly (full orders ⋈ lineitem, aggregated); the Spark plan
+    MAINTAINS it incrementally from a base snapshot plus independent
+    deltas on both sides, exercising the bilinear delta-join identity
+
+        (A ∪ dA) ⋈ (B ∪ dB) = A⋈B ∪ A⋈dB ∪ dA⋈B ∪ dA⋈dB
+
+    (orders split on o_orderdate, lineitem split independently on
+    l_shipdate, so every term is non-empty) followed by the same
+    mergeable-aggregate full-outer merge q_rollup_incremental uses.
+    Matching the oracle PROVES the maintenance identity end to end.
+
+    Scale: this is the production continuous-view shape — the three
+    delta terms touch only delta-proportional rows (at 100 TB the base
+    view is a stored table and dA/dB are a day's arrivals; the base
+    relations appear only opposite a delta, as here), and the merge is
+    a tiny group-key full-outer join. Revenue floors to exact integer
+    cents PER ROW (a fixed two-multiply IEEE tree) before summing, so
+    partial-aggregation order can't drift the total; counts and cents
+    merge associatively by construction.
+    """
+    cutoff_o = "1995-01-01"
+    cutoff_l = "1995-06-01"
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_shipdate",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    a = orders.filter(F.col("o_orderdate") < cutoff_o)
+    da = orders.filter(F.col("o_orderdate") >= cutoff_o)
+    b = li.filter(F.col("l_shipdate") < cutoff_l)
+    db = li.filter(F.col("l_shipdate") >= cutoff_l)
+
+    def view(o_side, l_side):
+        return (
+            o_side.join(l_side, o_side.o_orderkey == l_side.l_orderkey)
+            .groupBy("o_orderpriority", "l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum("rev_cents").alias("cents"),
+            )
+        )
+
+    base = view(a, b)
+    delta = (
+        view(a, db)
+        .unionAll(view(da, b))
+        .unionAll(view(da, db))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    merged = (
+        base.select(
+            "o_orderpriority",
+            "l_returnflag",
+            F.col("n_items").alias("n0"),
+            F.col("cents").alias("c0"),
+        )
+        .join(
+            delta.select(
+                "o_orderpriority",
+                "l_returnflag",
+                F.col("n_items").alias("n1"),
+                F.col("cents").alias("c1"),
+            ),
+            ["o_orderpriority", "l_returnflag"],
+            "full_outer",
+        )
+        .select(
+            "o_orderpriority",
+            "l_returnflag",
+            (
+                F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0))
+            ).alias("n_items"),
+            (
+                F.coalesce("c0", F.lit(0)) + F.coalesce("c1", F.lit(0))
+            ).alias("cents"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "l_returnflag",
+        "n_items",
+        (
+            F.floor(F.col("cents").cast("double") / 100 * 100 + F.lit(0.5))
+            / 100
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' AND ts IS NOT NULL
+      GROUP BY user_id
+    ), conv AS (
+      SELECT su.user_id, su.s_ts, MIN(e.ts) AS p_ts
+      FROM su LEFT JOIN events e
+        ON e.user_id = su.user_id
+       AND e.event_type = 'purchase' AND e.ts >= su.s_ts
+      GROUP BY su.user_id, su.s_ts
+    ), gaps AS (
+      SELECT CAST(date_trunc('month', s_ts) AS DATE) AS cohort_month,
+             CASE WHEN p_ts IS NULL THEN NULL
+                  ELSE epoch_us(p_ts) - epoch_us(s_ts) END AS gap_us
+      FROM conv
+    )
+    SELECT cohort_month,
+      COUNT(*) AS n_users,
+      CAST(COUNT(gap_us) AS BIGINT) AS n_converted,
+      FLOOR(CAST(list_sort(list(gap_us) FILTER (WHERE gap_us IS NOT NULL))
+                   [(COUNT(gap_us) + 1) // 2] AS DOUBLE)
+            / 1000000 * 100 + 0.5) / 100 AS median_gap_sec,
+      FLOOR((CAST(SUM(gap_us) AS DOUBLE)
+             / CAST(NULLIF(COUNT(gap_us), 0) AS DOUBLE))
+            / 1000000 * 100 + 0.5) / 100 AS avg_gap_sec
+    FROM gaps GROUP BY cohort_month
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution per signup cohort: users grouped
+    by first-signup month, with conversion count, median, and mean
+    signup→first-purchase latency — the time-to-value readout layered
+    on the q_funnel / q_cohort_retention family.
+
+    Determinism: latencies are exact BIGINT microsecond differences;
+    the median is sorted-list ELEMENT SELECTION (the rolling-median
+    rule — never interpolation), and the mean is one division of exact
+    integers; both displays use the tie-safe floor-scale. An
+    unconverted cohort nullif-guards the mean and selects no median.
+
+    Scale: two shuffles on user_id (first-signup fold, then the
+    conditional first-purchase fold — the purchase probe is an equi
+    join on user_id with the time bound as residual, never a time-range
+    cross product); the cohort aggregate then reduces onto months.
+    collect_list holds CONVERTED USERS per cohort-month — at extreme
+    cohort sizes the median switches to approx_percentile, same plan.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    su = (
+        ev.filter((F.col("event_type") == "signup") & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
+    )
+    conv = (
+        su.join(
+            pu,
+            (su.user_id == pu.p_uid) & (pu.pts >= su.s_ts),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    gaps = conv.select(
+        F.date_trunc("month", "s_ts").cast("date").alias("cohort_month"),
+        (F.unix_micros(F.col("p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("s_ts").cast("timestamp"))).alias("gap_us"),
+    )
+    gl = F.sort_array(F.collect_list("gap_us"))
+    n_conv = F.count("gap_us")
+    return gaps.groupBy("cohort_month").agg(
+        F.count("*").alias("n_users"),
+        n_conv.cast("long").alias("n_converted"),
+        (
+            F.floor(
+                F.when(
+                    n_conv > 0,
+                    F.element_at(gl, ((n_conv + 1) / 2).cast("int")),
+                ).cast("double")
+                / 1000000
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("median_gap_sec"),
+        (
+            F.floor(
+                (
+                    F.sum("gap_us").cast("double")
+                    / F.nullif(n_conv, F.lit(0)).cast("double")
+                )
+                / 1000000
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("avg_gap_sec"),
+    )
