@@ -1087,3 +1087,40 @@ def test_ab_lift_matches_oracle_on_boundary_and_degenerate(
         f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
     )
     _run_spec_vs_oracle(spark, con, "q_ab_lift", sf_dir)
+
+
+# IQR fences from tied integer-ish values: quartile SELECTION indices
+# land on duplicated elements and fence compares hit exact ties — the
+# selection convention (floor((n-1)q)+1) must match element-for-element
+@given(_ev_val_table)
+@_SETTINGS
+def test_iqr_fences_match_oracle_on_tied_values(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    data = [
+        (
+            i,
+            datetime(2024, 1, 1, 0, 0, 0),
+            0,
+            ("view", "click")[t],
+            float(v) / 4.0,
+            "{}",
+        )
+        for i, (t, v) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_iqr"))
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(data, schema=schema).coalesce(1).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_anomaly_iqr", sf_dir)

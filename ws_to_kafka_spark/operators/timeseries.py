@@ -810,3 +810,99 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) == 1).alias("is_peak"),
         )
     )
+
+
+@register(
+    "q_anomaly_iqr",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, list_sort(list(value)) AS xs,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ), cuts AS (
+      SELECT event_type, n,
+             xs[CAST(FLOOR((n - 1) * 0.25) AS BIGINT) + 1] AS q1,
+             xs[CAST(FLOOR((n - 1) * 0.75) AS BIGINT) + 1] AS q3
+      FROM vals
+    ), fences AS (
+      SELECT event_type, n, q1, q3,
+             q1 - (1.5 * (q3 - q1)) AS lo,
+             q3 + (1.5 * (q3 - q1)) AS hi
+      FROM cuts
+    )
+    SELECT f.event_type,
+           CAST(f.n AS BIGINT) AS n,
+           f.q1 AS q1, f.q3 AS q3,
+           CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high
+    FROM events e JOIN fences f ON f.event_type = e.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY f.event_type, f.n, f.q1, f.q3
+    """,
+)
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier detection per series: quartiles, the
+    1.5·IQR fences, and the count of rows beyond each fence — the
+    robust complement to q_anomaly_zscore (fences from rank statistics
+    don't move when the outliers themselves inflate the moments).
+
+    Determinism: quartiles are sorted-array ELEMENT SELECTION with an
+    explicitly shared index convention (idx = floor((n-1)·q)+1,
+    1-based) — both engines return the same STORED double, sidestepping
+    every interpolation-form divergence; the fences are a fixed IEEE
+    tree over those two stored values, so the < / > threshold compares
+    are engine-identical even on values tied with a fence (the
+    winsorize lesson, solved by selection instead of rounding).
+
+    Scale: aggregate-then-broadcast-back (the q_anomaly_zscore rule —
+    never a whole-partition window over the fact table); the exact
+    sorted-list selection holds to bounded group sizes, and an
+    unbounded series swaps in approx_percentile for the cuts with the
+    same broadcast shape.
+    """
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    vals = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("xs"),
+        F.count("*").alias("n"),
+    )
+    idx = lambda q: (  # noqa: E731
+        F.floor((F.col("n") - 1) * q).cast("long") + 1
+    ).cast("int")
+    cuts = vals.select(
+        "event_type",
+        "n",
+        F.element_at("xs", idx(0.25)).alias("q1"),
+        F.element_at("xs", idx(0.75)).alias("q3"),
+    )
+    fences = cuts.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - (1.5 * (F.col("q3") - F.col("q1")))).alias("lo"),
+        (F.col("q3") + (1.5 * (F.col("q3") - F.col("q1")))).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(F.col("value") < F.col("lo"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select("event_type", "n", "q1", "q3", "n_low", "n_high")
+    )
