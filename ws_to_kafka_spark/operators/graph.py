@@ -870,6 +870,14 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(frontier-adjacent edges), never the whole graph re-scanned; the
     visited/distance frame is `localCheckpoint()`-ed per level so
     lineage stays flat over iterations (the q_graph_components rule).
+    Nodes are LONG-encoded through every shuffle (customer k -> 2k,
+    supplier k -> 2k+1, the q_graph_pagerank rule: 8-byte fixed keys
+    hash/sort ~2x faster than 'c123' strings); the display strings are
+    produced only in the final projection. The edge list is persisted
+    pre-`repartition("src")` via the shared index cache, so every
+    level's join moves ONLY the small frontier side into the fixed
+    edge partitioning — the O(|E|) side never re-shuffles, and the
+    cache owner handles unpersist even if an iteration raises.
     The level count is the graph diameter (2-3 on this dense bipartite
     model); the empty-frontier early exit is a driver-side COUNT of a
     checkpointed frame, not a data collect. Hops are exact integers —
@@ -877,24 +885,24 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = tables.load(spark, sf_dir, "orders")
     li = tables.load(spark, sf_dir, "lineitem")
-    e0 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+
+    def build_edges() -> DataFrame:
+        half = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
+        return half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("src")
+
+    edges = _cached_frame(spark, sf_dir, "bfs_edges", build_edges)
+    seed = li.agg((F.min("l_suppkey") * 2 + 1).alias("node")).select(
+        "node", F.lit(0).alias("hop")
     )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    seed = li.agg(
-        F.concat(F.lit("s"), F.min("l_suppkey").cast("string")).alias("node")
-    ).select("node", F.lit(0).alias("hop"))
     dist = seed.localCheckpoint()
     frontier = dist.select("node")
     for k in range(1, _BFS_MAX_HOPS + 1):
@@ -910,5 +918,14 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         dist = dist.unionAll(nxt).localCheckpoint()
         frontier = nxt.select("node")
-    edges.unpersist()
-    return dist
+    node_str = (
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+        )
+        .alias("node")
+    )
+    return dist.select(node_str, F.col("hop"))
