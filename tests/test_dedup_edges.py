@@ -164,3 +164,42 @@ def test_containment_is_directional_and_floored(spark, cont_sf_dir):
         for r in con.execute(QUERIES["q_dedup_containment"].oracle).fetchall()
     }
     assert got == want
+
+
+def test_containment_survives_high_df_boilerplate(spark, tmp_path_factory):
+    """Regression pin for the round-4 ADVICE miss class: an excerpt whose
+    ENTIRE shingle set is high-df boilerplate (df > the q_dedup_ngram
+    cap of 1000). The formerly-capped prefix index generated ZERO
+    candidates for such a doc, silently dropping every (excerpt,
+    container) pair the oracle reports. With the cap removed the prefix
+    filter's exactness guarantee is unconditional — this corpus (1005
+    docs all sharing one boilerplate phrase) would have returned an
+    empty result under the capped plan.
+    """
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [(0, boiler, "en", "web", len(boiler))]  # the pure-boilerplate excerpt
+    for i in range(1, 1005):
+        t = f"{boiler} tail{i}a tail{i}b tail{i}c"
+        rows.append((i, t, "en", "web", len(t)))
+    dst = str(tmp_path_factory.mktemp("sf_boiler"))
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in QUERIES["q_dedup_containment"].fn(spark, dst).collect()
+    }
+    # every boiler shingle has df = 1005 > 1000, yet the excerpt's
+    # containment in all 1004 container docs is found
+    assert len(got) == 1004
+    assert all(a == 0 and c == 1.0 for (a, _b), c in got.items())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dst}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(QUERIES["q_dedup_containment"].oracle).fetchall()
+    }
+    assert got == want

@@ -887,9 +887,9 @@ _CONT_MIN_SH = 5
       GROUP BY 1, 2, 3
     )
     SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / na, 4) AS containment
+           floor(n_common * 10000.0 / na + 0.5) / 10000.0 AS containment
     FROM common
-    WHERE ROUND(n_common * 1.0 / na, 4) >= {_CONT_THRESHOLD}
+    WHERE n_common * 1.0 / na >= {_CONT_THRESHOLD}
     """,
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,8 +909,19 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``n - (9n+9)//10 + 1``) so both engines agree on every n. Docs under
     {_CONT_MIN_SH} shingles are excluded on both sides (a 2-shingle doc is
     "contained" everywhere — noise, filtered identically in the oracle).
-    The df cap applies to the A-prefix only (same boilerplate rationale as
-    q_dedup_ngram; B stays complete so no container is missed).
+    Unlike q_dedup_ngram, NO df cap applies here: a cap on the A-prefix
+    would silently miss (excerpt, container) pairs whose entire prefix is
+    high-df boilerplate, breaking the exactness guarantee the prefix
+    filter provides. A 100 TB deployment drowning in boilerplate can
+    reintroduce a cap, but then the result is approximate and the cap
+    must be mirrored into any ground-truth comparison.
+
+    Precision: the threshold filter runs on the UNROUNDED ratio on both
+    engines (same double divide, deterministic); the displayed value is
+    floor-scale rounded (``floor(x*1e4+0.5)/1e4``) with the identical
+    operation order (``n_common * 10000.0 / na + 0.5``) on both sides —
+    n_common/na is an exact-integer ratio that lands ON half-way points,
+    where ROUND() semantics diverge between the engines (registry rule).
 
     Scale: shuffles are (shingle → df), the prefix⋈full index join (bucket
     work bounded by cap × df, rare-shingle dominated), and the candidate
@@ -934,9 +945,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.floor((F.lit(9) * F.col("n_sh") + F.lit(9)) / F.lit(10))
         + F.lit(1)
     )
-    a = ranked.filter(
-        (F.col("pos") <= prefix_len) & (F.col("df") <= _NGRAM_DF_CAP)
-    ).select(F.col("doc_id").alias("doc_a"), "shingle")
+    a = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
     b = inv.select(F.col("doc_id").alias("doc_b"), "shingle")
     cands = (
         a.join(b, "shingle")
@@ -952,13 +963,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
-    containment = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.col("na"), 4
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_raw = n_common / F.col("na")
+    c_disp = (
+        F.floor(n_common * F.lit(10000.0) / F.col("na") + F.lit(0.5))
+        / F.lit(10000.0)
     )
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("containment", containment)
-        .filter(F.col("containment") >= _CONT_THRESHOLD)
-        .select("doc_a", "doc_b", "containment")
+        .filter(c_raw >= _CONT_THRESHOLD)
+        .select("doc_a", "doc_b", c_disp.alias("containment"))
     )
