@@ -163,6 +163,26 @@ def main() -> None:
     }
     if comparison:
         payload.update(comparison)
+    # Streaming section: the reference is a ws->kafka connector, so its
+    # parity surface deserves measured numbers alongside the batch suite —
+    # frames/sec through the full ws-source -> memory-sink path plus
+    # per-microbatch latency (tools/stream_bench.py documents coverage).
+    # A streaming hiccup must not void the batch numbers: record the error
+    # string instead of raising.
+    try:
+        from tools.stream_bench import measure as stream_measure
+
+        s = stream_measure(spark, n=20000, queryName="bench_stream")
+        payload["streaming"] = {
+            "ingest_fps": s["value"],
+            "steady_state_fps": s["steady_state_fps"],
+            "microbatch_ms_p50": s["microbatch_ms_p50"],
+            "microbatch_ms_max": s["microbatch_ms_max"],
+            "n_frames": s["n_frames"],
+            "elapsed_sec": s["elapsed_sec"],
+        }
+    except Exception as exc:  # noqa: BLE001 - bench must still emit batch numbers
+        payload["streaming"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     print(json.dumps(payload))
 
 

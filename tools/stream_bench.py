@@ -34,22 +34,24 @@ from ws_to_kafka_spark.session import get_spark  # noqa: E402
 from ws_to_kafka_spark.sources.websocket import register_websocket_source  # noqa: E402
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+def measure(spark, n: int = 20000, queryName: str = "stream_bench") -> dict:
+    """Run the ws -> memory-sink pipeline over ``n`` frames and return the
+    throughput/latency dict (importable by bench.py's ``streaming``
+    section as well as this CLI). Raises RuntimeError if frames are lost.
+    """
     frames = [
         json.dumps(
             {"event_id": i, "user_id": i % 100, "value": float(i), "ts_ms": 1704067200000 + i}
         ).encode()
         for i in range(n)
     ]
-    spark = get_spark("stream-bench")
     server = RecordingWsServer(frames_per_connection=frames)
     register_websocket_source(spark)
     raw = spark.readStream.format("websocket").option("url", server.url).load()
     start = time.perf_counter()
     query = (
         raw.writeStream.format("memory")
-        .queryName("stream_bench")
+        .queryName(queryName)
         .trigger(processingTime="200 milliseconds")
         .start()
     )
@@ -57,37 +59,58 @@ def main() -> None:
         deadline = time.time() + 300
         count = 0
         while time.time() < deadline:
-            count = spark.sql("SELECT COUNT(*) c FROM stream_bench").first().c
+            count = spark.sql(f"SELECT COUNT(*) c FROM {queryName}").first().c
             if count >= n:
                 break
             time.sleep(0.2)
         elapsed = time.perf_counter() - start
         if count < n:
-            print(json.dumps({"metric": "stream_ingest_fps", "error":
-                              f"only {count}/{n} frames in {elapsed:.1f}s"}))
-            raise SystemExit(1)
-        # Steady-state rate from the engine's own progress metrics,
-        # excluding batch 0 (one-time codegen + sink init, ~3 s — a fixed
-        # cost that would otherwise dominate any finite run).
+            raise RuntimeError(f"only {count}/{n} frames in {elapsed:.1f}s")
+        # Steady-state rate + per-microbatch latency from the engine's own
+        # progress metrics, excluding batch 0 (one-time codegen + sink
+        # init, ~3 s — a fixed cost that would otherwise dominate any
+        # finite run).
         steady_rows = steady_ms = 0
+        batch_ms: list[int] = []
         for p in query.recentProgress:
             if p["batchId"] == 0 or p["numInputRows"] == 0:
                 continue
             steady_rows += p["numInputRows"]
-            steady_ms += p["durationMs"].get("triggerExecution", 0)
-        print(json.dumps({
+            dur = p["durationMs"].get("triggerExecution", 0)
+            steady_ms += dur
+            batch_ms.append(dur)
+        batch_ms.sort()
+        return {
             "metric": "stream_ingest_fps",
             "value": round(n / elapsed, 1),
             "steady_state_fps": (
                 round(steady_rows / (steady_ms / 1000.0), 1) if steady_ms else None
             ),
+            # end-to-end microbatch latency: trigger fire -> sink commit,
+            # the engine's own triggerExecution clock per non-warmup batch
+            "microbatch_ms_p50": (
+                batch_ms[len(batch_ms) // 2] if batch_ms else None
+            ),
+            "microbatch_ms_max": batch_ms[-1] if batch_ms else None,
+            "n_batches": len(batch_ms),
             "unit": "frames/sec",
             "n_frames": n,
             "elapsed_sec": round(elapsed, 2),
-        }))
+        }
     finally:
         query.stop()
         server.close()
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    spark = get_spark("stream-bench")
+    try:
+        result = measure(spark, n)
+    except RuntimeError as exc:
+        print(json.dumps({"metric": "stream_ingest_fps", "error": str(exc)}))
+        raise SystemExit(1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -101,6 +101,15 @@ def main() -> int:
     if json_path:
         import json
 
+        if set(names) != set(QUERIES):
+            # tests/test_queries.py::test_verify_artifact_covers_registry
+            # fails on any committed artifact that doesn't cover the full
+            # registry — a subset --json run is for local iteration only.
+            print(
+                f"WARNING: --json artifact covers {len(names)}/{len(QUERIES)} "
+                "registry keys (subset run) — do not commit as VERIFY_r{N}.json",
+                file=sys.stderr,
+            )
         with open(json_path, "w") as fh:
             json.dump(
                 {
