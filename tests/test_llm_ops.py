@@ -13,8 +13,11 @@ from __future__ import annotations
 from ws_to_kafka_spark.operators import QUERIES
 from ws_to_kafka_spark.operators.multimodal import (
     decode_image,
+    encode_png,
     encode_ppm,
     mean_pixel,
+    render_payload_py,
+    render_png_py,
     render_ppm_py,
     resize_image,
 )
@@ -172,6 +175,106 @@ def test_bmp_decoder_handles_padding_and_row_order():
     assert img["pixels"] == expect
 
 
+def test_png_roundtrip():
+    """encode_png -> decode_image recovers every pixel byte, and the
+    render twins (PPM vs PNG container of the same text) decode to the
+    identical raster."""
+    px = bytes(range(256)) * 3  # 16x16 RGB, all byte values exercised
+    img = decode_image(encode_png(16, 16, px))
+    assert (img["width"], img["height"], img["format"]) == (16, 16, "png")
+    assert img["pixels"] == px
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    assert (
+        decode_image(render_png_py(text))["pixels"]
+        == decode_image(render_ppm_py(text))["pixels"]
+    )
+
+
+def test_png_decoder_unfilters_all_five_filter_types():
+    """A hand-assembled PNG whose five rows use filter types 0..4 (None,
+    Sub, Up, Average, Paeth) — encode_png only emits type 0, so this is
+    the only coverage of the unfilter arithmetic real encoders rely on."""
+    import struct as _s
+    import zlib as _z
+
+    from ws_to_kafka_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    w, h, bpp = 3, 5, 3
+    rng_px = bytes((7 * i + 13) % 256 for i in range(w * h * bpp))
+    rows = [rng_px[r * w * bpp : (r + 1) * w * bpp] for r in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for r, ftype in enumerate(range(h)):
+        orig, prev = rows[r], rows[r - 1] if r else bytes(w * bpp)
+        raw.append(ftype)
+        for i in range(w * bpp):
+            a = orig[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                f = orig[i]
+            elif ftype == 1:
+                f = orig[i] - a
+            elif ftype == 2:
+                f = orig[i] - b
+            elif ftype == 3:
+                f = orig[i] - ((a + b) >> 1)
+            else:
+                f = orig[i] - paeth(a, b, c)
+            raw.append(f & 0xFF)
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    img = decode_image(payload)
+    assert img["pixels"] == rng_px
+
+
+def test_png_decoder_drops_rgba_alpha_and_rejects_exotics():
+    import struct as _s
+    import zlib as _z
+
+    import pytest as _pytest
+
+    from ws_to_kafka_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    # 2x2 RGBA, filter 0: alpha bytes must be dropped, RGB preserved
+    rgba = bytes(
+        [10, 20, 30, 255, 40, 50, 60, 0,
+         70, 80, 90, 128, 100, 110, 120, 7]
+    )
+    raw = b"\x00" + rgba[:8] + b"\x00" + rgba[8:]
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    img = decode_image(payload)
+    assert img["pixels"] == bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    )
+    # paletted / 16-bit / interlaced are rejected, not mis-decoded
+    for depth, color, interlace in ((8, 3, 0), (16, 2, 0), (8, 2, 1)):
+        bad = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace))
+            + _png_chunk(b"IDAT", _z.compress(b"\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError):
+            decode_image(bad)
+
+
 def test_resize_is_block_mean():
     """2x2 average pooling on a constructed 4x2 image, checked by hand."""
     # two 2x2 blocks per channel; left block red-ish, right block exact gray
@@ -195,12 +298,19 @@ def test_mm_features_match_local_recompute(spark, sf_dir):
         for r in tables.load(spark, sf_dir, "documents").select("doc_id", "text").collect()
     }
     assert len(rows) == len(texts)
+    seen_formats = set()
     for r in rows[:50]:
-        payload = render_ppm_py(texts[r.doc_id])
+        payload = render_payload_py(r.doc_id, texts[r.doc_id])
         img = decode_image(payload)
         assert r.n_bytes == len(payload)
-        assert (r.width, r.height, r.format) == (16, 16, "ppm")
+        want_fmt = "ppm" if r.doc_id % 2 == 0 else "png"
+        assert (r.width, r.height, r.format) == (16, 16, want_fmt)
         assert r.mean_pixel == round(mean_pixel(img["pixels"]), 4)
+        seen_formats.add(r.format)
+        # the PNG container must yield the IDENTICAL raster as the PPM
+        # twin of the same text — codec choice cannot change pixels
+        assert img["pixels"] == decode_image(render_ppm_py(texts[r.doc_id]))["pixels"]
+    assert seen_formats == {"ppm", "png"}
 
 
 def test_shingle_cache_evicts_stale_apps(spark, sf_dir):
@@ -233,7 +343,7 @@ def test_mm_resize_matches_local_recompute(spark, sf_dir):
     }
     assert len(rows) == len(texts)
     for r in rows[:50]:
-        payload = render_ppm_py(texts[r.doc_id])
+        payload = render_payload_py(r.doc_id, texts[r.doc_id])
         expected = resize_image(payload)
         assert r.n_bytes_in == len(payload)
         assert r.n_bytes_out == len(expected)
