@@ -166,6 +166,103 @@ def test_triangles_constructed_graph_exact(spark, tmp_path):
     assert got == want
 
 
+def test_salted_sum_equals_unsalted_on_hub_corpus(spark):
+    """The module docstring's 100 TB hub-salting promise, exercised: a
+    power-law corpus (one hub key owning 40k of 50k rows — exactly the
+    shape that makes the unsalted aggregate a one-reducer straggler) must
+    produce IDENTICAL per-key sums through the two-stage salted plan.
+    Integer weights so equality is exact, not ulp-lucky."""
+    from ws_to_kafka_spark.operators.graph import salted_sum
+
+    edges = spark.range(50_000).select(
+        F.when(F.col("id") < 40_000, F.lit(0))
+        .otherwise(F.col("id") % 100 + 1)
+        .alias("dst"),
+        (F.col("id") % 997 + 1).alias("w"),
+    )
+    plain = {
+        r.dst: r.s
+        for r in edges.groupBy("dst").agg(F.sum("w").alias("s")).collect()
+    }
+    salted = {
+        r.dst: r.sum_w for r in salted_sum(edges, ["dst"], "w").collect()
+    }
+    assert salted == plain
+    assert len(plain) == 101 and plain[0] > 0
+    # the salted plan must actually split the hub: >1 partial group for dst 0
+    salt_groups = (
+        edges.withColumn(
+            "_salt", F.pmod(F.xxhash64("dst", "w"), F.lit(16))
+        )
+        .filter(F.col("dst") == 0)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salt_groups > 1
+
+
+def _write_graph_tables(spark, dst, orders_rows, lineitem_rows):
+    spark.createDataFrame(
+        orders_rows, schema="o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(f"{dst}/orders.parquet")
+    spark.createDataFrame(
+        lineitem_rows, schema="l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(f"{dst}/lineitem.parquet")
+
+
+def _bfs_both_engines(spark, dst):
+    got = {
+        r.node: r.hop for r in QUERIES["q_graph_bfs"].fn(spark, dst).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dst}/{t}.parquet/*.parquet')"
+        )
+    want = {
+        r[0]: r[1] for r in con.execute(QUERIES["q_graph_bfs"].oracle).fetchall()
+    }
+    return got, want
+
+
+def test_bfs_seed_with_no_edges(spark, tmp_path):
+    """Degenerate frontier paths fixtures never hit (round-4 VERDICT #7):
+    the seed supplier's lineitem rows join to NO order, so the edge list
+    is empty and the frontier dies at hop 0 — the loop's first isEmpty()
+    early-exit. Result on both engines: just the seed at hop 0."""
+    dst = str(tmp_path / "sf_noedge")
+    _write_graph_tables(
+        spark,
+        dst,
+        [(999, 1)],           # an order no lineitem references
+        [(1, 5), (2, 7)],     # lineitems whose orders don't exist
+    )
+    got, want = _bfs_both_engines(spark, dst)
+    assert got == want == {"s5": 0}
+
+
+def test_bfs_disconnected_component_stays_unreached(spark, tmp_path):
+    """Two components; BFS from the min-suppkey seed must cover exactly
+    its own component (both hops correct) and never emit the other."""
+    dst = str(tmp_path / "sf_disc")
+    _write_graph_tables(
+        spark,
+        dst,
+        [(1, 10), (2, 10), (3, 20)],
+        # component A: supplier 5 <-> customers 10 (orders 1,2) <-> supplier 6
+        # component B: supplier 7 <-> customer 20
+        [(1, 5), (2, 6), (3, 7)],
+    )
+    got, want = _bfs_both_engines(spark, dst)
+    assert got == want
+    assert got == {"s5": 0, "c10": 1, "s6": 2}
+    assert "s7" not in got and "c20" not in got
+
+
 def test_triangle_histogram_invariants(spark, sf_dir):
     """Structural invariants on real data: total per-node participation
     is 3x the triangle count (every triangle has exactly 3 corners), and

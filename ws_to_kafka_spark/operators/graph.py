@@ -35,6 +35,35 @@ _N_ITER = 5
 _DAMP = 0.85
 
 
+def salted_sum(
+    df: DataFrame, keys: list[str], value: str, n_salts: int = 16
+) -> DataFrame:
+    """Skew-salted grouped SUM — the hub-node treatment this module's
+    docstring promises at 100 TB, reusable by any graph aggregate whose
+    group key is power-law distributed (a mega-hub supplier's in-edge
+    sum, a celebrity node's neighbor count).
+
+    Two-stage shape (the q_join_salted pattern, pipeline_ops.py): rows
+    first combine into ``(key, salt)`` partial sums — the hub's rows
+    split across ``n_salts`` reducers instead of one straggler — then the
+    at-most-``n_salts``-rows-per-key partials combine into the final
+    per-key sum. The salt is a deterministic row hash (``xxhash64`` over
+    all columns), so re-runs produce identical partials; correctness
+    never depends on the salt distribution, only balance does.
+
+    Equality with the unsalted single-stage sum is EXACT for integer
+    values; float sums can differ by accumulation-order ulps (the
+    q_embed_covariance caveat) — pin tests use integer weights.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.sum(value).alias("_psum"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_psum").alias(f"sum_{value}"))
+
+
 def _pagerank_oracle() -> str:
     prev = "r0"
     iters = []
