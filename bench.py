@@ -70,6 +70,8 @@ HEADLINE = (
     "q_orders_rfm",                # entity-frame NTILE sorts
     "q_seq_transitions",           # per-user LAG + tiny-key normalize
     "q_win_rolling_median",        # sorted-frame selection over row frames
+    # round-5 additions
+    "q_embed_kmeans",              # 3-pass Lloyd: scan x broadcast centroids
 )
 
 

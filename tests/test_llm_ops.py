@@ -389,3 +389,61 @@ def test_embed_neardup_recall_on_planted_duplicates(spark, tmp_path):
     planted = {(1000 + 2 * j, 1000 + 2 * j + 1) for j in range(n_pairs)}
     missed = planted - found
     assert not missed, f"banding missed planted near-dups: {sorted(missed)}"
+
+
+def test_kmeans_matches_numpy_lloyd_and_lowers_inertia(spark, sf_dir):
+    """q_embed_kmeans vs an independent numpy Lloyd implementation over
+    the same quantized inputs: every assignment and 6dp distance must
+    match, and the Lloyd guarantee (total inertia non-increasing across
+    the two centroid updates) must hold — the invariant the DuckDB oracle
+    can't express."""
+    import numpy as np
+
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators.similarity import _KM_K, _KM_SCALE, _KM_UPDATES
+
+    rows = (
+        tables.load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64)[order] * _KM_SCALE
+    )
+    cent = q[ids < _KM_K]
+
+    inertias = []
+
+    def assign(cent):
+        # same |v|^2 - 2<v,c> + |c|^2 expansion, rounded at 6dp, cluster
+        # tie-break by lowest id (np.argmin takes the first minimum)
+        d2 = np.round(
+            (q * q).sum(1)[:, None]
+            - 2 * q @ cent.T
+            + (cent * cent).sum(1)[None, :],
+            6,
+        )
+        a = d2.argmin(1)
+        return a, d2[np.arange(len(q)), a]
+
+    a, d = assign(cent)
+    inertias.append(d.sum())
+    live = sorted(set(a))
+    for _ in range(_KM_UPDATES):
+        cent = np.array([q[a == c].mean(0) for c in live])
+        a_idx, d = assign(cent)
+        a = np.array([live[i] for i in a_idx])
+        inertias.append(d.sum())
+        live = sorted(set(a))
+    got = {
+        r.vec_id: (r.cluster_id, r.d2)
+        for r in QUERIES["q_embed_kmeans"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == a[i], f"vec {vid}: {got[vid][0]} != {a[i]}"
+        assert abs(got[vid][1] - d[i]) < 1e-6, f"vec {vid} distance"
+    assert inertias[0] >= inertias[1] >= inertias[2], inertias
