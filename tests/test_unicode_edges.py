@@ -53,7 +53,45 @@ _TEXT_QUERIES = [
     # DuckDB utf8proc) must produce the same NFC composition
     "q_text_normalize",
     "q_text_polarity",
+    # '(.)' symbol-splitting: one code point per symbol on both engines
+    # (JVM regex code-point '.', RE2 UTF-8 '.') — not bytes, not UTF-16
+    # units, or the CJK/emoji docs diverge
+    "q_bpe_merges",
 ]
+
+
+def test_bpe_merge_semantics_on_repeat_corpus(spark, tmp_path_factory):
+    """Hand-computed BPE pins on symbol-overlapping repeats — the case the
+    two-pass replace must get right: 'aaaa' under merge (a,a) becomes
+    'aa aa' (both disjoint occurrences merged, the shared-sentinel miss
+    repaired by the second pass) and never 'aaa a'-style. Pair counts are
+    per-occurrence (overlapping), frequencies weight word TYPES. Runs the
+    Spark query, the hand expectation, AND the registered oracle."""
+    docs = [(1, "aaaa aaaa ab"), (2, "ab ab cd")]
+    dst = str(tmp_path_factory.mktemp("sf_bpe"))
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in docs],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{dst}/documents.parquet")
+    got = [
+        (r.step, r.sym_a, r.sym_b, r.merged, r.pair_count)
+        for r in QUERIES["q_bpe_merges"].fn(spark, dst).orderBy("step").collect()
+    ]
+    # step1: (a,a) counted 3x per 'aaaa' x freq 2 = 6, beats (a,b)=3
+    # step2: 'aaaa' is now 'aa aa'; (a,b)=3 beats (aa,aa)=2
+    # step3: (aa,aa)=2 beats (c,d)=1
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "aa", "aaaa", 2),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dst}/documents.parquet/*.parquet')"
+    )
+    want = sorted(con.execute(QUERIES["q_bpe_merges"].oracle).fetchall())
+    assert sorted(got) == want
 
 
 @pytest.fixture(scope="module")

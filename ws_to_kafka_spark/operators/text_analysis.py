@@ -941,3 +941,131 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         (F.floor(flesch * 10000 + F.lit(0.5)) / 10000).alias("flesch"),
     )
+
+
+_BPE_STEPS = 3  # unrolled merge rounds (DuckDB oracle chains the same 3)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE merge chain (the _pagerank_oracle mechanical-unroll
+    pattern). Each step: count adjacent symbol pairs over the word-TYPE
+    table, pick the global top pair (count desc, then pair text), apply
+    the merge with two literal replace() passes (see q_bpe_merges for why
+    two passes == greedy left-to-right)."""
+    steps = []
+    for i in range(1, _BPE_STEPS + 1):
+        steps.append(f"""p{i} AS (
+      SELECT s[r.i] AS a, s[r.i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT string_split(trim(ws), ' ') AS s, freq FROM w{i - 1}) t,
+           UNNEST(range(1, len(s))) AS r(i)
+      GROUP BY 1, 2
+    ), t{i} AS (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ), w{i} AS (
+      SELECT replace(replace(ws,
+               ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' '),
+               ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ')
+               AS ws, freq
+      FROM w{i - 1} CROSS JOIN t{i} t
+    )""")
+    chain = ",\n    ".join(steps)
+    out = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, a AS sym_a, b AS sym_b, a || b AS merged, "
+        f"cnt AS pair_count FROM t{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), w0 AS (
+      SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS ws, freq
+      FROM words
+    ),
+    {chain}
+    SELECT CAST(step AS INT) AS step, sym_a, sym_b, merged, pair_count
+    FROM ({out})
+    """
+
+
+@register("q_bpe_merges", oracle=_bpe_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction — the first 3 merge rules a
+    BPE tokenizer trainer (Sennrich et al. 2016; the HuggingFace trainer
+    shape) learns from the corpus: count adjacent symbol pairs over word
+    TYPES weighted by frequency, merge the globally most frequent pair,
+    repeat. Output: (step, sym_a, sym_b, merged, pair_count).
+
+    Symbols are encoded as a space-separated string with sentinel spaces
+    ( ``' l o w e r '`` ); applying merge (a,b) is a LITERAL
+    ``replace(' a b ', ' ab ')`` — applied twice, because adjacent
+    occurrences share a sentinel space, so one left-to-right pass merges
+    alternate occurrences and the second pass the survivors; the result
+    equals greedy leftmost-first BPE, and symbol-overlapping repeats
+    (``'a a a'`` under merge (a,a)) merge once, exactly like the
+    reference trainers. Both engines' replace() scan left-to-right
+    non-overlapping, so the strings stay byte-identical (pinned in
+    tests/test_unicode_edges.py on a constructed repeat corpus). Pair
+    counts are per-occurrence (overlapping), the HF counting rule.
+
+    Scale: the corpus collapses FIRST to the word-type table (Zipf:
+    types ≪ tokens — the one corpus-sized shuffle, a map-side-combining
+    count on the word key); every merge round then touches only word
+    types: pair counting map-side-combines onto pair keys, the top-1 is
+    a TakeOrdered (no full sort), and the merge itself is a narrow map
+    under a broadcast single-row rule frame. A production trainer runs
+    thousands of rounds — cost is linear in rounds with constant shuffle
+    width, and rounds can batch k merges per recount as real trainers do.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = words.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+        ).alias("ws"),
+        "freq",
+    )
+    out = None
+    for i in range(1, _BPE_STEPS + 1):
+        pair_structs = F.expr(
+            "CASE WHEN size(s) >= 2 THEN transform(sequence(1, size(s) - 1), "
+            "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b)) "
+            "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+        )
+        pairs = (
+            w.select(F.split(F.trim("ws"), " ").alias("s"), "freq")
+            .select(pair_structs.alias("ps"), "freq")
+            .select(F.explode_outer("ps").alias("p"), "freq")
+            .filter(F.col("p").isNotNull())
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        step = top.select(
+            F.lit(i).alias("step"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = step if out is None else out.unionAll(step)
+        pat = F.concat(F.lit(" "), F.col("sym_a"), F.lit(" "), F.col("sym_b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        w = (
+            w.crossJoin(
+                F.broadcast(
+                    step.select("sym_a", "sym_b", "merged")
+                )
+            )
+            .select(
+                F.replace(F.replace(F.col("ws"), pat, rep), pat, rep).alias("ws"),
+                "freq",
+            )
+        )
+    return out
