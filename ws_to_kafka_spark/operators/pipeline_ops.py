@@ -1475,3 +1475,52 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         r6(F.col("s6") / F.col("z6").cast("double")).alias("sample_share"),
     )
+
+
+_SHUF_SHARDS = 32  # output shards of the shuffled corpus (files at scale)
+
+
+@register(
+    "q_corpus_shuffle",
+    oracle=f"""
+    SELECT CAST((doc_id * {_LCG_A}) % {_LCG_P} % {_SHUF_SHARDS} AS INT)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY (doc_id * {_LCG_A}) % {_LCG_P} % {_SHUF_SHARDS}
+             ORDER BY (doc_id * {_LCG_A}) % {_LCG_P}, doc_id
+           ) AS BIGINT) AS pos,
+           doc_id
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    reproducible (shard, pos) address — the corpus-reordering step before
+    sequence packing (training loaders must not see documents in crawl
+    order, and ``rand()`` re-rolls on task retry; the LCG scramble of the
+    stable id does not).
+
+    The permutation is TWO-LEVEL on purpose: a global ``ROW_NUMBER`` over
+    the scrambled key would funnel the whole corpus through one window
+    partition — the classic driver-shaped bottleneck. Instead the
+    scrambled key picks one of 32 shards and the position is
+    ranked WITHIN the shard (parallel windows, one shuffle on the shard
+    key); consumers read shards in order — exactly how sharded training
+    corpora are laid out on disk. The reader-visible order (shard, pos)
+    is a deterministic permutation: position ties are broken by doc_id
+    under the scrambled-key ordering.
+
+    Scale: one hash shuffle on an 8-byte shard key + per-shard sort;
+    at 100 TB this is a TeraSort-shaped exchange (range-balanced by the
+    LCG's uniformity), never a single-partition window. Only ids move —
+    text joins back by doc_id at write time.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * _LCG_A) % _LCG_P
+    shard = (key % _SHUF_SHARDS).cast("int")
+    w = W.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id")
+    )
