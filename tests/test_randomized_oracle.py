@@ -1124,3 +1124,106 @@ def test_iqr_fences_match_oracle_on_tied_values(
         f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
     )
     _run_spec_vs_oracle(spark, con, "q_anomaly_iqr", sf_dir)
+
+
+# --- BPE merges: random tiny-vocab corpora --------------------------------
+#
+# q_bpe_merges' two-pass literal replace has the same class of traps as the
+# substring dedup (symbol-overlapping repeats, single-char words, empty
+# docs, tie-heavy pair counts on a 2-letter alphabet); random corpora from
+# {a, b} words force all of them, and engines must agree on every merge
+# rule and the pair counts that selected it.
+
+_bpe_word = st.text(alphabet="ab", min_size=0, max_size=5)
+_bpe_doc = st.lists(_bpe_word, min_size=0, max_size=8)
+_bpe_corpus = st.lists(_bpe_doc, min_size=1, max_size=4)
+
+
+@given(_bpe_corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_merges_match_oracle_on_random_corpus(
+    spark, tmp_path_factory, docs
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    rows = [
+        (i, " ".join(toks), "en", "web", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_bpe"))
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    spec = QUERIES["q_bpe_merges"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(tuple(r) for r in sdf.select(sorted(sdf.columns)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want
+
+
+# --- Lloyd k-means: degenerate embedding corpora --------------------------
+#
+# q_embed_kmeans' engine-exactness claim (integer quantization, identical
+# distance expansion, 6dp round before argmin) is strongest exactly where
+# fixtures are weakest: corpora SMALLER than K (seeds = every vector),
+# all-identical vectors (every distance ties -> lowest-cluster-id wins),
+# clusters that empty out between updates, and the empty corpus.
+
+_km_vec_params = st.tuples(
+    st.integers(min_value=-3, max_value=3), st.integers(min_value=-3, max_value=3)
+)
+_km_corpus = st.lists(_km_vec_params, min_size=0, max_size=12)
+
+
+@given(_km_corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmeans_matches_oracle_on_degenerate_corpora(
+    spark, tmp_path_factory, params
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    rows = [
+        (i, [((a * j + b) % 7 - 3) / 4.0 for j in range(64)])
+        for i, (a, b) in enumerate(params)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_km"))
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    spec = QUERIES["q_embed_kmeans"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(
+        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+        for r in sdf.select(sorted(sdf.columns)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(
+        tuple(
+            round(r[i], 6) if isinstance(r[i], float) else r[i] for i in order
+        )
+        for r in cur.fetchall()
+    )
+    assert got == want
