@@ -203,3 +203,43 @@ def test_containment_survives_high_df_boilerplate(spark, tmp_path_factory):
         for r in con.execute(QUERIES["q_dedup_containment"].oracle).fetchall()
     }
     assert got == want
+
+
+def test_incremental_dedup_joins_batch_only_against_history(
+    spark, tmp_path_factory
+):
+    """q_dedup_incremental must emit (new, old) pairs ONLY: identical
+    batch-side twins (10, 20) never pair with each other, identical
+    history twins (3, 7) never pair, and each batch doc pairs with every
+    matching history doc. Runs Spark AND the registered oracle."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    other = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    docs = [
+        (3, base), (7, base),            # history twins (3%10!=0, 7%10!=0)
+        (10, base), (20, base),          # batch twins (both %10==0)
+        (11, other),                     # history, unrelated
+        (30, other),                     # batch, matches history doc 11
+    ]
+    dst = str(tmp_path_factory.mktemp("sf_incr"))
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in docs], schema=_SCHEMA
+    ).coalesce(1).write.parquet(f"{dst}/documents.parquet")
+    got = {
+        (r.doc_new, r.doc_old): r.jaccard
+        for r in QUERIES["q_dedup_incremental"].fn(spark, dst).collect()
+    }
+    assert got == {
+        (10, 3): 1.0, (10, 7): 1.0,
+        (20, 3): 1.0, (20, 7): 1.0,
+        (30, 11): 1.0,
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dst}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(QUERIES["q_dedup_incremental"].oracle).fetchall()
+    }
+    assert got == want

@@ -194,6 +194,45 @@ def _exact_jaccard_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> D
     )
 
 
+def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, band_idx, band_key) MinHash-LSH index — the
+    text-side sibling of `_banded_corpus` in similarity.py, shared by
+    q_dedup_near and q_dedup_incremental (one signature-kernel run per
+    (app, corpus); at 100 TB this is the index table a production ingest
+    maintains on disk).
+
+    MinHash signature via explode + 64 scalar permutation columns + a
+    grouped MIN: every expression is a flat bigint op inside whole-stage
+    codegen, and the aggregate partial-combines map-side, so the shuffle
+    carries one 64-column row per document. (The per-row alternative —
+    64 × transform+array_min over the shingle array — materializes 64
+    temporary arrays per document and overflows codegen into interpreted
+    mode: measured 25× slower at sf0.1.)
+    """
+
+    def build() -> DataFrame:
+        h32 = F.xxhash64("shingle").bitwiseAND(F.lit(4294967295))
+        exploded = _exploded_shingles(spark, sf_dir).select(
+            "doc_id", h32.alias("h")
+        )
+        sig = exploded.groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(
+                    f"m{i}"
+                )
+                for i, (a, b) in enumerate(_PERMS)
+            ]
+        )
+        band_keys = F.array(
+            *[F.xxhash64(f"m{2 * j}", f"m{2 * j + 1}") for j in range(_BANDS)]
+        )
+        return sig.select(
+            "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+        )
+
+    return _cached_frame(spark, sf_dir, "minhash_banded", build)
+
+
 _NGRAM_ORACLE_TEMPLATE = """
     WITH sh AS (
       SELECT doc_id,
@@ -257,28 +296,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quadratic in the corpus, only in bucket occupancy.
     """
     sh = _shingled_docs(spark, sf_dir)
-
-    # MinHash signature via explode + 64 scalar permutation columns + a
-    # grouped MIN: every expression is a flat bigint op inside whole-stage
-    # codegen, and the aggregate partial-combines map-side, so the shuffle
-    # carries one 64-column row per document. (The per-row alternative —
-    # 64 × transform+array_min over the shingle array — materializes 64
-    # temporary arrays per document and overflows codegen into interpreted
-    # mode: measured 25× slower at sf0.1.)
-    h32 = F.xxhash64("shingle").bitwiseAND(F.lit(4294967295))
-    exploded = _exploded_shingles(spark, sf_dir).select("doc_id", h32.alias("h"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
-            for i, (a, b) in enumerate(_PERMS)
-        ]
-    )
-    band_keys = F.array(
-        *[F.xxhash64(f"m{2 * j}", f"m{2 * j + 1}") for j in range(_BANDS)]
-    )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
+    banded = _minhash_banded(spark, sf_dir)
     left = banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
     )
@@ -980,4 +998,96 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(c_raw >= _CONT_THRESHOLD)
         .select("doc_a", "doc_b", c_disp.alias("containment"))
+    )
+
+
+_INCR_MOD = 10  # doc_id % 10 == 0 plays "today's ingest batch" (10%)
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w.words[i:i+2], ' ')
+                            for i in range(1, len(w.words)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+    ), inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle
+      WHERE a.doc_id % {_INCR_MOD} = 0 AND b.doc_id % {_INCR_MOD} <> 0
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_new, doc_old,
+           floor(n_common * 10000.0 / (na + nb - n_common) + 0.5) / 10000.0
+             AS jaccard
+    FROM common
+    WHERE n_common * 1.0 / (na + nb - n_common) >= {_NEAR_DUP_THRESHOLD}
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: check TODAY'S batch (docs with
+    ``doc_id % 10 == 0`` play the role of the new crawl slice) against the
+    HISTORICAL corpus index only — the production shape of near-dedup,
+    where the full corpus was indexed yesterday and each new batch must
+    not be re-joined against itself-plus-history from scratch.
+
+    The (doc_id, band_idx, band_key) MinHash-LSH index is the shared
+    persisted frame `_minhash_banded` (one signature-kernel run per
+    (app, corpus), reused by q_dedup_near); the batch side filters to the
+    new slice, history to the rest, and candidates come only from band-key
+    collisions between the two — never new×new or old×old pairs, and
+    never an all-pairs product. Verification is exact shingle Jaccard.
+
+    Precision (the q_dedup_containment convention): the threshold filter
+    compares the UNROUNDED ratio on both engines and the displayed
+    jaccard uses the floor-scale form with identical operation order —
+    n_common/(na+nb-n_common) is an exact-integer ratio that can land ON
+    4dp half-way points where ROUND() semantics diverge.
+
+    Scale: the new batch is a day's crawl — orders of magnitude smaller
+    than history — so AQE turns the band join into a broadcast of the
+    batch bands against the partitioned historical index (forcing the
+    broadcast is deliberately avoided: a backfill replaying a year of
+    batches must degrade to a shuffle join, not OOM). History bands never
+    re-shuffle across daily runs when the index table is bucketed by
+    band_key on disk.
+    """
+    sh = _shingled_docs(spark, sf_dir)
+    banded = _minhash_banded(spark, sf_dir)
+    new_side = banded.filter(F.col("doc_id") % _INCR_MOD == 0).select(
+        F.col("doc_id").alias("doc_new"), "band_idx", "band_key"
+    )
+    old_side = banded.filter(F.col("doc_id") % _INCR_MOD != 0).select(
+        F.col("doc_id").alias("doc_old"), "band_idx", "band_key"
+    )
+    cands = (
+        old_side.join(new_side, ["band_idx", "band_key"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_new"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_old"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.col("na") + F.col("nb")).cast("double") - common
+    j_raw = common / union
+    j_disp = F.floor(common * F.lit(10000.0) / union + F.lit(0.5)) / F.lit(
+        10000.0
+    )
+    return (
+        cands.join(a, "doc_new")
+        .join(b, "doc_old")
+        .filter(j_raw >= _NEAR_DUP_THRESHOLD)
+        .select("doc_new", "doc_old", j_disp.alias("jaccard"))
     )
