@@ -172,7 +172,17 @@ def _explode_shingles(sh: DataFrame) -> DataFrame:
 
 
 def _exact_jaccard_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Verify candidate (doc_a, doc_b) pairs with exact shingle Jaccard."""
+    """Verify candidate (doc_a, doc_b) pairs with exact shingle Jaccard.
+
+    Precision convention (uniform with q_dedup_containment /
+    q_dedup_incremental since round 5): the threshold compares the
+    UNROUNDED ratio — one IEEE division of exact integers, identical on
+    both engines — and the displayed jaccard uses the floor-scale form
+    ``floor(x*1e4+0.5)/1e4`` with the same operation order as the oracle,
+    because n/(na+nb-n) is an exact-integer ratio that can land ON 4dp
+    half-way points (e.g. 1/32) where ROUND() semantics may diverge
+    between engines (registry rule).
+    """
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
@@ -183,14 +193,17 @@ def _exact_jaccard_pairs(cands: DataFrame, sh: DataFrame, threshold: float) -> D
         F.col("shingles").alias("sh_b"),
         F.col("n_sh").alias("nb"),
     )
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = common.cast("double") / (F.col("na") + F.col("nb") - common).cast("double")
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.col("na") + F.col("nb")).cast("double") - common
+    j_raw = common / union
+    j_disp = F.floor(common * F.lit(10000.0) / union + F.lit(0.5)) / F.lit(
+        10000.0
+    )
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(j_raw >= threshold)
+        .select("doc_a", "doc_b", j_disp.alias("jaccard"))
     )
 
 
@@ -248,9 +261,10 @@ _NGRAM_ORACLE_TEMPLATE = """
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / (na + nb - n_common), 4) AS jaccard
+           floor(n_common * 10000.0 / (na + nb - n_common) + 0.5) / 10000.0
+             AS jaccard
     FROM common
-    WHERE ROUND(n_common * 1.0 / (na + nb - n_common), 4) >= {threshold}
+    WHERE n_common * 1.0 / (na + nb - n_common) >= {threshold}
 """
 
 
