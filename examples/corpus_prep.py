@@ -81,7 +81,24 @@ def main() -> None:
     print("-- 8. the final cleaned corpus (filter ∧ dedup-keeper)")
     final = q["q_corpus_final"](spark, SF_DIR)
     final.groupBy("lang").count().orderBy("lang").show()
-    print(f"   final corpus: {final.count()} documents")
+    print(f"   final corpus: {final.count()} documents\n")
+
+    print("-- 9. incremental ingest check (today's batch vs the history index)")
+    incr = q["q_dedup_incremental"](spark, SF_DIR)
+    print(f"   {incr.count()} batch docs already near-present in history\n")
+
+    print("-- 10. tokenizer induction: first BPE merge rules")
+    q["q_bpe_merges"](spark, SF_DIR).orderBy("step").show(truncate=False)
+
+    print("-- 11. semantic balance: embedding cluster sizes (Lloyd k-means)")
+    q["q_embed_kmeans"](spark, SF_DIR).groupBy("cluster_id").count().orderBy(
+        "cluster_id"
+    ).show()
+
+    print("-- 12. training order: sharded deterministic shuffle")
+    q["q_corpus_shuffle"](spark, SF_DIR).groupBy("shard").count().orderBy(
+        "shard"
+    ).show(8)
 
 
 if __name__ == "__main__":
