@@ -1206,24 +1206,28 @@ def test_kmeans_matches_oracle_on_degenerate_corpora(
     spark.createDataFrame(
         rows, schema="vec_id long, embedding array<float>"
     ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
-    spec = QUERIES["q_embed_kmeans"]
-    sdf = spec.fn(spark, sf_dir)
-    got = _nullsafe(
-        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
-        for r in sdf.select(sorted(sdf.columns)).collect()
-    )
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
     )
-    cur = con.execute(spec.oracle)
-    cols = [d[0] for d in cur.description]
-    order = [cols.index(c) for c in sorted(cols)]
-    want = _nullsafe(
-        tuple(
-            round(r[i], 6) if isinstance(r[i], float) else r[i] for i in order
+    # q_embed_outliers shares the Lloyd chain and adds the per-cluster
+    # selection-exact cutoff — same degenerate shapes, one more surface
+    for qname in ("q_embed_kmeans", "q_embed_outliers"):
+        spec = QUERIES[qname]
+        sdf = spec.fn(spark, sf_dir)
+        got = _nullsafe(
+            tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+            for r in sdf.select(sorted(sdf.columns)).collect()
         )
-        for r in cur.fetchall()
-    )
-    assert got == want
+        cur = con.execute(spec.oracle)
+        cols = [d[0] for d in cur.description]
+        order = [cols.index(c) for c in sorted(cols)]
+        want = _nullsafe(
+            tuple(
+                round(r[i], 6) if isinstance(r[i], float) else r[i]
+                for i in order
+            )
+            for r in cur.fetchall()
+        )
+        assert got == want, qname

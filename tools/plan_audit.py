@@ -52,6 +52,7 @@ EXPECTED_NESTED_LOOP = {
     "q_assoc_rules",  # ≤300 pair rows × broadcast 1-row basket-count frame
     "q_orders_rfm",  # per-customer frame × broadcast 1-row anchor-date frame
     "q_embed_kmeans",  # corpus × broadcast ≤8-row centroid frame per Lloyd pass
+    "q_embed_outliers",  # same Lloyd passes + broadcast 8-row cutoff frame
     "q_bpe_merges",  # word types × broadcast 1-row merge-rule frame per round
 }
 
