@@ -174,7 +174,10 @@ def main() -> None:
     try:
         from tools.stream_bench import measure as stream_measure
 
-        s = stream_measure(spark, n=20000, queryName="bench_stream")
+        # 50k frames: enough arrival time (~10 s) for several non-warmup
+        # microbatches, so the latency p50 summarizes a distribution
+        # instead of a single batch
+        s = stream_measure(spark, n=50000, queryName="bench_stream")
         payload["streaming"] = {
             "ingest_fps": s["value"],
             "steady_state_fps": s["steady_state_fps"],

@@ -841,3 +841,52 @@ def test_stateful_ewma_matches_recursion(spark, tmp_path):
     finally:
         query.stop()
         server.close()
+
+
+def test_max_records_per_batch_caps_microbatches(spark, tmp_path):
+    """Admission control on the source (the maxOffsetsPerTrigger analog):
+    with a 5-row cap and 12 buffered frames, the stream must drain as
+    several bounded batches — every batch at most 5 input rows — and
+    still deliver every frame exactly once in order of arrival."""
+    from ws_to_kafka_spark.sources.websocket import register_websocket_source
+
+    frames = [f"frame-{i:02d}".encode() for i in range(12)]
+    server = RecordingWsServer(frames_per_connection=frames)
+    register_websocket_source(spark)
+    stream = (
+        spark.readStream.format("websocket")
+        .option("url", server.url)
+        .option("max_records_per_batch", "5")
+        .load()
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("capped_batches")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT COUNT(*) c FROM capped_batches").first().c
+                >= len(frames)
+            ):
+                break
+            time.sleep(0.2)
+        rows = spark.sql(
+            "SELECT value FROM capped_batches"
+        ).collect()
+        assert sorted(bytes(r.value) for r in rows) == sorted(frames)
+        assert len(rows) == len(frames), "duplicate or lost frames under cap"
+        sizes = [
+            p["numInputRows"]
+            for p in query.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        assert sizes and max(sizes) <= 5, sizes
+        assert len(sizes) >= 3, f"expected several bounded batches, got {sizes}"
+    finally:
+        query.stop()
+        server.close()

@@ -47,7 +47,15 @@ def measure(spark, n: int = 20000, queryName: str = "stream_bench") -> dict:
     ]
     server = RecordingWsServer(frames_per_connection=frames)
     register_websocket_source(spark)
-    raw = spark.readStream.format("websocket").option("url", server.url).load()
+    # Cap each microbatch at ~1/8 of the run so the latency numbers
+    # summarize a DISTRIBUTION of bounded batches (the production
+    # admission-control setting) instead of one giant drain batch.
+    raw = (
+        spark.readStream.format("websocket")
+        .option("url", server.url)
+        .option("max_records_per_batch", str(max(1, n // 8)))
+        .load()
+    )
     start = time.perf_counter()
     query = (
         raw.writeStream.format("memory")

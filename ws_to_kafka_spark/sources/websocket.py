@@ -243,6 +243,18 @@ class WebSocketStreamReader(SimpleDataSourceStreamReader):
         records, next_index = self._ensure_worker(start["index"]).snapshot(
             start["index"]
         )
+        # Admission control (the kafka maxOffsetsPerTrigger analog): cap
+        # rows per microbatch so a burst — or a backlog after restart —
+        # drains as several bounded batches instead of one giant one.
+        # Bounded batches keep per-batch latency flat and state-store /
+        # sink pressure constant; the un-consumed tail stays in the
+        # buffer and the returned offset only advances past what this
+        # batch actually took. 0 (default) = unlimited, the reference's
+        # drain-everything behavior.
+        cap = int(self._options.get("max_records_per_batch", 0) or 0)
+        if cap > 0 and len(records) > cap:
+            records = records[:cap]
+            next_index = records[-1].index + 1
         rows = [(r.value, r.ts) for r in records]
         return iter(rows), {"index": next_index}
 
