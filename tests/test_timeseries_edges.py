@@ -140,3 +140,25 @@ def test_rolling_median_dup_ts_frame_membership(spark, edge_sf_dir):
         for r in _oracle(edge_sf_dir, "q_win_rolling_median")
     )
     assert got == want
+
+
+def test_holt_dup_ts_tiebreak_and_null_value(spark, edge_sf_dir):
+    """q_ts_holt on the adversarial corpus: user 1 has three rows at the
+    SAME timestamp — the recursion order must fall back to the event_id
+    tiebreak identically on both engines (a different order changes every
+    downstream level/trend value, so agreement proves the tiebreak) —
+    and NULL values are excluded before the recursion. Also pins the
+    initialization: first row has level == value, trend == 0."""
+    got = sorted(
+        (r.event_id, r.user_id, r.value, r.level, r.trend, r.forecast)
+        for r in QUERIES["q_ts_holt"].fn(spark, edge_sf_dir).collect()
+    )
+    want = sorted(_oracle(edge_sf_dir, "q_ts_holt"))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    # user 1, dup-ts run ordered by event_id: x = 2.0, 99.0, 4.0
+    assert by_id[1][3] == 2.0 and by_id[1][4] == 0.0        # init
+    assert by_id[2][3] == 50.5 and by_id[2][4] == 24.25     # l=.5*99+.5*2
+    # user 3's NULL-ts row sorts deterministically too (pandas NaT/None
+    # placement is pinned by the oracle agreement above)
+    assert len(got) == 9

@@ -906,3 +906,108 @@ def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "q1", "q3", "n_low", "n_high")
     )
+
+
+_HOLT_ALPHA = 0.5  # level gain — power-of-two for cross-engine exactness
+_HOLT_BETA = 0.5   # trend gain — same dyadic-arithmetic rationale as EWMA
+
+
+@register(
+    "q_ts_holt",
+    oracle=f"""
+    WITH RECURSIVE idx AS (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events WHERE value IS NOT NULL
+    ), rec(user_id, i, event_id, value, l, b) AS (
+      SELECT user_id, i, event_id, value, value AS l, CAST(0 AS DOUBLE) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.user_id, x.i, x.event_id, x.value,
+             0.5 * x.value + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * x.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN idx x ON x.user_id = r.user_id AND x.i = r.i + 1
+    )
+    SELECT event_id, user_id, value,
+           floor(l * 10000 + 0.5) / 10000 AS level,
+           floor(b * 10000 + 0.5) / 10000 AS trend,
+           floor((l + b) * 10000 + 0.5) / 10000 AS forecast
+    FROM rec
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (level + trend, the
+    trend-aware sibling of q_ts_ewma and the classic one-step-ahead
+    forecaster): over (ts, event_id) order,
+
+        l_1 = x_1, b_1 = 0
+        l_t = a*x_t + (1-a)*(l_{{t-1}} + b_{{t-1}})
+        b_t = g*(l_t - l_{{t-1}}) + (1-g)*b_{{t-1}}
+
+    emitting level, trend, and the one-step forecast l_t + b_t.
+
+    Unlike EWMA, the Holt recursion has no single-window closed form
+    (the state is a 2-vector, the closed form a matrix power), so this is
+    the sanctioned Arrow path: ``applyInPandas`` per user with an exact
+    scalar loop. Cross-engine exactness: a = g = 1/2 keeps every
+    operation dyadic (multiplying by 0.5 only decrements the exponent
+    field), and the Python loop and the oracle's recursive CTE evaluate
+    the IDENTICAL expression trees in the identical order, so both
+    engines produce bit-equal doubles at every step — the EWMA
+    power-of-two rule extended to a 2-state recursion; trend reuses the
+    freshly-computed level expression verbatim on both sides. Output
+    rounding is the tie-free floor form.
+
+    Scale: one shuffle on user_id + per-group Arrow batches; per-key
+    history is bounded in batch context (the q_ts_ewma honesty note) —
+    at unbounded history this recursion belongs in the STREAM as an O(1)
+    (l, b) ValueState, the stateful_ewma pattern with a 2-field state.
+    Groups cannot be salted (the recursion is cross-row sequential), so
+    a pathological single-user corpus serializes — the same bound every
+    per-key sequential model shares.
+    """
+    import math
+
+    import pandas as pd
+
+    events = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_l, out_b, out_f = [], [], []
+        l = b = None
+        for x in pdf["value"]:
+            x = float(x)
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = 0.5 * x + 0.5 * (l + b)
+                b = 0.5 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.5 * b
+                l = l_new
+            r4 = lambda v: math.floor(v * 10000 + 0.5) / 10000  # noqa: E731
+            out_l.append(r4(l))
+            out_b.append(r4(b))
+            out_f.append(r4(l + b))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "value": pdf["value"],
+                "level": out_l,
+                "trend": out_b,
+                "forecast": out_f,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        holt,
+        schema=(
+            "event_id long, user_id long, value double, "
+            "level double, trend double, forecast double"
+        ),
+    )
