@@ -1011,3 +1011,130 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "level double, trend double, forecast double"
         ),
     )
+
+
+_STL_HALF = 12  # centered moving-average half-width -> full window = 25 rows
+
+
+@register(
+    "q_ts_stl",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), win AS (
+      SELECT event_type, hour_of_day, cents,
+             SUM(cents) OVER w AS sum_cents,
+             COUNT(*)  OVER w AS cnt
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {_STL_HALF} PRECEDING
+                            AND {_STL_HALF} FOLLOWING)
+    ), interior AS (
+      SELECT event_type, hour_of_day,
+             {2 * _STL_HALF + 1} * cents - sum_cents AS num
+      FROM win WHERE cnt = {2 * _STL_HALF + 1}
+    ), seasonal AS (
+      SELECT event_type, hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             SUM(num) AS sum_num
+      FROM interior GROUP BY event_type, hour_of_day
+    )
+    SELECT s.event_type, s.hour_of_day, s.n_obs,
+      FLOOR(CAST(s.sum_num AS DOUBLE)
+            / CAST({(2 * _STL_HALF + 1) * 100} * s.n_obs AS DOUBLE)
+            * 10000 + 0.5) / 10000 AS seasonal,
+      FLOOR(MIN(CAST(i.num AS DOUBLE) / {(2 * _STL_HALF + 1) * 100}
+                - CAST(s.sum_num AS DOUBLE)
+                  / CAST({(2 * _STL_HALF + 1) * 100} * s.n_obs AS DOUBLE))
+            * 10000 + 0.5) / 10000 AS min_resid,
+      FLOOR(MAX(CAST(i.num AS DOUBLE) / {(2 * _STL_HALF + 1) * 100}
+                - CAST(s.sum_num AS DOUBLE)
+                  / CAST({(2 * _STL_HALF + 1) * 100} * s.n_obs AS DOUBLE))
+            * 10000 + 0.5) / 10000 AS max_resid
+    FROM seasonal s
+    JOIN interior i ON i.event_type = s.event_type
+                   AND i.hour_of_day = s.hour_of_day
+    GROUP BY s.event_type, s.hour_of_day, s.n_obs, s.sum_num
+    """,
+)
+def q_ts_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal-trend decomposition per series
+    (ratio-free STL sibling of q_ts_seasonality): trend = centered
+    25-row moving average, seasonal = per-hour-of-day mean of the
+    detrended values, residual envelope = min/max detrended-minus-
+    seasonal — the decomposition every capacity-planning / anomaly
+    pipeline runs before thresholding.
+
+    Cross-engine exactness: values are integer CENTS; the detrended
+    value for FULL windows only (cnt == 25, edges excluded — variable
+    edge denominators would make the seasonal sum order-dependent) is
+    the exact-integer numerator ``25*cents - sum_cents`` over the
+    constant denominator 2500, so the seasonal mean is ONE IEEE
+    division of exact integers (sum_num < 2^53 through sf10 per
+    (type,hour) group; beyond that, accumulate per-day partials first).
+    Residual extremes use MIN/MAX — order-INDEPENDENT, so engine-stable
+    where a residual variance (an order-dependent float sum) would not
+    be. Display uses the tie-safe floor-scale form on both sides.
+
+    Scale: one window over the raw events (partitioned per series, the
+    same sort the per-series rollups share), then two hash aggregates
+    on (type, hour) — both partial-aggregable; the seasonal join is a
+    broadcast of |types|x24 rows. No Python, no collect.
+    """
+    full = 2 * _STL_HALF + 1
+    base = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.hour("ts").alias("hour_of_day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_STL_HALF, _STL_HALF)
+    )
+    interior = (
+        base.withColumn("sum_cents", F.sum("cents").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.col("cnt") == full)
+        .select(
+            "event_type",
+            "hour_of_day",
+            (F.lit(full) * F.col("cents") - F.col("sum_cents")).alias("num"),
+        )
+    )
+    seasonal = interior.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("num").alias("sum_num"),
+    )
+    seas_mean = F.col("sum_num").cast("double") / (
+        F.lit(full * 100) * F.col("n_obs")
+    ).cast("double")
+    resid = F.col("num").cast("double") / F.lit(full * 100) - seas_mean
+    fs = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        interior.join(F.broadcast(seasonal), ["event_type", "hour_of_day"])
+        .groupBy("event_type", "hour_of_day", "n_obs", "sum_num")
+        .agg(
+            fs(F.min(resid)).alias("min_resid"),
+            fs(F.max(resid)).alias("max_resid"),
+        )
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_obs",
+            fs(seas_mean).alias("seasonal"),
+            "min_resid",
+            "max_resid",
+        )
+    )
