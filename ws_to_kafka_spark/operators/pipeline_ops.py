@@ -1524,3 +1524,84 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("shard", "pos", "doc_id")
     )
+
+
+_COVERAGE_VOCAB_K = 500
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token LIMIT {_COVERAGE_VOCAB_K}
+      )
+    ), per_lang AS (
+      SELECT t.lang,
+             CAST(COUNT(*) AS BIGINT) AS total_occ,
+             CAST(COUNT(v.token) AS BIGINT) AS covered_occ,
+             CAST(COUNT(DISTINCT t.token) AS BIGINT) AS n_types,
+             CAST(COUNT(DISTINCT v.token) AS BIGINT) AS covered_types
+      FROM toks t LEFT JOIN vocab v ON v.token = t.token
+      GROUP BY t.lang
+    )
+    SELECT lang, total_occ, covered_occ, n_types, covered_types,
+           FLOOR((1.0 - CAST(covered_occ AS DOUBLE)
+                        / CAST(total_occ AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS oov_rate
+    FROM per_lang
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate report per language: build the
+    top-{K} global token vocabulary (count DESC, token ASC — a total
+    order, so the cutoff is engine-deterministic under ties), then
+    measure, per language, what fraction of token OCCURRENCES and of
+    distinct token TYPES the vocab covers — the tokenizer-fit check run
+    before committing a vocab to a multilingual training mix (a lang
+    with high OOV under a shared vocab gets byte-fallback explosion).
+
+    oov_rate is an exact integer ratio — displayed with the tie-safe
+    floor-scale form on both sides (the ROUND half-way class).
+
+    Scale: token histogram gets full map-side combine; the vocab is
+    LIMIT {K} = broadcast-sized by construction, so the coverage join
+    is a broadcast hash join — no shuffle of the token stream; the
+    per-lang aggregate is a |langs|-row reduce. The two COUNT(DISTINCT)
+    expand-and-dedup on (lang, token) — one extra shuffle, bounded by
+    the type space, not the occurrence count.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_COVERAGE_VOCAB_K)
+        .select(F.col("token").alias("vtoken"))
+    )
+    joined = toks.join(
+        F.broadcast(vocab), toks["token"] == vocab["vtoken"], "left"
+    )
+    per_lang = joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("total_occ"),
+        F.count("vtoken").cast("long").alias("covered_occ"),
+        F.countDistinct("token").cast("long").alias("n_types"),
+        F.countDistinct("vtoken").cast("long").alias("covered_types"),
+    )
+    oov = F.lit(1.0) - F.col("covered_occ").cast("double") / F.col(
+        "total_occ"
+    ).cast("double")
+    return per_lang.select(
+        "lang",
+        "total_occ",
+        "covered_occ",
+        "n_types",
+        "covered_types",
+        (F.floor(oov * 1000000 + F.lit(0.5)) / 1000000).alias("oov_rate"),
+    )
