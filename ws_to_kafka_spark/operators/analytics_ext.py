@@ -2426,3 +2426,93 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("avg_gap_sec"),
     )
+
+
+_PATHS_TOP = 3
+
+
+@register(
+    "q_seq_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS s0,
+             LEAD(event_type, 1) OVER w AS s1,
+             LEAD(event_type, 2) OVER w AS s2
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT s0, s1, s2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+      GROUP BY s0, s1, s2
+    ), ranked AS (
+      SELECT s0, s1, s2, cnt,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY s0 ORDER BY cnt DESC, s1, s2) AS INTEGER) AS rk,
+             CAST(SUM(cnt) OVER (PARTITION BY s0) AS BIGINT) AS start_total
+      FROM paths
+    )
+    SELECT s0, s1, s2, cnt, rk,
+           FLOOR(CAST(cnt AS DOUBLE) / CAST(start_total AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS share
+    FROM ranked WHERE rk <= {_PATHS_TOP}
+    """,
+)
+def q_seq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the top-{K} most common 3-step event-type paths per
+    STARTING type over per-user streams (the clickstream "what do users
+    do next-next" report behind funnel design), with each path's share
+    of all 3-paths from that start.
+
+    Every user's history is ordered by (ts, event_id) — the
+    deterministic duplicate-timestamp tiebreak (q_seq_transitions) —
+    and windows never cross users (LEAD within the user partition).
+    Ranking is (cnt DESC, s1, s2): total, so the top-{K} cutoff is
+    engine-deterministic under count ties; share is one IEEE division
+    of exact integer counts, displayed floor-scale (exact-ratio
+    half-way class).
+
+    Scale: one shuffle on user_id serves both LEADs (same sort), the
+    path count map-side combines into at most |types|^3 groups, and
+    ranking windows over that tiny frame. Raw events are scanned once.
+    """
+    events = tables.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("s0"),
+        F.lead("event_type", 1).over(w).alias("s1"),
+        F.lead("event_type", 2).over(w).alias("s2"),
+    ).filter(F.col("s1").isNotNull() & F.col("s2").isNotNull())
+    paths = seq.groupBy("s0", "s1", "s2").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wr = W.partitionBy("s0").orderBy(F.desc("cnt"), "s1", "s2")
+    wt = W.partitionBy("s0")
+    return (
+        paths.select(
+            "s0",
+            "s1",
+            "s2",
+            "cnt",
+            F.row_number().over(wr).cast("int").alias("rk"),
+            F.sum("cnt").over(wt).cast("long").alias("start_total"),
+        )
+        .filter(F.col("rk") <= _PATHS_TOP)
+        .select(
+            "s0",
+            "s1",
+            "s2",
+            "cnt",
+            "rk",
+            (
+                F.floor(
+                    F.col("cnt").cast("double")
+                    / F.col("start_total").cast("double")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("share"),
+        )
+    )
