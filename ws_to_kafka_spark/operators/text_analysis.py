@@ -1069,3 +1069,68 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+_FH_DIM = 64  # hashed feature-space dimensionality
+
+
+@register(
+    "q_feat_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             (31 * ascii(w) + 17 * ascii(reverse(w)) + 7 * length(w))
+               % {_FH_DIM} AS bucket,
+             CASE WHEN (ascii(w) + ascii(reverse(w)) + length(w)) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks WHERE w <> ''
+    )
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING SUM(sgn) <> 0
+    """,
+)
+def q_feat_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al., ICML
+    2009): every token maps to one of {DIM} buckets via a deterministic
+    hash, with a +-1 sign hash making the collision noise zero-mean;
+    the per-document sparse feature vector is the signed count per
+    bucket (zero-weight buckets dropped) — the fixed-width,
+    vocabulary-free featurization that never needs a dictionary build
+    or broadcast at 100 TB.
+
+    The hash here is a closed-form combination of first/last code point
+    and token length — NOT a production-quality hash (production uses
+    murmur/xxhash64; Spark-side that is one builtin call) but one both
+    engines compute identically WITHOUT per-character folds, which the
+    registry bans from hot paths as interpreted-only. All arithmetic is
+    integer-exact; no rounding anywhere.
+
+    Scale: explode + two stacked integer hash aggregates, fully
+    map-side combinable; output is bounded by docs x {DIM} rows. The
+    modulo keys are tiny ints — no string shuffles after the explode.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    a = F.ascii("w")
+    b = F.ascii(F.reverse(F.col("w")))
+    ln = F.length("w")
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(31 * a + 17 * b + 7 * ln, F.lit(_FH_DIM))
+        .cast("int")
+        .alias("bucket"),
+        F.when(F.pmod(a + b + ln, F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
