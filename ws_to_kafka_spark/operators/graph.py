@@ -958,3 +958,103 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node")
     )
     return dist.select(node_str, F.col("hop"))
+
+
+_KCORE_K = 3
+_KCORE_PEELS = 3
+
+
+def _kcore_oracle() -> str:
+    layers = ["a0 AS (SELECT DISTINCT u AS v FROM edges)"]
+    prev = "a0"
+    for r in range(1, _KCORE_PEELS + 1):
+        layers.append(
+            f"""a{r} AS (
+      SELECT e.u AS v FROM edges e
+      JOIN {prev} x ON x.v = e.u
+      JOIN {prev} y ON y.v = e.v
+      GROUP BY e.u
+      HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        )
+        prev = f"a{r}"
+    chain = ",\n    ".join(layers)
+    return f"""
+    WITH half AS (
+      {_COMP_EDGE_SQL}
+    ), edges AS (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ),
+    {chain}
+    SELECT e.u AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN {prev} x ON x.v = e.u
+    JOIN {prev} y ON y.v = e.v
+    GROUP BY e.u
+    """
+
+
+@register("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peel of the part co-purchase graph: {PEELS}
+    synchronous rounds of "drop every node with fewer than {K}
+    neighbors among survivors", then report each survivor's degree
+    WITHIN the surviving set — the dense-subgraph extraction that
+    strips low-engagement periphery before community detection (the
+    k-core is also the standard seed filter for influence analysis).
+
+    Fixed-round semantics (not loop-to-fixpoint) so the DuckDB oracle
+    unrolls as {PEELS} chained CTEs — the q_graph_pagerank convention;
+    a fixpoint variant is the q_graph_components-style loop with a
+    convergence check, same per-round plan. All values are exact
+    integer counts — no float anywhere.
+
+    Scale: the symmetric edge list is the SHARED cached index
+    (coorder_part_edges, pre-partitioned on u — triangles/components
+    reuse it), so each round joins the O(|E|) side without re-shuffling
+    it; only the O(|V|) survivor list moves. Per round: two semi-joins
+    (u-side co-partitioned; v-side shuffles the survivor list, not the
+    edges) + one count aggregate on u. Degree skew on hub parts is the
+    module's salted_sum case; counts here are per-node degrees bounded
+    by basket overlap, far from the straggler regime.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def build_edges() -> DataFrame:
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        half = (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= _COMP_MIN_COORDERS)
+            .select("u", "v")
+        )
+        return (
+            half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("u")
+        )
+
+    edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
+    active = edges.select("u").distinct().select(F.col("u").alias("v"))
+
+    def survivors_degree(act: DataFrame) -> DataFrame:
+        x = act.select(F.col("v").alias("u"))
+        return (
+            edges.join(x, "u")
+            .join(act, "v")
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    for _ in range(_KCORE_PEELS):
+        active = (
+            survivors_degree(active)
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("u").alias("v"))
+        )
+    return survivors_degree(active).select(
+        F.col("u").alias("part"), F.col("deg").cast("long").alias("core_degree")
+    )
