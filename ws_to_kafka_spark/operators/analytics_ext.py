@@ -2516,3 +2516,109 @@ def q_seq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@register(
+    "q_funnel_window",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 1 HOUR
+      GROUP BY e.user_id, v.t_view
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_view + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ), staged AS (
+      SELECT v.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS max_stage
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+             LEFT JOIN p ON p.user_id = v.user_id
+    ), hist AS (
+      SELECT max_stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM staged
+      GROUP BY max_stage
+    )
+    SELECT max_stage, n_users,
+           FLOOR(CAST(n_users AS DOUBLE)
+                 / CAST(SUM(n_users) OVER () AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS share
+    FROM hist
+    """,
+)
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel (the ClickHouse ``windowFunnel``
+    semantic): a user's click counts only within ONE HOUR of their
+    first view, and the purchase must land inside that same
+    view-anchored hour — the "did the session convert" question that
+    q_funnel's unbounded ordering cannot answer (a purchase a week
+    later is retention, not conversion).
+
+    Output is the max-stage histogram (1 = view only, 2 = clicked in
+    the window, 3 = purchased in the window) with each stage's share of
+    funnel entrants — an exact integer ratio, floor-scale displayed.
+
+    Scale: identical shuffle shape to q_funnel (three narrow per-user
+    aggs on user_id, AQE reuses the partitioning; stage frames are one
+    row per qualifying user). The interval bound is a filter inside the
+    stage aggregates — no extra shuffle; at 100 TB the anchor-window
+    predicate also enables event-time partition pruning around each
+    anchor day.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + hour)
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_view") + hour)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    staged = (
+        v.select("user_id")
+        .join(c.select("user_id", F.lit(1).alias("clicked")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("bought")), "user_id", "left")
+        .select(
+            F.when(F.col("bought").isNotNull(), 3)
+            .when(F.col("clicked").isNotNull(), 2)
+            .otherwise(1)
+            .alias("max_stage")
+        )
+    )
+    hist = staged.groupBy("max_stage").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    share = F.col("n_users").cast("double") / F.sum("n_users").over(
+        W.partitionBy()
+    ).cast("double")
+    return hist.select(
+        "max_stage",
+        "n_users",
+        (F.floor(share * 1000000 + F.lit(0.5)) / 1000000).alias("share"),
+    )
