@@ -1058,3 +1058,95 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors_degree(active).select(
         F.col("u").alias("part"), F.col("deg").cast("long").alias("core_degree")
     )
+
+
+_NBHD_TOP = 20
+
+
+@register(
+    "q_graph_neighborhood",
+    oracle=f"""
+    WITH half AS (
+      {_COMP_EDGE_SQL}
+    ), edges AS (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ), two_hop AS (
+      SELECT e1.u, e2.v AS w
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+      WHERE e2.v <> e1.u
+      UNION
+      SELECT u, v AS w FROM edges
+    ), ball AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS ball2 FROM two_hop GROUP BY u
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY u
+    )
+    SELECT b.u AS part, d.degree, b.ball2,
+           CAST(ROW_NUMBER() OVER (ORDER BY b.ball2 DESC, b.u)
+                AS BIGINT) AS rk
+    FROM ball b JOIN deg d ON d.u = b.u
+    ORDER BY rk LIMIT {_NBHD_TOP}
+    """,
+)
+def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood size (ball cardinality, self excluded) over
+    the part co-purchase graph: for each node the count of DISTINCT
+    nodes reachable in <= 2 hops — the cheap closeness-centrality proxy
+    (a large 2-ball = structurally central) and the standard expansion
+    probe run before committing to an iterative centrality at 100 TB.
+    Reports the top-{TOP} by ball size with 1-hop degree alongside.
+
+    All-integer counts, total (ball2 DESC, part) ordering — no floats.
+
+    Scale: one edges-with-edges self-join keyed on the shared vertex
+    (both sides are the SAME cached frame pre-partitioned on u, so the
+    join co-locates without a new shuffle of either side), then a
+    DISTINCT on (u, w) — the one unavoidable shuffle, bounded by the
+    2-path count. Hub nodes fan out quadratically in degree: at scale
+    the standard mitigations are degree-capped sampling per the HyperBall
+    line of work, or replacing the exact DISTINCT with HLL sketches
+    (q_agg_sketch_merge shows the mergeable-sketch plan) — documented
+    tradeoff, exact here. The final top-{TOP} is TakeOrderedAndProject
+    (per-partition local top, no global sort).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def build_edges() -> DataFrame:
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        half = (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= _COMP_MIN_COORDERS)
+            .select("u", "v")
+        )
+        return (
+            half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("u")
+        )
+
+    edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
+    e2 = edges.select(F.col("u").alias("m"), F.col("v").alias("w"))
+    two_hop = (
+        edges.join(e2, edges["v"] == e2["m"])
+        .filter(F.col("w") != F.col("u"))
+        .select("u", "w")
+        .unionAll(edges.select("u", F.col("v").alias("w")))
+        .distinct()
+    )
+    ball = two_hop.groupBy("u").agg(F.count("*").cast("long").alias("ball2"))
+    deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("degree"))
+    wr = W.orderBy(F.col("ball2").desc(), "u")
+    return (
+        ball.join(deg, "u")
+        .select(
+            F.col("u").alias("part"),
+            "degree",
+            "ball2",
+            F.row_number().over(wr).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _NBHD_TOP)
+    )
