@@ -72,6 +72,10 @@ HEADLINE = (
     "q_win_rolling_median",        # sorted-frame selection over row frames
     # round-5 additions
     "q_embed_kmeans",              # 3-pass Lloyd: scan x broadcast centroids
+    "q_ts_stl",                    # windowed decomposition + seasonal join
+    "q_graph_kcore",               # fixed-round peel over the cached index
+    "q_embed_pca",                 # outer-product co-moments + 2 matvecs
+    "q_graph_neighborhood",        # edges self-join + distinct 2-ball count
 )
 
 

@@ -447,3 +447,153 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+@register(
+    "q_ab_ttest",
+    oracle="""
+    WITH obs AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(cents) AS s1, SUM(cents * cents) AS s2
+      FROM obs GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n END)  AS n_a,
+        MAX(CASE WHEN variant = 'A' THEN s1 END) AS s1_a,
+        MAX(CASE WHEN variant = 'A' THEN s2 END) AS s2_a,
+        MAX(CASE WHEN variant = 'B' THEN n END)  AS n_b,
+        MAX(CASE WHEN variant = 'B' THEN s1 END) AS s1_b,
+        MAX(CASE WHEN variant = 'B' THEN s2 END) AS s2_b
+      FROM v
+    ), stats AS (
+      SELECT n_a, n_b,
+        CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100 AS mean_a,
+        CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100 AS mean_b,
+        (CAST(s2_a AS DOUBLE)
+         - (CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
+           / CAST(n_a AS DOUBLE))
+        / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE) AS se2_a,
+        (CAST(s2_b AS DOUBLE)
+         - (CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
+           / CAST(n_b AS DOUBLE))
+        / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE) AS se2_b
+      FROM wide
+    )
+    SELECT n_a, n_b,
+      ROUND(mean_a, 6) AS mean_a,
+      ROUND(mean_b, 6) AS mean_b,
+      ROUND((mean_b - mean_a)
+            / NULLIF(SQRT(se2_a + se2_b), 0) * 100, 6) AS t_stat,
+      ROUND(((se2_a + se2_b) * (se2_a + se2_b))
+            / NULLIF((se2_a * se2_a) / CAST(n_a - 1 AS DOUBLE)
+                     + (se2_b * se2_b) / CAST(n_b - 1 AS DOUBLE), 0),
+            2) AS welch_df
+    FROM stats
+    """,
+)
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean purchase value between
+    the parity-split experiment variants — the continuous-metric
+    companion to q_ab_lift's two-proportion z (revenue-per-event
+    experiments read THIS statistic, not a conversion rate).
+
+    Cross-engine floats, the q_ab_lift discipline extended to second
+    moments: per-event values enter as exact integer CENTS and only
+    (n, sum, sum-of-squares) cross the wire — all exact BIGINTs
+    (cents^2 <= 1e10 per row keeps the S2 sum under 2^53 through
+    ~1e5 purchase rows per variant at sf0.1; beyond that the sums
+    stay exact longs JVM-side and the DuckDB cast order is identical,
+    documented bound). Every derived statistic — Welch standard
+    errors, t, the Satterthwaite df — is a FIXED TREE of binary IEEE
+    ops written with identical association in both engines; inputs
+    identical + association identical = bit-identical outputs, no
+    reassociation either engine. Zero pooled variance (degenerate
+    constant metric) nullif-guards to NULL on both sides. Means are
+    rescaled cents -> dollars for display; the t ratio multiplies the
+    dollar difference back by 100 so numerator and the cent-unit
+    standard error cancel into the dimensionless statistic (the df
+    ratio's cents^4 factors cancel on their own).
+
+    Scale: one map-side-combinable 2-group aggregate over the fact
+    scan; the pivot and statistic operate on a 1-row frame. The raw
+    rows never feed the statistic — the same sufficient-statistics
+    argument as q_ab_lift, so 100 TB costs one scan.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    obs = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    v = obs.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    wide = v.groupBy().agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("s2"))).alias("s2_b"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    mean_a = d("s1_a") / d("n_a") / 100
+    mean_b = d("s1_b") / d("n_b") / 100
+    se2_a = (
+        (d("s2_a") - (d("s1_a") * d("s1_a")) / d("n_a"))
+        / (d("n_a") - F.lit(1.0))
+        / d("n_a")
+    )
+    se2_b = (
+        (d("s2_b") - (d("s1_b") * d("s1_b")) / d("n_b"))
+        / (d("n_b") - F.lit(1.0))
+        / d("n_b")
+    )
+    stats = wide.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a_raw"),
+        mean_b.alias("mean_b_raw"),
+        se2_a.alias("se2_a"),
+        se2_b.alias("se2_b"),
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a_raw", 6).alias("mean_a"),
+        F.round("mean_b_raw", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_b_raw") - F.col("mean_a_raw"))
+            / F.nullif(
+                F.sqrt(F.col("se2_a") + F.col("se2_b")), F.lit(0.0)
+            )
+            * 100,
+            6,
+        ).alias("t_stat"),
+        F.round(
+            (
+                (F.col("se2_a") + F.col("se2_b"))
+                * (F.col("se2_a") + F.col("se2_b"))
+            )
+            / F.nullif(
+                (F.col("se2_a") * F.col("se2_a"))
+                / (F.col("n_a").cast("double") - F.lit(1.0))
+                + (F.col("se2_b") * F.col("se2_b"))
+                / (F.col("n_b").cast("double") - F.lit(1.0)),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("welch_df"),
+    )
