@@ -22,7 +22,7 @@ from __future__ import annotations
 # future import) resolve against module globals
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .. import tables
@@ -1133,4 +1133,113 @@ def q_feat_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.groupBy("doc_id", "bucket")
         .agg(F.sum("sgn").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
+    )
+
+
+_RAKE_MAX_WORDS = 4
+_RAKE_TOP = 10
+_RAKE_SPLIT = r"\b(?:the|a|of|and|is|to|in)\b"
+
+
+@register(
+    "q_text_rake",
+    oracle=f"""
+    WITH frags AS (
+      SELECT doc_id, lang,
+             trim(unnest(string_split_regex(lower(text),
+                                            '{_RAKE_SPLIT}'))) AS phrase
+      FROM documents
+    ), phrases AS (
+      SELECT lang, phrase FROM frags
+      WHERE phrase <> ''
+        AND len(string_split(phrase, ' ')) <= {_RAKE_MAX_WORDS}
+    ), words AS (
+      SELECT lang, unnest(string_split(phrase, ' ')) AS w,
+             len(string_split(phrase, ' ')) AS plen
+      FROM phrases
+    ), word_stats AS (
+      SELECT lang, w, CAST(SUM(plen) AS BIGINT) AS deg
+      FROM words GROUP BY lang, w
+    ), pfreq AS (
+      SELECT lang, phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM phrases GROUP BY lang, phrase
+    ), pwords AS (
+      SELECT lang, phrase, unnest(string_split(phrase, ' ')) AS w
+      FROM pfreq
+    ), score AS (
+      SELECT p.lang, p.phrase, CAST(SUM(s.deg) AS BIGINT) AS score
+      FROM pwords p JOIN word_stats s ON s.lang = p.lang AND s.w = p.w
+      GROUP BY p.lang, p.phrase
+    )
+    SELECT lang, phrase, n_occ, score, rk FROM (
+      SELECT f.lang, f.phrase, f.n_occ, s.score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY f.lang
+               ORDER BY s.score DESC, f.n_occ DESC, f.phrase)
+               AS INTEGER) AS rk
+      FROM pfreq f JOIN score s ON s.lang = f.lang AND s.phrase = f.phrase
+    ) WHERE rk <= {_RAKE_TOP}
+    """,
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), degree-scored
+    integer variant: candidate phrases are maximal stopword-free runs
+    (text split at stopword occurrences, capped at {MAX} words), each
+    word gets degree = total length of phrases it occurs in, and a
+    phrase scores the sum of its words' degrees — top-{TOP} phrases
+    per language. Classic RAKE divides degree by frequency; that makes
+    the score an order-dependent SUM of rationals across engines, so
+    this variant keeps the pure-integer degree sum (documented
+    deviation; ranking quality is similar on short phrases) with
+    (score DESC, n_occ DESC, phrase) as the total tie-safe order.
+
+    Scale: the phrase explode is corpus-linear; word stats and phrase
+    scores are two map-side-combinable hash aggregates on (lang, word)
+    / (lang, phrase); the scoring join streams DISTINCT phrases (not
+    occurrences) against word stats. Per-lang top-{TOP} windows over
+    the aggregated phrase frame only.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    frags = docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), _RAKE_SPLIT)).alias("raw"),
+    )
+    phrases = frags.select(
+        "lang", F.trim("raw").alias("phrase")
+    ).filter(
+        (F.col("phrase") != "")
+        & (F.size(F.split("phrase", " ")) <= _RAKE_MAX_WORDS)
+    )
+    words = phrases.select(
+        "lang",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    word_stats = words.groupBy("lang", "w").agg(
+        F.sum("plen").cast("long").alias("deg")
+    )
+    pfreq = phrases.groupBy("lang", "phrase").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+    pwords = pfreq.select(
+        "lang", "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    score = (
+        pwords.join(word_stats, ["lang", "w"])
+        .groupBy("lang", "phrase")
+        .agg(F.sum("deg").cast("long").alias("score"))
+    )
+    wr = W.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("n_occ").desc(), "phrase"
+    )
+    return (
+        pfreq.join(score, ["lang", "phrase"])
+        .select(
+            "lang",
+            "phrase",
+            "n_occ",
+            "score",
+            F.row_number().over(wr).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= _RAKE_TOP)
     )
