@@ -1138,3 +1138,110 @@ def q_ts_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_resid",
         )
     )
+
+
+@register(
+    "q_ts_trend_mk",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.sum_cents * a.n > a.sum_cents * b.n THEN 1
+                  WHEN b.sum_cents * a.n < a.sum_cents * b.n THEN -1
+                  ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+    ), agg AS (
+      SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, s_stat, n_pairs,
+           FLOOR(CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS tau,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'flat' END AS trend
+    FROM agg
+    """,
+)
+def q_ts_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per series over DAILY means: the
+    distribution-free monotone-trend statistic ``S = sum over day
+    pairs i<j of sign(mean_j - mean_i)`` with Kendall's tau-a
+    normalization — the standard "is this metric drifting" test that
+    needs no linearity or normality assumption (q_agg_regr's slope is
+    its parametric sibling).
+
+    Integer-exact throughout: daily means are never materialized as
+    floats — the sign of ``mean_j - mean_i`` is the sign of the
+    CROSS-MULTIPLIED exact integers ``sum_j*n_i - sum_i*n_j``
+    (denominators positive; products < 2^53 through sf100 daily
+    volumes), so S is an exact integer sum and tau ONE IEEE division,
+    floor-scale displayed (exact-ratio half-way class).
+
+    Scale: pair enumeration is quadratic in DAYS PER SERIES, not in
+    events (the q_assoc_rules bounded-self-join argument: a year is
+    ~66k pairs per series) — the daily pre-aggregate is the
+    corpus-sized pass and map-side combines; the pair join runs on the
+    tiny daily frame, co-partitioned on event_type.
+    """
+    daily = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
+        )
+    )
+    a = daily.select(
+        "event_type",
+        F.col("day").alias("day_a"),
+        F.col("n").alias("n_a"),
+        F.col("sum_cents").alias("s_a"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("day_b"),
+        F.col("n").alias("n_b"),
+        F.col("sum_cents").alias("s_b"),
+    )
+    diff = F.col("s_b") * F.col("n_a") - F.col("s_a") * F.col("n_b")
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("day_b") > F.col("day_a"))
+        .select(
+            "event_type",
+            F.when(diff > 0, 1).when(diff < 0, -1).otherwise(0).alias("sgn"),
+        )
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    return agg.select(
+        "event_type",
+        "s_stat",
+        "n_pairs",
+        (
+            F.floor(
+                F.col("s_stat").cast("double")
+                / F.col("n_pairs").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("tau"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("flat")
+        .alias("trend"),
+    )
