@@ -447,3 +447,79 @@ def test_kmeans_matches_numpy_lloyd_and_lowers_inertia(spark, sf_dir):
         assert got[vid][0] == a[i], f"vec {vid}: {got[vid][0]} != {a[i]}"
         assert abs(got[vid][1] - d[i]) < 1e-6, f"vec {vid} distance"
     assert inertias[0] >= inertias[1] >= inertias[2], inertias
+
+
+def test_coreset_matches_numpy_greedy_and_radius_monotone(spark, sf_dir):
+    """q_embed_coreset vs an independent numpy farthest-point traversal
+    over the same quantized inputs: the selection sequence must match
+    exactly, and the d2_at_pick coverage-radius curve must be monotone
+    non-increasing (the Gonzalez-greedy invariant the docstring
+    promises)."""
+    import numpy as np
+
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators.similarity import _CORESET_K
+
+    rows = (
+        tables.load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64)[order] * 1000
+    )
+    sel = [int(np.where(ids == 0)[0][0])]
+    mind2 = ((q - q[sel[0]]) ** 2).sum(axis=1)
+    expect = [(1, 0, None)]
+    for rank in range(2, _CORESET_K + 1):
+        mind2[sel] = -1  # exclude already-selected
+        best = int(np.lexsort((ids, -mind2))[0])
+        expect.append((rank, int(ids[best]), int(mind2[best])))
+        sel.append(best)
+        mind2 = np.minimum(mind2, ((q - q[best]) ** 2).sum(axis=1))
+    got = sorted(
+        (
+            (r.rank, r.vec_id, r.d2_at_pick)
+            for r in QUERIES["q_embed_coreset"].fn(spark, sf_dir).collect()
+        )
+    )
+    assert got == expect
+    radii = [d for _, _, d in expect if d is not None]
+    assert radii == sorted(radii, reverse=True), "coverage radius not monotone"
+
+
+def test_pca_direction_matches_numpy_power_iteration(spark, sf_dir):
+    """q_embed_pca vs numpy: the same quantized integer co-moment matrix
+    and two all-ones-seeded power iterations must produce the identical
+    normalized direction (6dp) and lambda estimate (4dp)."""
+    import math
+
+    import numpy as np
+
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators.similarity import _PCA_SCALE
+
+    rows = (
+        tables.load(spark, sf_dir, "embeddings").select("embedding").collect()
+    )
+    q = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * _PCA_SCALE)
+    n, d = q.shape
+    s = q.sum(axis=0)
+    smat = q.T @ q
+    cmat = np.floor((n * smat - np.outer(s, s)) / n)
+    v1 = cmat.sum(axis=0)  # C @ ones
+    v2 = cmat.T @ v1
+    m1, m2 = np.abs(v1).max(), np.abs(v2).max()
+    exp_pc1 = {
+        j + 1: math.floor(v2[j] / m2 * 1e6 + 0.5) / 1e6 for j in range(d)
+    }
+    exp_lambda = math.floor(m2 / m1 * 1e4 + 0.5) / 1e4
+    out = {r.dim: r for r in QUERIES["q_embed_pca"].fn(spark, sf_dir).collect()}
+    assert len(out) == d
+    for j in range(1, d + 1):
+        assert abs(out[j].pc1 - exp_pc1[j]) < 1e-9
+        assert abs(out[j].lambda_est - exp_lambda) < 1e-9
+        assert out[j].c_diag == int(cmat[j - 1][j - 1])
