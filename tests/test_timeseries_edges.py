@@ -162,3 +162,33 @@ def test_holt_dup_ts_tiebreak_and_null_value(spark, edge_sf_dir):
     # user 3's NULL-ts row sorts deterministically too (pandas NaT/None
     # placement is pinned by the oracle agreement above)
     assert len(got) == 9
+
+
+def test_stl_empty_interior_and_column_order(spark, edge_sf_dir):
+    """q_ts_stl on the 9-row edge corpus: no series has the 25 rows a
+    full centered window needs, so the interior frame is EMPTY — the
+    query must return zero rows (not throw on the empty groupBy /
+    broadcast join), and the oracle must agree."""
+    got = QUERIES["q_ts_stl"].fn(spark, edge_sf_dir).collect()
+    want = _oracle(edge_sf_dir, "q_ts_stl")
+    assert got == [] and want == []
+
+
+def test_trend_mk_exact_tie_days_and_single_day(spark, edge_sf_dir):
+    """q_ts_trend_mk on the edge corpus: 'view' has two days whose daily
+    means differ and one pair order; 'error' has two days with DIFFERENT
+    means built from single events; the cross-multiplied sign must match
+    the oracle exactly, and a series with ONE day (no pairs) must drop
+    out of the output rather than divide by zero."""
+    got = sorted(
+        (r.event_type, r.s_stat, r.n_pairs, r.tau, r.trend)
+        for r in QUERIES["q_ts_trend_mk"].fn(spark, edge_sf_dir).collect()
+    )
+    want = sorted(_oracle(edge_sf_dir, "q_ts_trend_mk"))
+    assert got == want
+    by_type = {t[0]: t for t in got}
+    # 'view': day1 mean (2+4+1+3+5? depends on NULL-ts exclusion) vs later
+    # days — whatever the value, s_stat must be an integer within +-n_pairs
+    for t, s, n, tau, trend in got:
+        assert abs(s) <= n
+        assert trend in ("increasing", "decreasing", "flat")
