@@ -1098,11 +1098,14 @@ def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All-integer counts, total (ball2 DESC, part) ordering — no floats.
 
-    Scale: one edges-with-edges self-join keyed on the shared vertex
-    (both sides are the SAME cached frame pre-partitioned on u, so the
-    join co-locates without a new shuffle of either side), then a
-    DISTINCT on (u, w) — the one unavoidable shuffle, bounded by the
-    2-path count. Hub nodes fan out quadratically in degree: at scale
+    Scale: one edges-with-edges self-join keyed on the shared vertex —
+    both sides are the SAME cached frame, so the edge list is built and
+    persisted once, but each side still exchanges onto the join key
+    (the u-partitioned cache serves the probe side in principle;
+    observed plan: AQE inside the cached relation hides the cached
+    partitioning, so both sides re-shuffle — an accepted cost, the
+    exchange is O(|E|) either way), then a DISTINCT on (u, w) — the
+    second shuffle, bounded by the 2-path count. Hub nodes fan out quadratically in degree: at scale
     the standard mitigations are degree-capped sampling per the HyperBall
     line of work, or replacing the exact DISTINCT with HLL sketches
     (q_agg_sketch_merge shows the mergeable-sketch plan) — documented
