@@ -1153,3 +1153,102 @@ def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _NBHD_TOP)
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH half AS (
+      {_COMP_EDGE_SQL}
+    ), edges AS (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ), deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs
+    )
+    SELECT m,
+      ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / NULLIF(SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0),
+            6) AS assortativity
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-purchase
+    graph: the Pearson correlation of endpoint degrees over the
+    DIRECTED edge list (each undirected edge counted in both
+    orientations, the standard convention) — positive means hubs link
+    to hubs (social-network shape), negative means hub-and-spoke
+    (catalog shape); the structural prior that decides whether hub
+    salting will even matter at 100 TB.
+
+    Exactness: the statistic needs only the five integer moment sums
+    over edge endpoint degrees — all exact BIGINTs — and then one fixed
+    tree of binary IEEE ops (the q_ab_ttest discipline), nullif-guarded
+    for the regular-graph zero-variance case, 6dp display round.
+
+    Scale: degree count is one map-side-combinable aggregate; attaching
+    the two endpoint degrees is two joins keyed on node id against a
+    |V|-row frame (broadcastable until |V| outgrows memory, shuffle
+    join beyond — both fine, the shuffle is O(|E|) keyed on 8-byte
+    ids); the moment reduce collapses to ONE row regardless of scale.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def build_edges() -> DataFrame:
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        half = (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= _COMP_MIN_COORDERS)
+            .select("u", "v")
+        )
+        return (
+            half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("u")
+        )
+
+    edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    pairs = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    s = pairs.groupBy().agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    num = d("m") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("m") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("m") * d("syy") - d("sy") * d("sy")
+    )
+    return s.select(
+        "m",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )
