@@ -1231,3 +1231,71 @@ def test_kmeans_matches_oracle_on_degenerate_corpora(
             for r in cur.fetchall()
         )
         assert got == want, qname
+
+
+# Welch t-test degenerate shapes (round-5 ADVICE high): an n=1 variant
+# makes every /(n-1) term divide by zero — ANSI Spark must NULL the
+# t_stat/welch_df via nullif guards exactly where the DuckDB oracle
+# yields NULL, never throw. Parity-keyed user ids make 1-row variants
+# common in tiny tables; sampled cents hit constant-metric groups too.
+_tt_row = st.tuples(
+    st.integers(min_value=0, max_value=3),               # user_id (parity)
+    st.sampled_from([0, 100, 2500, 2500, 999999]),        # purchase cents
+)
+_tt_table = st.lists(_tt_row, min_size=1, max_size=10)
+
+
+@given(_tt_table)
+@_SETTINGS
+def test_ab_ttest_matches_oracle_on_degenerate_variants(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    data = [
+        (i, datetime(2024, 1, 1), u, "purchase", c / 100.0, "{}")
+        for i, (u, c) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_tt"))
+    spark.createDataFrame(
+        data,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_ab_ttest", sf_dir)
+
+
+def test_ab_ttest_single_row_variants_null_not_throw(
+    spark, tmp_path_factory
+):
+    """The exact ADVICE repro: one purchase per variant => n_a=n_b=1,
+    sample variance undefined — both engines return one row with NULL
+    t_stat/welch_df (previously Spark threw DIVIDE_BY_ZERO)."""
+    from datetime import datetime
+
+    data = [
+        (1, datetime(2024, 1, 1), 2, "purchase", 10.0, "{}"),
+        (2, datetime(2024, 1, 1), 1, "purchase", 6.0, "{}"),
+        (3, datetime(2024, 1, 1), 1, "view", 99.0, "{}"),
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_tt_n1"))
+    spark.createDataFrame(
+        data,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_ab_ttest", sf_dir)
+    row = __import__("ws_to_kafka_spark.operators", fromlist=["QUERIES"]) \
+        .QUERIES["q_ab_ttest"].fn(spark, sf_dir).collect()[0]
+    assert row["t_stat"] is None and row["welch_df"] is None

@@ -1514,6 +1514,15 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is a TeraSort-shaped exchange (range-balanced by the
     LCG's uniformity), never a single-partition window. Only ids move —
     text joins back by doc_id at write time.
+
+    Domain bound (documented, not silent): ``doc_id * _LCG_A`` is an
+    int64 multiply, so ids must stay below 2^63 / 2654435761 ≈ 3.47e9
+    or ANSI Spark (and DuckDB) raise an overflow error — fail-loud, no
+    cross-engine divergence. A corpus with wider ids should scramble
+    with an overflow-free mix instead (e.g. ``pmod(xxhash64(doc_id),
+    _LCG_P)``); that form has no DuckDB-matching oracle (xxhash64 seed
+    parity), which is why the oracle-checked registry entry keeps the
+    exact-integer LCG with the stated bound.
     """
     docs = tables.load(spark, sf_dir, "documents")
     key = (F.col("doc_id") * _LCG_A) % _LCG_P

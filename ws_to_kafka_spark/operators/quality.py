@@ -511,8 +511,12 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors, t, the Satterthwaite df — is a FIXED TREE of binary IEEE
     ops written with identical association in both engines; inputs
     identical + association identical = bit-identical outputs, no
-    reassociation either engine. Zero pooled variance (degenerate
-    constant metric) nullif-guards to NULL on both sides. Means are
+    reassociation either engine. Degenerate inputs nullif-guard to
+    NULL on both sides: zero pooled variance (constant metric) NULLs
+    the t ratio, and an n<2 variant NULLs its sample variance (the
+    /(n-1) terms in se2 and the Satterthwaite df are nullif-guarded,
+    ANSI-safe), so t_stat/welch_df come back NULL on both engines
+    instead of Spark throwing DIVIDE_BY_ZERO. Means are
     rescaled cents -> dollars for display; the t ratio multiplies the
     dollar difference back by 100 so numerator and the cent-unit
     standard error cancel into the dimensionless statistic (the df
@@ -553,12 +557,12 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_b = d("s1_b") / d("n_b") / 100
     se2_a = (
         (d("s2_a") - (d("s1_a") * d("s1_a")) / d("n_a"))
-        / (d("n_a") - F.lit(1.0))
+        / F.nullif(d("n_a") - F.lit(1.0), F.lit(0.0))
         / d("n_a")
     )
     se2_b = (
         (d("s2_b") - (d("s1_b") * d("s1_b")) / d("n_b"))
-        / (d("n_b") - F.lit(1.0))
+        / F.nullif(d("n_b") - F.lit(1.0), F.lit(0.0))
         / d("n_b")
     )
     stats = wide.select(
@@ -589,9 +593,9 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.nullif(
                 (F.col("se2_a") * F.col("se2_a"))
-                / (F.col("n_a").cast("double") - F.lit(1.0))
+                / F.nullif(F.col("n_a").cast("double") - F.lit(1.0), F.lit(0.0))
                 + (F.col("se2_b") * F.col("se2_b"))
-                / (F.col("n_b").cast("double") - F.lit(1.0)),
+                / F.nullif(F.col("n_b").cast("double") - F.lit(1.0), F.lit(0.0)),
                 F.lit(0.0),
             ),
             2,
