@@ -1,0 +1,86 @@
+"""Commit-time guard: the newest VERIFY_r{N}.json must cover the registry
+EXACTLY — one entry per registered query, no extras.
+
+tests/test_queries.py::test_verify_artifact_covers_registry enforces the
+same invariant in the suite, but twice now (rounds 4 and 5) a query was
+registered in a final commit without regenerating the artifact, leaving
+HEAD red on a clean checkout. This script is the pre-commit teeth: the
+installed hook (tools/install_hooks.sh -> .git/hooks/pre-commit) runs it
+whenever a commit stages files under ws_to_kafka_spark/operators/ or a
+VERIFY artifact, comparing the STAGED artifact against the registry as
+imported from the working tree.
+
+Exit 0 = consistent; exit 1 prints the drift and the regeneration command.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def latest_artifact() -> str:
+    arts = glob.glob(os.path.join(REPO, "VERIFY_r*.json"))
+    if not arts:
+        print("check_artifacts: no VERIFY_r{N}.json present", file=sys.stderr)
+        sys.exit(1)
+    return max(
+        arts,
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+    )
+
+
+def artifact_keys(path: str, staged: bool) -> set[str]:
+    if staged:
+        # read the version being committed, not the working tree
+        rel = os.path.relpath(path, REPO)
+        out = subprocess.run(
+            ["git", "show", f":{rel}"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        raw = out.stdout if out.returncode == 0 else open(path).read()
+    else:
+        raw = open(path).read()
+    data = json.loads(raw)
+    entries = data.get("results", data)
+    return set(entries)
+
+
+def main() -> None:
+    staged = "--staged" in sys.argv
+    from ws_to_kafka_spark.operators import QUERIES
+
+    path = latest_artifact()
+    have = artifact_keys(path, staged)
+    want = set(QUERIES)
+    missing, extra = sorted(want - have), sorted(have - want)
+    if not missing and not extra:
+        print(
+            f"check_artifacts: {os.path.basename(path)} covers all "
+            f"{len(want)} registry keys"
+        )
+        return
+    if missing:
+        print(f"MISSING from {os.path.basename(path)}: {missing}", file=sys.stderr)
+    if extra:
+        print(f"STALE keys in {os.path.basename(path)}: {extra}", file=sys.stderr)
+    print(
+        "regenerate (and `git add` the result IN THIS COMMIT):\n"
+        f"  python tools/verify_queries.py /root/testdata/sf0.01 --json "
+        f"{os.path.basename(path)}",
+        file=sys.stderr,
+    )
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,11 @@ Checks per plan:
 * ``ReadSchema`` pruned (fewer columns than the table) for projections;
 * no ``CartesianProduct``/``BroadcastNestedLoopJoin`` except where the
   operator is intentionally a cross join / tiny-broadcast;
+* no ``Window``/``Sort`` fed by an ``Exchange SinglePartition`` (the
+  whole-input-through-one-reducer scale killer) unless the feeding
+  subtree is bounded — a ``TakeOrderedAndProject``/``GlobalLimit``
+  below the exchange, or the query is in ``EXPECTED_TINY_WINDOW`` with
+  a stated row bound (aggregate-output frames the tree can't size);
 (Codegen spans are not visible in AQE formatted output — staying JVM-side
 is enforced by construction: no row-at-a-time Python UDFs exist outside
 the deliberate Arrow-UDF module.)
@@ -17,6 +22,7 @@ Usage: ``python tools/plan_audit.py [query ...]`` — writes PLANS.md.
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -58,6 +64,70 @@ EXPECTED_NESTED_LOOP = {
     "q_embed_pca",  # 64-row direction frame × broadcast 1-row max-norm frames
 }
 
+# Queries whose plan contains a Window/Sort over Exchange SinglePartition
+# where the exchanged frame is BOUNDED BY CONSTRUCTION (an aggregate whose
+# group-key domain is fixed and small) — the tree alone can't prove the
+# bound, so each entry states it. Anything NOT listed here that funnels
+# into a single-partition window is a scale bug and gets flagged.
+EXPECTED_TINY_WINDOW: dict[str, str] = {}
+
+
+_TREE_NODE = re.compile(r"^([ :+\-*>]*)([A-Za-z][A-Za-z0-9]*)\s+\((\d+)\)\s*$")
+_DETAIL_HDR = re.compile(r"^\((\d+)\)\s+(\S+)")
+
+# Nodes that bound the row count of everything above them.
+_BOUNDING = {"TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit"}
+
+
+def _single_partition_windows(plan: str) -> bool:
+    """True if the plan has a Window or top-level Sort consuming an
+    Exchange SinglePartition whose subtree has no limit-type bound.
+
+    Parses the formatted-explain tree (indentation = depth, ``Name (id)``
+    per node) plus the per-node detail blocks (to see which Exchange ids
+    are ``SinglePartition``)."""
+    lines = plan.splitlines()
+    nodes = []  # (depth, name, id) in pre-order
+    for ln in lines:
+        m = _TREE_NODE.match(ln)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2), m.group(3)))
+    single_ids = set()
+    cur = None
+    for ln in lines:
+        dm = _DETAIL_HDR.match(ln)
+        if dm:
+            cur = (dm.group(1), dm.group(2))
+            continue
+        if cur and cur[1] == "Exchange" and ln.startswith("Arguments:"):
+            if "SinglePartition" in ln:
+                single_ids.add(cur[0])
+            cur = None
+    if not single_ids:
+        return False
+    for i, (depth, name, _nid) in enumerate(nodes):
+        if name not in ("Window", "WindowGroupLimit", "RunningWindowFunction"):
+            continue
+        # subtree: following nodes with greater depth
+        sub = []
+        for d2, n2, i2 in nodes[i + 1:]:
+            if d2 <= depth:
+                break
+            sub.append((d2, n2, i2))
+        # the exchange feeding this window is the FIRST exchange in the
+        # subtree chain; bounded if a limit node sits below it
+        for j, (_d2, n2, i2) in enumerate(sub):
+            if n2 == "Exchange" and i2 in single_ids:
+                below = {n for _, n, _ in sub[j + 1:]}
+                if not (below & _BOUNDING):
+                    return True
+                break
+            if n2 in _BOUNDING:
+                break  # bounded before any exchange
+            if n2 == "Exchange":
+                break  # partitioned exchange feeds it — fine
+    return False
+
 
 def plan_of(spark, name: str) -> str:
     df = QUERIES[name].fn(spark, SF_DIR)
@@ -76,6 +146,8 @@ def audit(name: str, plan: str) -> list[str]:
     if "PushedFilters: []" in plan and "Filter" in plan and "parquet" in plan:
         # only a hint: filters may legitimately be non-pushable expressions
         flags.append("scan has empty PushedFilters despite a Filter")
+    if name not in EXPECTED_TINY_WINDOW and _single_partition_windows(plan):
+        flags.append("Window over unbounded Exchange SinglePartition")
     return flags
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import tables
+from .distributed import global_row_number, ntile_from_rank
 from .registry import register
 
 
@@ -2143,13 +2144,17 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     and therefore the tiles — are engine-identical.
 
     Scale: the per-customer fold shuffles once on o_custkey; the anchor
-    is a broadcast 1-row frame. The three NTILEs are global sorts over
-    the per-CUSTOMER frame (entity-level, not event-level — bounded by
-    customer count). At 100 TB-of-events scale that frame is still the
-    customer dimension; if the dimension itself outgrows a sort,
-    quintile boundaries come from approx_percentile cutpoints broadcast
-    into a map-side CASE (the q_quantile_buckets pattern) at the cost
-    of exact-tile parity.
+    is a broadcast 1-row frame. The quintiles are EXACT NTILE(5)
+    semantics (count-balanced tiles, oracle unchanged) but computed
+    WITHOUT a single-partition window: each axis gets a global rank via
+    ``distributed.global_row_number`` (range exchange + parallel
+    per-partition windows + broadcast offsets — the TeraSort shape) and
+    the tile falls out of ``ntile_from_rank``'s map-side arithmetic
+    against the broadcast customer count. Three range exchanges over
+    the customer DIMENSION (entity-level, not event-level) instead of
+    three full-corpus funnels through one reducer — at 100 TB of events
+    the ranked frame is still just the customer dim, and every stage of
+    it is parallel.
     """
     orders = tables.load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -2166,7 +2171,22 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    scored = rfm.select(
+    n_frame = rfm.agg(F.count("*").alias("_n_cust"))
+    ranked = global_row_number(
+        rfm, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "_rk_r"
+    )
+    ranked = global_row_number(
+        ranked,
+        [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        "_rk_f",
+    )
+    ranked = global_row_number(
+        ranked,
+        [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
+        "_rk_m",
+    )
+    n = F.col("_n_cust")
+    scored = ranked.crossJoin(F.broadcast(n_frame)).select(
         "o_custkey",
         "recency_days",
         "frequency",
@@ -2177,15 +2197,9 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 100
         ).alias("monetary"),
-        F.ntile(5)
-        .over(W.orderBy("recency_days", "o_custkey"))
-        .alias("r_quintile"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_quintile"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
-        .alias("m_quintile"),
+        ntile_from_rank(F.col("_rk_r"), n, 5).alias("r_quintile"),
+        ntile_from_rank(F.col("_rk_f"), n, 5).alias("f_quintile"),
+        ntile_from_rank(F.col("_rk_m"), n, 5).alias("m_quintile"),
     )
     segment = (
         F.when(

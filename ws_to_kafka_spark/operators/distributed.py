@@ -1,0 +1,112 @@
+"""Distributed implementations of operators that are trivially expressed
+with a GLOBAL (unpartitioned) window but must never run as one.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY compiles to
+``Window`` over ``Exchange SinglePartition`` — every row funnels through
+one reducer, the canonical scale-killer (flagged by tools/plan_audit.py).
+The helpers here produce the SAME answers with TeraSort-shaped plans:
+
+``global_row_number``
+    Range-repartition on the total order (parallel, range-balanced
+    exchange), rank WITHIN each range partition (parallel windows), then
+    add per-partition offsets from a tiny (#partitions-long) count
+    vector collected as metadata. Because the order is TOTAL
+    (caller must include a unique tiebreak) and range partitions are
+    non-overlapping intervals of that order, offset + local position is
+    exactly the global position regardless of where Spark draws the
+    range boundaries.
+
+This is the same structure Spark's own ``orderBy`` uses for its sort
+(RangePartitioner sample -> per-partition sort); we bolt the offset
+bookkeeping on top so the RANK, not just the order, distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_RANK_PARTS = 32  # range partitions for the rank exchange
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out: str = "rn",
+    num_parts: int = _RANK_PARTS,
+) -> DataFrame:
+    """Append ``out`` = 1-based global row_number under ``order_cols``
+    (must be a TOTAL order — include a unique tiebreak column) without a
+    single-partition window.
+
+    Plan shape: one range exchange + parallel per-partition windows + a
+    map-side offset lookup. The per-partition row counts (<= num_parts
+    longs — partition METADATA, the same driver-side bookkeeping
+    TeraSort's sampler keeps) are collected once and folded into an
+    array LITERAL indexed by partition id, so the offset add is pure
+    projection: no extra join, no window, no exchange.
+
+    The frame is persisted before the count pass: ``spark_partition_id``
+    must observe the SAME physical partitioning in the count pass and
+    the rank pass, and RangePartitioner re-sampling on recompute is not
+    guaranteed to reproduce identical boundaries.
+    """
+    ranged = df.repartitionByRange(num_parts, *order_cols).withColumn(
+        "_rank_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = dict(
+        ranged.groupBy("_rank_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    max_pid = max(counts, default=-1)
+    offs, acc = [], 0
+    for pid in range(max_pid + 1):
+        offs.append(acc)
+        acc += counts.get(pid, 0)
+    local = F.row_number().over(
+        W.partitionBy("_rank_pid").orderBy(*order_cols)
+    )
+    offset = F.element_at(
+        F.lit(offs or [0]).cast("array<long>"), F.col("_rank_pid") + 1
+    )
+    return (
+        ranged.withColumn(out, (offset + local).cast("long"))
+        .drop("_rank_pid")
+    )
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division on long Columns: subtract the remainder
+    first so the double division's quotient is an exact integer (< 2^53
+    -> representable), then cast back. Avoids F.expr string plumbing for
+    SQL's ``div``."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rank: Column, n_total: Column, tiles: int) -> Column:
+    """Exact SQL NTILE(tiles) from a global 1-based rank and the total
+    row count — the map-side arithmetic twin of the window function.
+
+    SQL NTILE semantics: with n rows, the first ``n % tiles`` tiles get
+    ``n div tiles + 1`` rows, the rest ``n div tiles``. For 1-based rank
+    r, small = n div tiles, rem = n % tiles, big = small + 1,
+    boundary = rem * big:
+        r <= boundary  ->  (r - 1) div big + 1
+        else           ->  rem + (r - boundary - 1) div small + 1
+    The small-quota branch divides by ``small`` which is 0 only when
+    n < tiles — but then rem = n, boundary = n, and every rank takes the
+    first branch, so the zero divisor is unreachable; it is nullif-
+    guarded anyway (ANSI) with CASE's lazy per-row branch evaluation
+    keeping the guard dead on real inputs.
+    """
+    t = F.lit(tiles).cast("long")
+    n = n_total.cast("long")
+    r = rank.cast("long")
+    small = _idiv(n, t)
+    rem = n % t
+    big = small + 1
+    boundary = rem * big
+    tile = F.when(r <= boundary, _idiv(r - 1, big) + 1).otherwise(
+        rem + _idiv(r - boundary - 1, F.nullif(small, F.lit(0))) + 1
+    )
+    return tile.cast("int")

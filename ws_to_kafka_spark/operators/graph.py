@@ -1142,16 +1142,21 @@ def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ball = two_hop.groupBy("u").agg(F.count("*").cast("long").alias("ball2"))
     deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("degree"))
-    wr = W.orderBy(F.col("ball2").desc(), "u")
-    return (
+    # top-N FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # local top + driver merge of N rows — never a global window over all
+    # O(|V|) nodes), THEN rank the <= _NBHD_TOP-row result; the tiny
+    # window is bounded by the limit, not by the graph.
+    top = (
         ball.join(deg, "u")
-        .select(
-            F.col("u").alias("part"),
-            "degree",
-            "ball2",
-            F.row_number().over(wr).cast("long").alias("rk"),
-        )
-        .filter(F.col("rk") <= _NBHD_TOP)
+        .orderBy(F.col("ball2").desc(), "u")
+        .limit(_NBHD_TOP)
+    )
+    wr = W.orderBy(F.col("ball2").desc(), "u")
+    return top.select(
+        F.col("u").alias("part"),
+        "degree",
+        "ball2",
+        F.row_number().over(wr).cast("long").alias("rk"),
     )
 
 
