@@ -243,3 +243,47 @@ def test_incremental_dedup_joins_batch_only_against_history(
         for r in con.execute(QUERIES["q_dedup_incremental"].oracle).fetchall()
     }
     assert got == want
+
+
+def test_substring_survives_mega_df_gram_skew(spark, tmp_path_factory):
+    """Constructed-skew pin (round-5 VERDICT task 6): one boilerplate
+    8-gram planted in EVERY document — the mega-df gram whose window
+    form funneled every occurrence through one reducer. The aggregate +
+    AQE-skew-semi-join form must produce the same answer as the
+    registered oracle on exactly this shape (and the hot gh key must
+    not change the span accounting: each doc's boilerplate region is
+    one merged island)."""
+    boiler = "click here to accept all cookies and continue reading"
+    docs = [
+        (
+            i,
+            f"unique{i}a unique{i}b unique{i}c {boiler} "
+            f"tail{i}x tail{i}y tail{i}z",
+        )
+        for i in range(400)
+    ]
+    rows = [(i, t, "en", "web", len(t)) for (i, t) in docs]
+    dst = str(tmp_path_factory.mktemp("sf_skew"))
+    spark.createDataFrame(rows, schema=_SCHEMA).repartition(8).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    spec = QUERIES["q_dedup_substring"]
+    df = spec.fn(spark, dst)
+    got = _norm(tuple(r) for r in df.select(sorted(df.columns)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dst}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _norm(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want
+    # the 9-token boilerplate yields 2 overlapping 8-grams merging into
+    # one island of 9 tokens in every document
+    by_id = {r[0]: r for r in got}  # columns sorted: doc_id first
+    cols_sorted = sorted(df.columns)
+    i_spans = cols_sorted.index("dup_spans")
+    i_toks = cols_sorted.index("dup_tokens")
+    assert all(r[i_spans] == 1 and r[i_toks] == 9 for r in by_id.values())

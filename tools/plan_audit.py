@@ -62,6 +62,7 @@ EXPECTED_NESTED_LOOP = {
     "q_bpe_merges",  # word types × broadcast 1-row merge-rule frame per round
     "q_sim_rrf",  # corpus × broadcast 2-row query frame (the q_sim_topk shape)
     "q_embed_pca",  # 64-row direction frame × broadcast 1-row max-norm frames
+    "q_win_ratio",  # orders × broadcast 1-row grand-total frame
 }
 
 # Queries whose plan contains a Window/Sort over Exchange SinglePartition
@@ -69,7 +70,16 @@ EXPECTED_NESTED_LOOP = {
 # group-key domain is fixed and small) — the tree alone can't prove the
 # bound, so each entry states it. Anything NOT listed here that funnels
 # into a single-partition window is a scale bug and gets flagged.
-EXPECTED_TINY_WINDOW: dict[str, str] = {}
+EXPECTED_TINY_WINDOW: dict[str, str] = {
+    "q_funnel_window": "share window over the <=3-row max-stage histogram",
+    "q_pareto_frontier": "sweep over the per-DAY maxima frame (one row per "
+    "day, fixed ~2.4k-day date domain), never raw orders",
+    "q_graph_truss": "median threshold over the support-VALUE histogram "
+    "(distinct counts, not edges)",
+    "q_stream_late_drop": "deliberate: arrival-order watermark semantics "
+    "pinned as a batch oracle; the production form is the streaming "
+    "watermark (O(1) engine state), per the docstring",
+}
 
 
 _TREE_NODE = re.compile(r"^([ :+\-*>]*)([A-Za-z][A-Za-z0-9]*)\s+\((\d+)\)\s*$")

@@ -817,14 +817,19 @@ def q_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report: each order's share of its status group and of the
     grand total — the percent-of-total window every BI layer emits.
 
-    The unpartitioned total is an empty-frame window: Spark computes it as
-    a single-partition window at local scale; the 100 TB form replaces it
-    with a broadcast 1-row aggregate (q_quantile_buckets' pattern) — both
-    produce identical values, which is what the oracle checks."""
+    The grand total is NOT an unpartitioned window (that funnels every
+    row through one reducer): it is a broadcast 1-row aggregate attached
+    map-side (q_quantile_buckets' pattern) — identical values, which is
+    what the oracle's ``SUM() OVER ()`` checks. Float determinism: the
+    broadcast total is one double, and Spark's partial-agg summation
+    order vs DuckDB's sequential order could differ in the last ulp —
+    but the oracle rounds to 8 dp AFTER a division by a ~1e9-scale
+    total, giving ~1e-13 slack, the same tolerance the windowed form
+    already relied on (partial aggregation reorders window sums too)."""
     orders = tables.load(spark, sf_dir, "orders")
     w_status = W.partitionBy("o_orderstatus")
-    w_all = W.partitionBy()
-    return orders.select(
+    total = orders.agg(F.sum("o_totalprice").alias("_grand_total"))
+    return orders.crossJoin(F.broadcast(total)).select(
         "o_orderkey",
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("price"),
@@ -832,7 +837,7 @@ def q_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") / F.sum("o_totalprice").over(w_status), 8
         ).alias("share_of_status"),
         F.round(
-            F.col("o_totalprice") / F.sum("o_totalprice").over(w_all), 8
+            F.col("o_totalprice") / F.col("_grand_total"), 8
         ).alias("share_of_total"),
     )
 

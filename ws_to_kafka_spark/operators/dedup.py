@@ -857,17 +857,27 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64("g.gram").alias("gh"),
         )
     )
-    # Duplicated-gram marking as COUNT over a gh-partitioned window, not
-    # groupBy + self-join: the join form ran the gram generation (tokenize
-    # + transform + explode — the expensive pass) TWICE, once into each
-    # plan branch, and shuffled the gram rows a second time for the join.
-    # The window shuffles the (doc_id, pos, gh) triples on gh ONCE and
-    # marks in place; skew behavior is identical (a mega-df gram lands on
-    # one reducer either way). Measured at sf0.1: 2.0 s -> 1.5 s median.
-    marked = (
-        grams.withColumn("cnt", F.count("*").over(W.partitionBy("gh")))
+    # Duplicated-gram marking: PERSIST the gram triples (generation —
+    # tokenize + transform + explode — runs once; the round-4 join form
+    # was slow only because it regenerated into both branches), count
+    # per gh with a map-side-combining AGGREGATE, and re-attach with a
+    # semi-join against the duplicated-gh set. This is the skew-safe
+    # form the earlier gh-partitioned window could not be: a mega-df
+    # boilerplate gram pre-reduces to ONE row per map task in the
+    # aggregate (partial aggregation is the salting), and the semi-join's
+    # hot gh partition is split at runtime by AQE skew-join
+    # (spark.sql.adaptive.skewJoin, on in session.py) — a window has no
+    # such mitigation and funnels every occurrence through one reducer.
+    # Pinned by the constructed-skew test in tests/test_dedup_edges.py.
+    grams = grams.persist()
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > 1)
-        .select("doc_id", "pos", (F.col("pos") + (k - 1)).alias("e"))
+        .select("gh")
+    )
+    marked = grams.join(dup_gh, "gh", "semi").select(
+        "doc_id", "pos", (F.col("pos") + (k - 1)).alias("e")
     )
     w_ord = W.partitionBy("doc_id").orderBy("pos")
     prev_max_e = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
