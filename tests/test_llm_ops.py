@@ -523,3 +523,60 @@ def test_pca_direction_matches_numpy_power_iteration(spark, sf_dir):
         assert abs(out[j].pc1 - exp_pc1[j]) < 1e-9
         assert abs(out[j].lambda_est - exp_lambda) < 1e-9
         assert out[j].c_diag == int(cmat[j - 1][j - 1])
+
+
+def test_jpeg_codec_roundtrip_properties():
+    """Baseline JPEG encode/decode pins: deterministic bytes, exact
+    container fields, lossy-but-bounded pixels on smooth content, and
+    quarantine rejection of unsupported shapes."""
+    import numpy as np
+
+    from ws_to_kafka_spark.operators.multimodal import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    flat = bytes([100, 150, 200] * 256)
+    jp = encode_jpeg(16, 16, flat)
+    assert jp[:2] == b"\xff\xd8" and jp[-2:] == b"\xff\xd9"
+    assert encode_jpeg(16, 16, flat) == jp, "encoder must be deterministic"
+    d = _decode_jpeg(jp)
+    assert (d["width"], d["height"], d["format"]) == (16, 16, "jpeg")
+    assert _decode_jpeg(jp)["pixels"] == d["pixels"], "decode deterministic"
+    a = np.frombuffer(flat, np.uint8).astype(int)
+    b = np.frombuffer(d["pixels"], np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 3, "flat color must survive quantization"
+    # non-multiple-of-8 dimensions exercise edge-replication padding
+    pix = bytes(min(255, x * 9 + y * 5) for y in range(9) for x in range(13) for _ in range(3))
+    d2 = _decode_jpeg(encode_jpeg(13, 9, pix))
+    assert (d2["width"], d2["height"], len(d2["pixels"])) == (13, 9, 13 * 9 * 3)
+    # dispatch through the public entry point
+    assert decode_image(jp)["format"] == "jpeg"
+    # truncated / non-jpeg payloads quarantine
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00\x04\x08\x00")  # SOF2
+
+
+def test_mm_jpeg_matches_local_recompute(spark, sf_dir):
+    """q_mm_jpeg: every Spark-side stat must equal rendering + decoding
+    the same document text locally through the identical codec path."""
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators.multimodal import render_jpeg_py
+
+    rows = QUERIES["q_mm_jpeg"].fn(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in tables.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:40]:
+        payload = render_jpeg_py(texts[r.doc_id])
+        img = decode_image(payload)
+        assert img["format"] == "jpeg"
+        assert r.n_bytes == len(payload)
+        assert (r.width, r.height, r.format) == (16, 16, "jpeg")
+        assert r.mean_pixel == round(mean_pixel(img["pixels"]), 4)

@@ -1299,3 +1299,101 @@ def test_ab_ttest_single_row_variants_null_not_throw(
     row = __import__("ws_to_kafka_spark.operators", fromlist=["QUERIES"]) \
         .QUERIES["q_ab_ttest"].fn(spark, sf_dir).collect()[0]
     assert row["t_stat"] is None and row["welch_df"] is None
+
+
+# RRF tie order: duplicate embedding vectors force exactly-equal cosine
+# scores (tie -> vec_id order) and symmetric rank pairs force exactly-
+# equal fused 1/(k+ra)+1/(k+rb) scores — the fused_rank tiebreak must be
+# engine-identical through orderBy().limit() + the tiny rank window.
+_rrf_vec = st.sampled_from(
+    [(1, 0, 0, 0), (0, 1, 0, 0), (1, 1, 0, 0), (2, 1, 0, 0), (1, 2, 0, 0)]
+)
+_rrf_table = st.lists(_rrf_vec, min_size=4, max_size=14)
+
+
+@given(_rrf_table)
+@_SETTINGS
+def test_sim_rrf_tie_order_matches_oracle(spark, tmp_path_factory, rows):
+    rows = [
+        (i, [float(x) for x in v], i % 3) for i, v in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_rrf"))
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_sim_rrf", sf_dir)
+
+
+# Vocab coverage degenerate languages: a language whose every token is
+# out-of-vocabulary, single-token docs, and repeated-token docs that
+# push a token in/out of the top-K boundary with exact count ties.
+_vc_doc = st.tuples(
+    st.sampled_from(["en", "xx", "de"]),               # lang (xx = all-OOV)
+    st.lists(
+        st.sampled_from(["the", "of", "qqq", "zzz", "www"]),
+        min_size=1,
+        max_size=6,
+    ),
+)
+_vc_table = st.lists(_vc_doc, min_size=1, max_size=12)
+
+
+@given(_vc_table)
+@_SETTINGS
+def test_vocab_coverage_degenerate_langs(spark, tmp_path_factory, rows):
+    data = [
+        (i, " ".join(toks), lang, "web", len(" ".join(toks)))
+        for i, (lang, toks) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_vc"))
+    spark.createDataFrame(
+        data,
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_vocab_coverage", sf_dir)
+
+
+# Funnel-window stage collisions: view/click/purchase at the SAME
+# timestamp (strict > boundaries must agree engine-to-engine) and events
+# exactly ON the one-hour window edge (<= boundary).
+_fw_ev = st.tuples(
+    st.integers(min_value=0, max_value=3),                   # user
+    st.sampled_from(["view", "click", "purchase"]),
+    st.sampled_from([0, 0, 1800, 3600, 3601, 7200]),          # offset sec
+)
+_fw_table = st.lists(_fw_ev, min_size=1, max_size=14)
+
+
+@given(_fw_table)
+@_SETTINGS
+def test_funnel_window_same_ts_collisions(spark, tmp_path_factory, rows):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    data = [
+        (i, base + timedelta(seconds=off), u, et, 1.0, "{}")
+        for i, (u, et, off) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_fw"))
+    spark.createDataFrame(
+        data,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_funnel_window", sf_dir)

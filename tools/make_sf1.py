@@ -1,0 +1,93 @@
+"""Materialize a ~sf1 corpus by deterministic 10x scale-up of the driver's
+sf0.1 parquet (the driver ships no sf1; round-5 VERDICT task 5 wants the
+100x scaling arguments validated empirically, not just argued).
+
+Scale-up rules (copy index c = 0..9), chosen so per-copy structure matches
+the original while cross-copy artifacts don't distort the algorithms:
+
+* lineitem: l_orderkey and l_partkey shifted by c * (max+1) — the co-order
+  part graph becomes 10 disjoint isomorphic components, so triangle/BFS
+  work scales linearly in edges exactly like a 10x corpus would.
+* documents: doc_id shifted; text prefixed with a copy token ``c<i>`` so
+  k-grams/shingles differ across copies — near-dup candidate counts scale
+  linearly instead of every doc gaining 9 exact twins.
+* embeddings: vec_id shifted; first component nudged by c/1024 so vectors
+  are distinct but the cluster geometry is preserved.
+
+Usage: python tools/make_sf1.py [out_dir]   (default _scale/sf1, gitignored)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ws_to_kafka_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "_scale/sf1"
+    os.makedirs(out, exist_ok=True)
+    spark = get_spark("make-sf1")
+    copies = spark.range(COPIES).select(F.col("id").alias("_c"))
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    mx_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    mx_pk = li.agg(F.max("l_partkey")).first()[0] + 1
+    li.crossJoin(copies).select(
+        (F.col("l_orderkey") + F.col("_c") * mx_ok).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("_c") * mx_pk).alias("l_partkey"),
+        *[
+            c
+            for c in li.columns
+            if c not in ("l_orderkey", "l_partkey")
+        ],
+    ).repartition(64).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    mx_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("_c") * mx_doc).alias("doc_id"),
+        F.concat(F.lit("c"), F.col("_c").cast("string"), F.lit(" "), "text")
+        .alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 3).alias("n_chars"),
+    ).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    mx_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("_c") * mx_vec).alias("vec_id"),
+        F.concat(
+            F.array(
+                (
+                    F.element_at("embedding", 1)
+                    + F.col("_c").cast("float") / F.lit(1024.0)
+                ).cast("float")
+            ),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
+    for t in ("lineitem", "documents", "embeddings"):
+        n = spark.read.parquet(f"{out}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
