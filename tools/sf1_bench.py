@@ -1,0 +1,83 @@
+"""sf1 spot-bench: run the five heaviest queries against the 10x-scaled
+corpus (tools/make_sf1.py) and record observed-vs-predicted scaling —
+round-5 VERDICT task 5: convert the 100 TB plan-shape arguments from
+argument to evidence at least one decade up.
+
+Method: one unmeasured warmup pass (codegen compile), then median of 3
+per query, interleaved by round (same methodology as bench.py). The
+sf0.1 reference times come from the committed BENCH artifact if present,
+else are measured here the same way.
+
+Usage: python tools/sf1_bench.py [sf1_dir] [--out SF1_BENCH.json]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from ws_to_kafka_spark.operators import QUERIES  # noqa: E402
+from ws_to_kafka_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+
+# query -> the docstring's predicted scaling exponent vs input size
+# (1.0 = linear in rows/edges; candidate-pair stages argued ~linear
+# because generation is collision-bucketed, never all-pairs).
+HEAVY = {
+    "q_graph_triangles": 1.0,
+    "q_graph_bfs": 1.0,
+    "q_embed_kmeans": 1.0,
+    "q_dedup_substring": 1.0,
+    "q_dedup_near": 1.0,
+}
+ROUNDS = 3
+
+
+def _time_all(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    # warmup (unmeasured): codegen compile + page-cache warm
+    for n in names:
+        QUERIES[n].fn(spark, sf_dir).collect()
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(ROUNDS):
+        for n in names:
+            t0 = time.monotonic()
+            QUERIES[n].fn(spark, sf_dir).collect()
+            samples[n].append(time.monotonic() - t0)
+    return {n: round(statistics.median(v), 3) for n, v in samples.items()}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf1_dir = args[0] if args else "_scale/sf1"
+    out_path = "SF1_BENCH.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    spark = get_spark("sf1-bench")
+    names = list(HEAVY)
+    t01 = _time_all(spark, SF01, names)
+    # clear per-corpus caches between scales so sf1 builds its own indexes
+    spark.catalog.clearCache()
+    t1 = _time_all(spark, sf1_dir, names)
+    result = {"sf0.1": t01, "sf1": t1, "scale_factor": 10, "queries": {}}
+    for n, pred_exp in HEAVY.items():
+        ratio = round(t1[n] / t01[n], 2) if t01[n] else None
+        predicted = round(10 ** pred_exp, 1)
+        result["queries"][n] = {
+            "sf0.1_sec": t01[n],
+            "sf1_sec": t1[n],
+            "observed_ratio": ratio,
+            "predicted_ratio_upper": predicted,
+            "linear_or_better": ratio is not None and ratio <= predicted,
+        }
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result["queries"], indent=2))
+
+
+if __name__ == "__main__":
+    main()
