@@ -5,9 +5,11 @@ sf0.1 parquet (the driver ships no sf1; round-5 VERDICT task 5 wants the
 Scale-up rules (copy index c = 0..9), chosen so per-copy structure matches
 the original while cross-copy artifacts don't distort the algorithms:
 
-* lineitem: l_orderkey and l_partkey shifted by c * (max+1) — the co-order
-  part graph becomes 10 disjoint isomorphic components, so triangle/BFS
-  work scales linearly in edges exactly like a 10x corpus would.
+* lineitem + orders: all keys (orderkey shared-shift so the join stays
+  aligned; part/supp/cust keys independently) shifted by c * (max+1) —
+  the co-order part graph and customer-supplier graph become 10 disjoint
+  isomorphic components, so triangle/BFS work scales linearly in edges
+  exactly like a 10x corpus would.
 * documents: doc_id shifted; text prefixed with a copy token ``c<i>`` so
   k-grams/shingles differ across copies — near-dup candidate counts scale
   linearly instead of every doc gaining 9 exact twins.
@@ -39,18 +41,35 @@ def main() -> None:
     copies = spark.range(COPIES).select(F.col("id").alias("_c"))
 
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    mx_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    # one shared orderkey shift so the orders ⋈ lineitem join stays aligned
+    mx_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
     mx_pk = li.agg(F.max("l_partkey")).first()[0] + 1
+    mx_sk = li.agg(F.max("l_suppkey")).first()[0] + 1
+    mx_ck = orders.agg(F.max("o_custkey")).first()[0] + 1
     li.crossJoin(copies).select(
         (F.col("l_orderkey") + F.col("_c") * mx_ok).alias("l_orderkey"),
         (F.col("l_partkey") + F.col("_c") * mx_pk).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("_c") * mx_sk).alias("l_suppkey"),
         *[
             c
             for c in li.columns
-            if c not in ("l_orderkey", "l_partkey")
+            if c not in ("l_orderkey", "l_partkey", "l_suppkey")
         ],
     ).repartition(64).write.mode("overwrite").parquet(
         f"{out}/lineitem.parquet"
+    )
+
+    orders.crossJoin(copies).select(
+        (F.col("o_orderkey") + F.col("_c") * mx_ok).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("_c") * mx_ck).alias("o_custkey"),
+        *[
+            c
+            for c in orders.columns
+            if c not in ("o_orderkey", "o_custkey")
+        ],
+    ).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
     )
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
@@ -84,7 +103,7 @@ def main() -> None:
         f"{out}/embeddings.parquet"
     )
 
-    for t in ("lineitem", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "documents", "embeddings"):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows")
 
