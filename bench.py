@@ -76,6 +76,11 @@ HEADLINE = (
     "q_graph_kcore",               # fixed-round peel over the cached index
     "q_embed_pca",                 # outer-product co-moments + 2 matvecs
     "q_graph_neighborhood",        # edges self-join + distinct 2-ball count
+    # round-6 additions
+    "q_embed_knn_graph",           # all-pairs cosine + per-node top-k window
+    "q_graph_clustering",          # triangle listing + per-corner aggregate
+    "q_skew_keys",                 # distributed global rank (range + offsets)
+    "q_corpus_shuffle",            # two-level (shard, pos) permutation
 )
 
 

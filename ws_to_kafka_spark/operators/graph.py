@@ -1257,3 +1257,111 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
     )
+
+
+@register(
+    "q_graph_clustering",
+    oracle=f"""
+    WITH half AS (
+      {_COMP_EDGE_SQL}
+    ), edges AS (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ), deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM edges GROUP BY u
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM half e1
+      JOIN half e2 ON e2.u = e1.v
+      JOIN half e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), tcount AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM corners GROUP BY node
+    )
+    SELECT d.node AS part, d.degree,
+           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+           FLOOR(CASE WHEN d.degree >= 2
+                      THEN 2.0 * COALESCE(t.triangles, 0)
+                           / (d.degree * (d.degree - 1.0)) END
+                 * 1000000 + 0.5) / 1000000 AS clustering
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    """,
+)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles(v) /
+    (deg(v)*(deg(v)-1)) over the co-order part graph — the per-node twin
+    of q_graph_triangles' global count (community cores score near 1,
+    bridge/hub nodes near 0; the transitivity profile that tells a
+    sampling pipeline which neighborhoods are redundant).
+
+    Plan: triangles are LISTED once from the canonical half-edge set
+    (u < v) via the two-join closure (e1 ⋈ e2 on the shared middle,
+    closed against e3) — each triangle a<b<c appears exactly once, so
+    exploding its three corners and counting per node is exact. Degrees
+    come from the symmetric cached frame (coorder_part_edges — built
+    once per corpus, shared with components/pagerank/bfs/neighborhood).
+
+    Scale: two hash joins on 8-byte node keys + one corner aggregate —
+    the same exchange shape as q_graph_truss's support pass. The
+    degree-ORIENTED compact-forward in q_graph_triangles cuts the
+    wedge count for the global total; listing per-node counts needs the
+    closure join either way, and the wedge side stays collision-bounded
+    because half-edges are already _COMP_MIN_COORDERS-thresholded.
+    Division guards: degree < 2 yields NULL clustering on both engines
+    (CASE / F.when, never a bare divide under ANSI).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def build_edges() -> DataFrame:
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        half = (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= _COMP_MIN_COORDERS)
+            .select("u", "v")
+        )
+        return (
+            half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("u")
+        )
+
+    edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
+    half = edges.filter(F.col("u") < F.col("v"))
+    deg = edges.groupBy(F.col("u").alias("part")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    e1 = half.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = half.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = half.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("part")
+    )
+    tcount = corners.groupBy("part").agg(
+        F.count("*").cast("long").alias("triangles")
+    )
+    clustering = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0)
+        * F.coalesce(F.col("triangles"), F.lit(0))
+        / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+    )
+    return (
+        deg.join(tcount, "part", "left")
+        .select(
+            "part",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            (F.floor(clustering * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "clustering"
+            ),
+        )
+    )

@@ -601,3 +601,80 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "q_skew_keys",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rn
+      FROM per_key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_events,
+           CAST(MAX(cnt) AS BIGINT) AS max_count,
+           FLOOR(MAX(cnt) * 1000000.0 / SUM(cnt) + 0.5) / 1000000
+             AS top1_share,
+           FLOOR((2.0 * SUM(rn * cnt) - (COUNT(*) + 1.0) * SUM(cnt))
+                 / (COUNT(*) * 1.0 * SUM(cnt)) * 1000000 + 0.5) / 1000000
+             AS gini
+    FROM ranked
+    """,
+)
+def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report: the pre-flight diagnosis every large join
+    or aggregation wants BEFORE picking a strategy — key cardinality,
+    hottest-key share, and the Gini coefficient of the key-frequency
+    distribution (0 = uniform keys, ->1 = one key owns the traffic).
+    top1_share >> 1/n_keys or gini near 1 is the signal to salt
+    (q_join_salted) or lean on AQE skew-join.
+
+    The Gini uses the exact rank formulation G = (2*Σ(i*x_i) -
+    (n+1)*Σx) / (n*Σx) over counts sorted ascending — ranks come from
+    :func:`distributed.global_row_number` (range exchange + parallel
+    windows + metadata offsets), NEVER a single-partition window: this
+    query's whole purpose is scale hygiene, so its own plan must pass
+    the plan_audit window check it motivated. All accumulations are
+    exact BIGINTs (bounded by n*total <= 2^53 at any realistic key
+    cardinality — documented bound), divided once and floor-scale
+    displayed.
+
+    Scale: one hash shuffle for the per-key count (map-side combined),
+    one range exchange for the rank, one scalar aggregate. Output is a
+    single row.
+    """
+    from .distributed import global_row_number
+
+    events = tables.load(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ranked = global_row_number(
+        per_key, [F.col("cnt").asc(), F.col("user_id").asc()], "rn"
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").alias("total_events"),
+        F.max("cnt").alias("max_count"),
+        (
+            F.floor(
+                F.max("cnt") * F.lit(1000000.0) / F.sum("cnt") + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("top1_share"),
+        (
+            F.floor(
+                (
+                    F.lit(2.0) * F.sum(F.col("rn") * F.col("cnt"))
+                    - (F.count("*") + F.lit(1.0)) * F.sum("cnt")
+                )
+                / (F.count("*") * F.lit(1.0) * F.sum("cnt"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("gini"),
+    )

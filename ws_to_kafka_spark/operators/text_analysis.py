@@ -1243,3 +1243,73 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _RAKE_TOP)
     )
+
+
+@register(
+    "q_text_code_detect",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[{}();=+*<>]')) AS BIGINT)
+             AS n_symbols,
+           CAST(len(regexp_extract_all(text,
+                '\\b(def|class|return|import|function|var|const|int|void|for|while)\\b'))
+             AS BIGINT) AS n_keywords,
+           FLOOR(len(regexp_extract_all(text, '[{}();=+*<>]')) * 1000000.0
+                 / NULLIF(length(text), 0) + 0.5) / 1000000
+             AS symbol_density,
+           (len(regexp_extract_all(text, '[{}();=+*<>]')) * 50
+              >= length(text)
+            OR len(regexp_extract_all(text,
+                 '\\b(def|class|return|import|function|var|const|int|void|for|while)\\b'))
+               >= 3) AS looks_like_code
+    FROM documents
+    """,
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection: symbol density (brace/paren/operator
+    characters per char) and programming-keyword hits — the cheap
+    heuristic gate training pipelines run BEFORE routing documents to a
+    code-specific tokenizer/quality model (a learned classifier replaces
+    the thresholds at quality time; the plumbing — two regex counters and
+    a boolean route — is identical).
+
+    The verdict compares exact INTEGERS (``n_symbols * 50 >= n_chars``
+    encodes density >= 0.02 without any float), so the boolean can never
+    diverge on a rounding boundary; the reported density is floor-scale
+    display only. Both engines run RE2-compatible patterns (word
+    boundaries, one character class) — no dialect-divergent syntax.
+
+    Scale: pure map-side projection over the documents scan — no
+    shuffle, no UDF, regexp_extract_all stays inside codegen. The regex
+    cost is linear in corpus bytes, the same single pass any scan-side
+    filter pays.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[{}();=+*<>]"), F.lit(0))
+    ).cast("long")
+    kw = F.size(
+        F.regexp_extract_all(
+            F.col("text"),
+            F.lit(
+                r"\b(def|class|return|import|function|var|const|int|void|for|while)\b"
+            ),
+            F.lit(0),
+        )
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        sym.alias("n_symbols"),
+        kw.alias("n_keywords"),
+        (
+            F.floor(
+                sym * F.lit(1000000.0) / F.nullif(n_chars, F.lit(0))
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("symbol_density"),
+        ((sym * 50 >= n_chars) | (kw >= 3)).alias("looks_like_code"),
+    )
