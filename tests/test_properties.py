@@ -97,3 +97,62 @@ def test_uri_parse_roundtrip(proto, host, port, path, query):
     assert u.query_string == query
     # resource is what goes on the GET line (src/uri.hpp:66-70)
     assert u.resource == (u.path + (f"?{query}" if query else ""))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # sort value (ties!)
+            st.integers(min_value=0, max_value=10**6),  # unique-ish id
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=2, max_value=7),  # tile count
+)
+@settings(max_examples=10, deadline=None)
+def test_global_row_number_and_ntile_match_window_functions(
+    spark, rows, tiles
+):
+    """operators/distributed.py must reproduce the window functions it
+    replaces EXACTLY: global_row_number == row_number() over the total
+    order, ntile_from_rank == ntile(n) — including tie groups split
+    across range-partition boundaries and n < tiles corner cases."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ws_to_kafka_spark.operators.distributed import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    df = spark.createDataFrame(
+        rows or [(0, 0)], schema="v long, id long"
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = global_row_number(df, order, "rn", num_parts=5)
+    n_total = df.count()
+    got_rows = {
+        r["id"]: (
+            r["rn"],
+            None
+            if n_total == 0
+            else r["tile"],
+        )
+        for r in got.withColumn(
+            "tile", ntile_from_rank(F.col("rn"), F.lit(n_total), tiles)
+        ).collect()
+    }
+    w = W.orderBy(*order)
+    want_rows = {
+        r["id"]: (r["rn"], r["tile"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(tiles).over(w).alias("tile"),
+        ).collect()
+    }
+    assert got_rows == want_rows
