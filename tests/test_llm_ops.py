@@ -580,3 +580,58 @@ def test_mm_jpeg_matches_local_recompute(spark, sf_dir):
         assert r.n_bytes == len(payload)
         assert (r.width, r.height, r.format) == (16, 16, "jpeg")
         assert r.mean_pixel == round(mean_pixel(img["pixels"]), 4)
+
+
+def test_wav_codec_roundtrip_and_quarantine():
+    from ws_to_kafka_spark.operators.multimodal import decode_wav, encode_wav
+
+    import pytest as _pytest
+
+    s = [0, 1, -1, 32767, -32768, 1000, -999]
+    d = decode_wav(encode_wav(s, rate=8000))
+    assert d["rate"] == 8000 and d["samples"] == s
+    assert decode_wav(encode_wav([])) == {"rate": 16000, "samples": []}
+    with _pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no data chunk
+    # stereo/8-bit forms quarantine
+    import struct as _struct
+
+    bad_fmt = (
+        b"RIFF" + _struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        + b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(bad_fmt)
+
+
+def test_mm_audio_matches_local_recompute(spark, sf_dir):
+    """q_mm_audio: every Spark-side stat must equal rendering + decoding
+    the same text locally through the identical WAV chain."""
+    import math
+
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators.multimodal import (
+        decode_wav,
+        render_wav_py,
+    )
+
+    rows = QUERIES["q_mm_audio"].fn(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in tables.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:40]:
+        payload = render_wav_py(texts[r.doc_id])
+        d = decode_wav(payload)
+        s = d["samples"]
+        assert r.n_bytes == len(payload)
+        assert (r.rate, r.n_samples) == (16000, len(s))
+        assert r.duration_ms == round(len(s) * 1000.0 / 16000, 4)
+        assert r.rms == round(math.sqrt(sum(x * x for x in s) / len(s)), 4)
+        assert r.peak == max(abs(x) for x in s)

@@ -133,25 +133,26 @@ def test_global_row_number_and_ntile_match_window_functions(
     if not rows:
         df = df.filter(F.lit(False))
     order = [F.col("v").asc(), F.col("id").asc()]
-    got = global_row_number(df, order, "rn", num_parts=5)
+    got = global_row_number(
+        df, order, "rn", num_parts=5, sum_col="v", sum_out="cs"
+    )
     n_total = df.count()
     got_rows = {
-        r["id"]: (
-            r["rn"],
-            None
-            if n_total == 0
-            else r["tile"],
-        )
+        r["id"]: (r["rn"], r["cs"], r["tile"])
         for r in got.withColumn(
             "tile", ntile_from_rank(F.col("rn"), F.lit(n_total), tiles)
         ).collect()
     }
     w = W.orderBy(*order)
     want_rows = {
-        r["id"]: (r["rn"], r["tile"])
+        r["id"]: (r["rn"], r["cs"], r["tile"])
         for r in df.select(
             "id",
             F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("v")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cs"),
             F.ntile(tiles).over(w).alias("tile"),
         ).collect()
     }

@@ -66,6 +66,7 @@ EXPECTED_NESTED_LOOP = {
     # exact kNN graph is all-pairs BY SEMANTICS (the oracle is the same
     # quadratic); the documented scale path is LSH/IVF-bucketed candidates
     "q_embed_knn_graph",
+    "q_orders_abc",  # ranked customers × broadcast 1-row revenue total
 }
 
 # Queries whose plan contains a Window/Sort over Exchange SinglePartition

@@ -2641,3 +2641,87 @@ def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         (F.floor(share * 1000000 + F.lit(0.5)) / 1000000).alias("share"),
     )
+
+
+@register(
+    "q_orders_abc",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, cents,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+             CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_cents
+      FROM per_cust
+      WINDOW w AS (ORDER BY cents DESC, o_custkey)
+    ), tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_cust
+    )
+    SELECT o_custkey,
+           FLOOR(CAST(cents AS DOUBLE) / 100.0 * 100 + 0.5) / 100 AS revenue,
+           rnk,
+           FLOOR(CAST(cum_cents AS DOUBLE) / total * 1000000 + 0.5)
+             / 1000000 AS cum_share,
+           CASE WHEN cum_cents * 5 <= total * 4 THEN 'A'
+                WHEN cum_cents * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def q_orders_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis: customers ranked by revenue with cumulative
+    revenue share, classified A (first 80% of revenue), B (80-95%), C
+    (tail) — the inventory-management classic, and the shape every
+    "which sources contribute 80% of my training tokens" corpus report
+    takes.
+
+    The global rank AND the running revenue sum both come from ONE
+    range exchange via ``distributed.global_row_number(sum_col=...)``
+    (per-partition running sums + metadata prefix of partition totals —
+    a distributed prefix sum, never a single-partition window; revenue
+    accumulates as exact integer cents so the offsets compose without
+    float drift). Class boundaries compare exact integers
+    (``cum*5 <= total*4`` is share <= 0.80) — no rounding boundary can
+    flip a class cross-engine; the displayed share is floor-scale only.
+
+    Scale: one shuffle for the per-customer fold, one range exchange
+    for rank+prefix (both entity-level), one broadcast 1-row total.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    ranked = global_row_number(
+        per_cust,
+        [F.col("cents").desc(), F.col("o_custkey").asc()],
+        "rnk",
+        sum_col="cents",
+        sum_out="cum_cents",
+    )
+    tot = per_cust.agg(F.sum("cents").alias("total"))
+    abc = (
+        F.when(F.col("cum_cents") * 5 <= F.col("total") * 4, F.lit("A"))
+        .when(F.col("cum_cents") * 20 <= F.col("total") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        (
+            F.floor(F.col("cents").cast("double") / 100.0 * 100 + F.lit(0.5))
+            / 100
+        ).alias("revenue"),
+        "rnk",
+        (
+            F.floor(
+                F.col("cum_cents").cast("double") / F.col("total") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("cum_share"),
+        abc.alias("abc_class"),
+    )

@@ -34,6 +34,8 @@ def global_row_number(
     order_cols: list[Column],
     out: str = "rn",
     num_parts: int = _RANK_PARTS,
+    sum_col: str | None = None,
+    sum_out: str = "cumsum",
 ) -> DataFrame:
     """Append ``out`` = 1-based global row_number under ``order_cols``
     (must be a TOTAL order — include a unique tiebreak column) without a
@@ -46,6 +48,13 @@ def global_row_number(
     array LITERAL indexed by partition id, so the offset add is pure
     projection: no extra join, no window, no exchange.
 
+    With ``sum_col`` set (must hold exact integers — longs — so the
+    collected per-partition totals compose without float drift), the
+    same single exchange ALSO emits ``sum_out`` = the global running sum
+    of that column over the total order (rows unbounded preceding to
+    current): a distributed prefix sum — per-partition running sums plus
+    the prefix of partition totals, again collected as metadata.
+
     The frame is persisted before the count pass: ``spark_partition_id``
     must observe the SAME physical partitioning in the count pass and
     the rank pass, and RangePartitioner re-sampling on recompute is not
@@ -55,24 +64,40 @@ def global_row_number(
         "_rank_pid", F.spark_partition_id()
     )
     ranged = ranged.persist()
-    counts = dict(
-        ranged.groupBy("_rank_pid").agg(F.count("*").alias("_n")).collect()
-    )
-    max_pid = max(counts, default=-1)
+    aggs = [F.count("*").alias("_n")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("_s"))
+    stats = {
+        r["_rank_pid"]: r
+        for r in ranged.groupBy("_rank_pid").agg(*aggs).collect()
+    }
+    max_pid = max(stats, default=-1)
     offs, acc = [], 0
+    sum_offs, sum_acc = [], 0
     for pid in range(max_pid + 1):
         offs.append(acc)
-        acc += counts.get(pid, 0)
-    local = F.row_number().over(
-        W.partitionBy("_rank_pid").orderBy(*order_cols)
-    )
+        acc += stats[pid]["_n"] if pid in stats else 0
+        if sum_col is not None:
+            sum_offs.append(sum_acc)
+            sum_acc += (stats[pid]["_s"] or 0) if pid in stats else 0
+    w_pid = W.partitionBy("_rank_pid").orderBy(*order_cols)
+    local = F.row_number().over(w_pid)
     offset = F.element_at(
         F.lit(offs or [0]).cast("array<long>"), F.col("_rank_pid") + 1
     )
-    return (
-        ranged.withColumn(out, (offset + local).cast("long"))
-        .drop("_rank_pid")
-    )
+    result = ranged.withColumn(out, (offset + local).cast("long"))
+    if sum_col is not None:
+        local_sum = F.sum(sum_col).over(
+            w_pid.rowsBetween(W.unboundedPreceding, 0)
+        )
+        sum_offset = F.element_at(
+            F.lit(sum_offs or [0]).cast("array<long>"),
+            F.col("_rank_pid") + 1,
+        )
+        result = result.withColumn(
+            sum_out, (sum_offset + local_sum).cast("long")
+        )
+    return result.drop("_rank_pid")
 
 
 def _idiv(a: Column, b: Column) -> Column:

@@ -15,7 +15,9 @@ filters), and baseline sequential JPEG (full ITU-T T.81 decode: Annex K
 tables, Huffman entropy coding, IDCT, YCbCr) — and the feature/resize
 operators run on actual decoded pixels. :func:`encode_jpeg` is the
 matching deterministic encoder so fixtures can carry real JPEG payloads
-without any codec library.
+without any codec library. The audio modality is equally real:
+:func:`decode_wav` parses RIFF/PCM (16-bit mono) and :func:`q_mm_audio`
+extracts duration/RMS/peak from actually-decoded samples.
 
 Since the fixtures ship no binary tables, image payloads are RENDERED
 deterministically from ``documents.text``: a 16x16 image whose pixel
@@ -1036,3 +1038,125 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     mm = with_mixed_image_payload(docs)
     return mm.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio — WAV (RIFF) container, 16-bit PCM
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 16_000  # fixture sample rate (Hz)
+
+
+def encode_wav(samples: list[int], rate: int = _WAV_RATE) -> bytes:
+    """Minimal deterministic WAV writer: RIFF header + fmt (PCM, mono,
+    16-bit) + data chunk. The audio twin of :func:`encode_ppm`."""
+    import array
+
+    pcm = array.array("h", samples).tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+    )
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    return hdr + fmt + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """WAV decode: RIFF chunk walk -> fmt validation (PCM, 16-bit, mono)
+    -> raw little-endian samples. Compressed/float/multichannel forms
+    reject to quarantine, same contract as :func:`decode_image`."""
+    import array
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, fmt_tag = 12, None, None, None, None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+        elif cid == b"data":
+            if fmt_tag != 1 or bits != 16 or channels != 1:
+                raise ValueError("only 16-bit mono PCM supported")
+            arr = array.array("h")
+            arr.frombytes(body[: len(body) - (len(body) % 2)])
+            samples = list(arr)
+        pos += 8 + clen + (clen % 2)  # chunks pad to even offsets
+    if samples is None:
+        raise ValueError("no data chunk")
+    return {"rate": rate, "samples": samples}
+
+
+def render_wav_py(text: str) -> bytes:
+    """Deterministic audio fixture from document text: each UTF-8 byte
+    becomes one centered, amplified 16-bit sample ((b - 128) * 256) —
+    decode-able, non-silent, and locally recomputable (the
+    render_ppm_py convention carried to the audio modality)."""
+    return encode_wav([(b - 128) * 256 for b in text.encode("utf-8")])
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, rate int, n_samples long, "
+    "duration_ms double, rms double, peak int"
+)
+
+
+def _extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: REAL WAV decode per payload -> fixed-width audio
+    features (duration, RMS energy, peak amplitude)."""
+    import math as _math
+
+    def stats(p: bytes) -> tuple:
+        d = decode_wav(bytes(p))
+        s = d["samples"]
+        n = len(s)
+        rms = _math.sqrt(sum(x * x for x in s) / n) if n else 0.0
+        return (
+            d["rate"],
+            n,
+            round(n * 1000.0 / d["rate"], 4),
+            round(rms, 4),
+            max((abs(x) for x in s), default=0),
+        )
+
+    for pdf in batches:
+        st = pdf["payload"].map(stats)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "rate": st.map(lambda t: t[0]).astype("int32"),
+                "n_samples": st.map(lambda t: t[1]).astype("int64"),
+                "duration_ms": st.map(lambda t: t[2]),
+                "rms": st.map(lambda t: t[3]),
+                "peak": st.map(lambda t: t[4]).astype("int32"),
+            }
+        )
+
+
+@register("q_mm_audio", oracle=None)  # byte-level codec -> rows-only
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: every document rendered as a deterministic 16-bit
+    mono PCM WAV (one sample per UTF-8 byte) by an Arrow pandas UDF,
+    then REALLY decoded — RIFF chunk walk, fmt validation, sample
+    extraction — inside ``mapInPandas``, emitting duration / RMS energy
+    / peak amplitude. The audio-feature-extraction shape of a speech
+    corpus pipeline with the codec honest and stdlib-only
+    (tests/test_llm_ops.py re-derives every row locally through the
+    identical render+decode chain).
+
+    Scale: identical contract to q_mm_features — narrow Arrow pass, the
+    (large) waveform bytes never shuffle, output is ~50 bytes/row.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _render_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(render_wav_py)
+
+    docs = tables.load(spark, sf_dir, "documents")
+    mm = docs.select("doc_id", _render_wav(F.col("text")).alias("payload"))
+    return mm.mapInPandas(_extract_audio, schema=_AUDIO_SCHEMA)

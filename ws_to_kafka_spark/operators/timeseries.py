@@ -1245,3 +1245,70 @@ def q_ts_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("trend"),
     )
+
+
+@register(
+    "q_ts_m4",
+    oracle="""
+    WITH marked AS (
+      SELECT date_trunc('hour', ts) AS bucket, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(MIN(value), 4) AS v_min,
+           ROUND(MAX(value), 4) AS v_max,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS v_first,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS v_last
+    FROM marked GROUP BY bucket
+    """,
+)
+def q_ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per time
+    bucket keep min, max, first, and last — the four points that make a
+    line-chart rendering of the bucket pixel-exact, and the standard
+    lossy downsample a telemetry pipeline stores per resolution tier
+    (the sequential-dependency-free alternative to LTTB; each bucket is
+    independent, so the whole downsample is one grouped aggregate).
+
+    First/last are selected by the TOTAL (ts, event_id) order via
+    bucket-partitioned row_numbers (duplicate timestamps — the
+    test_timeseries_edges trap — resolve identically on both engines);
+    values are compared, never summed, so doubles pass through verbatim
+    with a 4dp display round.
+
+    Scale: two bucket-partitioned windows + one grouped agg, all
+    sharded on the bucket key — embarrassingly parallel across time;
+    a hot bucket is bounded by the bucket width, not corpus size. At
+    100 TB the multi-resolution tiers chain this op (hour from raw, day
+    from hour) exactly like q_rollup_multires.
+    """
+    events = tables.load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bucket = F.date_trunc("hour", "ts")
+    w_a = W.partitionBy(bucket).orderBy("ts", "event_id")
+    w_d = W.partitionBy(bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = events.select(
+        bucket.alias("bucket"),
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return marked.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+        F.round(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4
+        ).alias("v_first"),
+        F.round(
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4
+        ).alias("v_last"),
+    )
