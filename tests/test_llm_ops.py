@@ -635,3 +635,63 @@ def test_mm_audio_matches_local_recompute(spark, sf_dir):
         assert r.duration_ms == round(len(s) * 1000.0 / 16000, 4)
         assert r.rms == round(math.sqrt(sum(x * x for x in s) / len(s)), 4)
         assert r.peak == max(abs(x) for x in s)
+
+
+def test_mjpeg_codec_roundtrip_and_quarantine():
+    import pytest as _pytest
+
+    from ws_to_kafka_spark.operators.multimodal import (
+        decode_mjpeg,
+        encode_jpeg,
+        encode_mjpeg,
+        render_mjpeg_py,
+    )
+
+    f1 = encode_jpeg(16, 16, bytes([50, 100, 150] * 256))
+    f2 = encode_jpeg(16, 16, bytes([200, 10, 90] * 256))
+    frames = decode_mjpeg(encode_mjpeg([f1, f2]))
+    assert len(frames) == 2
+    assert frames[0]["pixels"] != frames[1]["pixels"]
+    assert render_mjpeg_py("abc") == render_mjpeg_py("abc")
+    with _pytest.raises(ValueError):
+        decode_mjpeg(b"notvideo")
+    with _pytest.raises(ValueError):
+        decode_mjpeg(encode_mjpeg([f1]) + b"trailing-garbage")
+    with _pytest.raises(ValueError):
+        decode_mjpeg(f1[:-2])  # frame without EOI
+    with _pytest.raises(ValueError):
+        encode_mjpeg([b"\xff\xd8nope"])
+
+
+def test_mm_video_matches_local_recompute(spark, sf_dir):
+    """q_mm_video: every per-frame stat must equal rendering + decoding
+    the same text locally through the identical MJPEG chain."""
+    from ws_to_kafka_spark import tables
+    from ws_to_kafka_spark.operators.multimodal import (
+        decode_mjpeg,
+        render_mjpeg_py,
+    )
+
+    rows = QUERIES["q_mm_video"].fn(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in tables.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == 4 * len(texts)
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id in list(by_doc)[:15]:
+        local = decode_mjpeg(render_mjpeg_py(texts[doc_id]))
+        got = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == [0, 1, 2, 3]
+        for r, fr in zip(got, local):
+            assert (r.width, r.height, r.n_frames) == (16, 16, 4)
+            assert r.mean_pixel == round(
+                mean_pixel(fr["pixels"]), 4
+            )
+        # frames must actually differ (the rotation makes indexing bugs
+        # visible as stat mismatches)
+        assert len({r.mean_pixel for r in got}) > 1

@@ -616,6 +616,10 @@ def _decode_jpeg(payload: bytes) -> dict:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI before any SOS
+            raise ValueError("no scan data (EOI before SOS)")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -1160,3 +1164,126 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     mm = docs.select("doc_id", _render_wav(F.col("text")).alias("payload"))
     return mm.mapInPandas(_extract_audio, schema=_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video — MJPEG (concatenated baseline-JPEG frames)
+# ---------------------------------------------------------------------------
+
+_VIDEO_FRAMES = 4
+
+
+def encode_mjpeg(frames: list[bytes]) -> bytes:
+    """MJPEG 'container': the concatenation of complete JPEG images —
+    exactly what Motion-JPEG streams are on the wire (each frame is an
+    independent baseline JPEG; no inter-frame state)."""
+    for f in frames:
+        if f[:2] != b"\xff\xd8" or f[-2:] != b"\xff\xd9":
+            raise ValueError("MJPEG frames must be complete JPEGs")
+    return b"".join(frames)
+
+
+def decode_mjpeg(payload: bytes) -> list[dict]:
+    """Split a concatenated-JPEG stream on EOI+SOI boundaries and decode
+    every frame with the baseline decoder. EOI (FFD9) cannot appear
+    inside entropy data (FF bytes are stuffed as FF00) nor inside a
+    marker segment of the streams :func:`encode_jpeg` emits, so the
+    boundary scan is exact for this container."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not an MJPEG stream (missing leading SOI)")
+    frames, start = [], 0
+    pos = 0
+    while True:
+        eoi = payload.find(b"\xff\xd9", pos)
+        if eoi < 0:
+            raise ValueError("truncated MJPEG stream (frame without EOI)")
+        end = eoi + 2
+        frames.append(_decode_jpeg(payload[start:end]))
+        if end == len(payload):
+            return frames
+        if payload[end : end + 2] != b"\xff\xd8":
+            raise ValueError("garbage between MJPEG frames")
+        start = pos = end
+
+
+def render_mjpeg_py(text: str) -> bytes:
+    """Deterministic {n}-frame video fixture from document text: frame i
+    is the document raster with every byte rotated by 32*i mod 256 — a
+    'moving' sequence whose per-frame statistics differ, so frame
+    indexing bugs cannot hide."""
+    base = text.encode("utf-8")[:_IMG_PIXEL_BYTES]
+    base = base + b"\x00" * (_IMG_PIXEL_BYTES - len(base))
+    return encode_mjpeg(
+        [
+            encode_jpeg(
+                _IMG_W, _IMG_H, bytes((b + 32 * i) % 256 for b in base)
+            )
+            for i in range(_VIDEO_FRAMES)
+        ]
+    )
+
+
+_VIDEO_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, width int, height int, "
+    "mean_pixel double"
+)
+
+
+def _extract_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: REAL MJPEG decode -> one row per frame with
+    decoded-pixel statistics."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            k: [] for k in (
+                "doc_id", "frame_idx", "n_frames", "width", "height",
+                "mean_pixel",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = decode_mjpeg(bytes(payload))
+            for i, fr in enumerate(frames):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["n_frames"].append(len(frames))
+                out["width"].append(fr["width"])
+                out["height"].append(fr["height"])
+                out["mean_pixel"].append(round(mean_pixel(fr["pixels"]), 4))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64",
+                "frame_idx": "int32",
+                "n_frames": "int32",
+                "width": "int32",
+                "height": "int32",
+            }
+        )
+
+
+@register("q_mm_video", oracle=None)  # lossy byte-level codec -> rows-only
+def q_mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality with a REAL decode: every document rendered as a
+    4-frame MJPEG stream (concatenated baseline JPEGs — the actual
+    Motion-JPEG wire format) by an Arrow pandas UDF, then split on
+    SOI/EOI boundaries and FULLY decoded frame by frame (Huffman, IDCT,
+    YCbCr) inside ``mapInPandas`` — one output row per frame with
+    decoded-pixel statistics. Completes the modality triple: image
+    (q_mm_features/q_mm_jpeg), audio (q_mm_audio), video (this), all on
+    honest stdlib(+numpy) codecs. q_mm_framesample remains the
+    metadata-only sampling PLAN; this is the decode path a sampled
+    frame actually takes.
+
+    Scale: narrow Arrow pass; a video payload is the widest cell in any
+    corpus and it never leaves its scan partition — the 1:N frame
+    explosion happens inside the UDF, emitting ~40-byte rows. At 100 TB
+    the frame sampler (q_mm_framesample's stride) gates which frames
+    reach this decoder.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _render_mjpeg(texts: pd.Series) -> pd.Series:
+        return texts.map(render_mjpeg_py)
+
+    docs = tables.load(spark, sf_dir, "documents")
+    mm = docs.select("doc_id", _render_mjpeg(F.col("text")).alias("payload"))
+    return mm.mapInPandas(_extract_video, schema=_VIDEO_SCHEMA)
