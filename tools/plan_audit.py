@@ -63,9 +63,6 @@ EXPECTED_NESTED_LOOP = {
     "q_sim_rrf",  # corpus × broadcast 2-row query frame (the q_sim_topk shape)
     "q_embed_pca",  # 64-row direction frame × broadcast 1-row max-norm frames
     "q_win_ratio",  # orders × broadcast 1-row grand-total frame
-    # exact kNN graph is all-pairs BY SEMANTICS (the oracle is the same
-    # quadratic); the documented scale path is LSH/IVF-bucketed candidates
-    "q_embed_knn_graph",
     "q_orders_abc",  # ranked customers × broadcast 1-row revenue total
 }
 
