@@ -1397,3 +1397,39 @@ def test_funnel_window_same_ts_collisions(spark, tmp_path_factory, rows):
         f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
     )
     _run_spec_vs_oracle(spark, con, "q_funnel_window", sf_dir)
+
+
+# ABC/Pareto class boundaries: identical order totals make cumulative
+# shares land EXACTLY on the 80%/95% cut lines (e.g. five equal
+# customers -> cum shares 0.2..1.0, and 0.8 is ON the A boundary) —
+# the exact-integer compare (cum*5 <= total*4) must agree engine-to-
+# engine, as must the rank/prefix-sum under total ties.
+_abc_row = st.tuples(
+    st.integers(min_value=0, max_value=7),          # customer (collisions)
+    st.sampled_from([100, 100, 100, 2000, 12345]),   # cents (tie-heavy)
+)
+_abc_table = st.lists(_abc_row, min_size=1, max_size=16)
+
+
+@given(_abc_table)
+@_SETTINGS
+def test_orders_abc_boundary_ties_match_oracle(spark, tmp_path_factory, rows):
+    from datetime import datetime
+
+    data = [
+        (i, c, "O", cents / 100.0, datetime(1995, 1, 1), "1-URGENT")
+        for i, (c, cents) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_abc"))
+    spark.createDataFrame(
+        data,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_orders_abc", sf_dir)

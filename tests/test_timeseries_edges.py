@@ -192,3 +192,32 @@ def test_trend_mk_exact_tie_days_and_single_day(spark, edge_sf_dir):
     for t, s, n, tau, trend in got:
         assert abs(s) <= n
         assert trend in ("increasing", "decreasing", "flat")
+
+
+def test_m4_duplicate_timestamps_and_null_bucket(spark, edge_sf_dir):
+    """q_ts_m4 on the edge corpus: three same-timestamp rows force the
+    first/last selection through the event_id tiebreak, and the NULL-ts
+    row must form a NULL bucket identically on both engines."""
+    df = QUERIES["q_ts_m4"].fn(spark, edge_sf_dir)
+    got = sorted(
+        (tuple(r) for r in df.select(sorted(df.columns)).collect()), key=str
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, ts, user_id, event_type, "
+        f"value, props FROM read_parquet('{edge_sf_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(QUERIES["q_ts_m4"].oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = sorted(
+        (tuple(r[i] for i in order) for r in cur.fetchall()), key=str
+    )
+    assert got == want
+    # hand pin for the duplicate-timestamp bucket (hour 10:00): five rows,
+    # first = event 1 (tiebreak among three 10:00 rows), last = 10:30 row
+    by_bucket = {r["bucket"]: r for r in df.collect()}
+    b10 = by_bucket[_ts("2024-01-10 10:00:00")]
+    assert (b10.n_points, b10.v_min, b10.v_max) == (5, 1.0, 99.0)
+    assert (b10.v_first, b10.v_last) == (2.0, 99.0)
+    assert by_bucket[None].n_points == 1  # the NULL-ts row

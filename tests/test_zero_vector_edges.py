@@ -18,7 +18,12 @@ import pytest
 from ws_to_kafka_spark.operators import QUERIES
 
 _DIM = 64
-_QUERIES = ["q_sim_topk", "q_sim_pairs", "q_sim_centroid"]
+_QUERIES = [
+    "q_sim_topk",
+    "q_sim_pairs",
+    "q_sim_centroid",
+    "q_embed_knn_graph",
+]
 
 
 @pytest.fixture(scope="module")
