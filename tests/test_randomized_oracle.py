@@ -1433,3 +1433,44 @@ def test_orders_abc_boundary_ties_match_oracle(spark, tmp_path_factory, rows):
         f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
     )
     _run_spec_vs_oracle(spark, con, "q_orders_abc", sf_dir)
+
+
+# Local clustering coefficient on random small co-order graphs: the
+# triangle-listing closure, degree join, and degree<2 NULL guard must
+# agree with the oracle on graphs dense enough to have many triangles
+# AND sparse corners (isolated edges, degree-1 leaves).
+@given(_inc_table)
+@_SETTINGS
+def test_clustering_coefficient_matches_oracle_on_random_graphs(
+    spark, tmp_path_factory, rows
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_cc"))
+    spark.createDataFrame(
+        rows or [(None, None)], schema="l_orderkey long, l_partkey long"
+    ).filter("l_orderkey IS NOT NULL").coalesce(1).write.parquet(
+        f"{sf_dir}/lineitem.parquet"
+    )
+    spec = QUERIES["q_graph_clustering"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(
+        tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+        for r in sdf.select(sorted(sdf.columns)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(
+        tuple(
+            round(r[i], 6) if isinstance(r[i], float) else r[i]
+            for i in order
+        )
+        for r in cur.fetchall()
+    )
+    assert got == want

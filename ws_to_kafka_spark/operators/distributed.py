@@ -58,7 +58,13 @@ def global_row_number(
     The frame is persisted before the count pass: ``spark_partition_id``
     must observe the SAME physical partitioning in the count pass and
     the rank pass, and RangePartitioner re-sampling on recompute is not
-    guaranteed to reproduce identical boundaries.
+    guaranteed to reproduce identical boundaries. The persist is not
+    explicitly unpersisted — the ranked output still reads it lazily, so
+    the earliest safe release is after the consuming action; Spark's
+    ContextCleaner unpersists it once the plan is unreachable (the same
+    lifecycle every localCheckpoint in the iterative operators relies
+    on), and the cached frame is the slim ranked projection, not the
+    source table.
     """
     ranged = df.repartitionByRange(num_parts, *order_cols).withColumn(
         "_rank_pid", F.spark_partition_id()
