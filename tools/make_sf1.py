@@ -72,6 +72,20 @@ def main() -> None:
         f"{out}/orders.parquet"
     )
 
+    events = spark.read.parquet(f"{SRC}/events.parquet")
+    mx_ev = events.agg(F.max("event_id")).first()[0] + 1
+    mx_uid = events.agg(F.max("user_id")).first()[0] + 1
+    events.crossJoin(copies).select(
+        (F.col("event_id") + F.col("_c") * mx_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_c") * mx_uid).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     mx_doc = docs.agg(F.max("doc_id")).first()[0] + 1
     docs.crossJoin(copies).select(
@@ -103,7 +117,7 @@ def main() -> None:
         f"{out}/embeddings.parquet"
     )
 
-    for t in ("lineitem", "orders", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows")
 

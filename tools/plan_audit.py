@@ -64,6 +64,7 @@ EXPECTED_NESTED_LOOP = {
     "q_embed_pca",  # 64-row direction frame × broadcast 1-row max-norm frames
     "q_win_ratio",  # orders × broadcast 1-row grand-total frame
     "q_orders_abc",  # ranked customers × broadcast 1-row revenue total
+    "q_graph_modularity",  # 1-row stats × broadcast 1-row E/n frames
 }
 
 # Queries whose plan contains a Window/Sort over Exchange SinglePartition

@@ -34,6 +34,12 @@ HEAVY = {
     "q_embed_kmeans": 1.0,
     "q_dedup_substring": 1.0,
     "q_dedup_near": 1.0,
+    # round-6 additions: the rewritten exact-kNN kernel is quadratic BY
+    # SEMANTICS (10x corpus -> 100x pairs; the kernel must absorb it),
+    # the skew report and corpus shuffle are argued linear
+    "q_embed_knn_graph": 2.0,
+    "q_skew_keys": 1.0,
+    "q_corpus_shuffle": 1.0,
 }
 ROUNDS = 3
 

@@ -1365,3 +1365,160 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH RECURSIVE half AS (
+      {_COMP_EDGE_SQL}
+    ), edges AS (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ), nodes AS (
+      SELECT DISTINCT u AS v FROM edges
+    ), walk(v, r) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.v
+    ), comp AS (
+      SELECT v, MIN(r) AS community FROM walk GROUP BY v
+    ), deg AS (
+      SELECT u AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), per_comm AS (
+      SELECT c.community,
+             CAST(SUM(d.d) AS BIGINT) AS d_c
+      FROM comp c JOIN deg d ON d.v = c.v GROUP BY c.community
+    ), within AS (
+      SELECT cu.community, CAST(COUNT(*) AS BIGINT) AS in_c
+      FROM edges e
+      JOIN comp cu ON cu.v = e.u
+      JOIN comp cv ON cv.v = e.v AND cv.community = cu.community
+      GROUP BY cu.community
+    ), s AS (
+      SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS big_e,
+             CAST((SELECT COUNT(*) FROM comp) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM per_comm) AS BIGINT)
+               AS n_communities,
+             CAST((SELECT COALESCE(SUM(in_c), 0) FROM within) AS BIGINT)
+               AS a_sum,
+             CAST((SELECT COALESCE(SUM(d_c * d_c), 0) FROM per_comm)
+                  AS BIGINT) AS b_sum
+    )
+    SELECT n_communities, n_nodes,
+           CAST(big_e / 2 AS BIGINT) AS m,
+           FLOOR((CAST(big_e AS DOUBLE) * a_sum - b_sum)
+                 / (CAST(big_e AS DOUBLE) * big_e) * 1000000 + 0.5)
+             / 1000000 AS modularity
+    FROM s WHERE big_e > 0
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the connected-component partition of the
+    co-order part graph: Q = Σ_c [in_c/E - (d_c/E)²] over directed edge
+    count E = 2m — the community-quality score a clustering pipeline
+    reports next to its assignment (here the assignment is the exact CC
+    labeling, making the oracle a pure recursive CTE; a Louvain pass
+    would OPTIMIZE this same objective).
+
+    Exactness: in_c, d_c, and E are exact BIGINTs; Q reduces to ONE
+    fixed IEEE tree (E·Σin_c − Σd_c²) / E² evaluated with identical
+    association on both engines from identical integer operands —
+    floor-scale displayed. Integer bound: Σd_c² stays exact while
+    max(d_c) ≤ 2^26 or so; past that the b_sum accumulates in double —
+    documented, irrelevant below ~10^8-degree communities.
+
+    Scale: the label loop is q_graph_components' (frontier label prop
+    over the shared pre-partitioned edge cache, localCheckpoint per
+    round); the modularity pass adds two label joins keyed on 8-byte
+    node ids and three scalar aggregates. Empty graph -> empty result
+    on both engines (E > 0 gate).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def build_edges() -> DataFrame:
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        half = (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= _COMP_MIN_COORDERS)
+            .select("u", "v")
+        )
+        return (
+            half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("u")
+        )
+
+    edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
+    labels = edges.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    changed = -1
+    for _ in range(_COMP_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_label = F.least("label", F.coalesce("nbr_label", F.col("label")))
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select("v", new_label.alias("label"),
+                    (new_label < F.col("label")).alias("chg"))
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("v", "label")
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"modularity labeling did not converge in {_COMP_MAX_ITERS} rounds"
+        )
+    deg = edges.groupBy(F.col("u").alias("v")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    per_comm = (
+        labels.join(deg, "v")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("d").alias("d_c"))
+    )
+    lab_u = labels.select(F.col("v").alias("u"), F.col("label").alias("cu"))
+    lab_v = labels.select(F.col("v").alias("v"), F.col("label").alias("cv"))
+    within = (
+        edges.join(lab_u, "u")
+        .join(lab_v, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("long").alias("in_c"))
+    )
+    e_frame = edges.agg(
+        F.count("*").cast("long").alias("big_e"),
+    )
+    stats = (
+        per_comm.join(within, "community", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.sum(F.coalesce("in_c", F.lit(0))).alias("a_sum"),
+            F.sum(F.col("d_c") * F.col("d_c")).alias("b_sum"),
+        )
+    )
+    n_frame = labels.agg(F.count("*").cast("long").alias("n_nodes"))
+    q = (
+        (F.col("big_e").cast("double") * F.col("a_sum") - F.col("b_sum"))
+        / (F.col("big_e").cast("double") * F.col("big_e"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(e_frame))
+        .crossJoin(F.broadcast(n_frame))
+        .filter(F.col("big_e") > 0)
+        .select(
+            "n_communities",
+            "n_nodes",
+            (F.col("big_e") / 2).cast("long").alias("m"),
+            (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("modularity"),
+        )
+    )

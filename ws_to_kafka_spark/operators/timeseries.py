@@ -1312,3 +1312,83 @@ def q_ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4
         ).alias("v_last"),
     )
+
+
+@register(
+    "q_ts_snaive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT a.event_type, a.n, b.n AS forecast
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(ABS(n - forecast)) AS BIGINT) AS abs_err_total,
+           FLOOR(SUM(ABS(n - forecast)) * 1000000.0 / COUNT(*) + 0.5)
+             / 1000000 AS mae,
+           FLOOR(SUM(n - forecast) * 1000000.0 / COUNT(*) + 0.5)
+             / 1000000 AS bias
+    FROM scored GROUP BY event_type
+    """,
+)
+def q_ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (event_type, day)
+    count with the count from the SAME WEEKDAY one week earlier, score
+    MAE and signed bias per series — the baseline every forecasting
+    pipeline must beat, and the evaluation-harness shape (forecast ⋈
+    actuals -> error aggregate) any model backtest reuses.
+
+    The lag is by CALENDAR date (equi-join on day-7), never by row
+    offset — gap days must break the pairing, not silently shift it
+    (the LAG(7 ROWS) formulation is wrong on sparse series). Counts are
+    exact integers, so error sums are exact and only the final mean
+    divides — floor-scale displayed (integer/integer means land on
+    half-way points routinely; bias can be negative, and floor(x+0.5)
+    rounds identically on both engines there).
+
+    Scale: one grouped count on (type, day) — map-side combined — and a
+    self equi-join on the same key, co-partitioned; output is one row
+    per series. Hot series shard by day first (the count), so no key
+    sees more than its day-domain rows.
+    """
+    events = tables.load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    prior = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("n").alias("forecast"),
+    )
+    scored = daily.join(prior, ["event_type", "day"])
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("n") - F.col("forecast"))).alias("abs_err_total"),
+        (
+            F.floor(
+                F.sum(F.abs(F.col("n") - F.col("forecast")))
+                * F.lit(1000000.0)
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mae"),
+        (
+            F.floor(
+                F.sum(F.col("n") - F.col("forecast"))
+                * F.lit(1000000.0)
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("bias"),
+    )
