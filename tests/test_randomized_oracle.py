@@ -1474,3 +1474,40 @@ def test_clustering_coefficient_matches_oracle_on_random_graphs(
         for r in cur.fetchall()
     )
     assert got == want
+
+
+# LOO target encoding degenerate categories: a priority level with
+# exactly ONE order has no leave-one-out mean — (S-own)/(n-1) must
+# NULL on both engines (ANSI nullif), and tied totals must encode
+# identically under any aggregation order (exact integer cents).
+_te_row = st.tuples(
+    st.integers(min_value=0, max_value=4),               # priority bucket
+    st.sampled_from([100, 100, 2550, 999999]),            # cents (ties)
+)
+_te_table = st.lists(_te_row, min_size=1, max_size=14)
+
+
+@given(_te_table)
+@_SETTINGS
+def test_target_encode_singleton_categories_match_oracle(
+    spark, tmp_path_factory, rows
+):
+    from datetime import datetime
+
+    data = [
+        (i, i % 3, "O", cents / 100.0, datetime(1995, 1, 1), f"{p}-PRIO")
+        for i, (p, cents) in enumerate(rows)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_te"))
+    spark.createDataFrame(
+        data,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
+    )
+    _run_spec_vs_oracle(spark, con, "q_feat_target_encode", sf_dir)

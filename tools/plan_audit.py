@@ -65,6 +65,7 @@ EXPECTED_NESTED_LOOP = {
     "q_win_ratio",  # orders × broadcast 1-row grand-total frame
     "q_orders_abc",  # ranked customers × broadcast 1-row revenue total
     "q_graph_modularity",  # 1-row stats × broadcast 1-row E/n frames
+    "q_sample_negative",  # orders × broadcast 1-row max-partkey frame
 }
 
 # Queries whose plan contains a Window/Sort over Exchange SinglePartition

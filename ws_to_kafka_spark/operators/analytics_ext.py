@@ -2725,3 +2725,65 @@ def q_orders_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_share"),
         abc.alias("abc_class"),
     )
+
+
+@register(
+    "q_feat_target_encode",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), grp AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM obs GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, g.n AS category_n,
+           FLOOR(CAST(g.s - o.cents AS DOUBLE)
+                 / NULLIF(g.n - 1, 0) / 100.0 * 10000 + 0.5) / 10000
+             AS target_enc
+    FROM obs o JOIN grp g USING (o_orderpriority)
+    """,
+)
+def q_feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each order's priority category is
+    replaced by the mean order value of the OTHER members of that
+    category — the standard high-cardinality categorical feature
+    (Micci-Barreca 2001) with the LOO correction that prevents the row
+    leaking its own target into its feature.
+
+    Exactness: targets accumulate as exact integer cents; the LOO mean
+    (S - own)/(n - 1) is one division of exact longs, nullif-guarded
+    for singleton categories (NULL on both engines — ANSI-safe), then
+    floor-scale displayed in dollars.
+
+    Scale: one map-side-combined aggregate over the category key + one
+    broadcast-able join back (the category dimension is tiny by
+    definition of the encoding — if it weren't, you'd hash it,
+    q_feat_hashing). No windows, no per-row state.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    obs = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    grp = obs.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    loo = (
+        (F.col("s") - F.col("cents")).cast("double")
+        / F.nullif(F.col("n") - 1, F.lit(0))
+        / 100.0
+    )
+    return obs.join(F.broadcast(grp), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("n").alias("category_n"),
+        (F.floor(loo * 10000 + F.lit(0.5)) / 10000).alias("target_enc"),
+    )

@@ -1614,3 +1614,85 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_types",
         (F.floor(oov * 1000000 + F.lit(0.5)) / 1000000).alias("oov_rate"),
     )
+
+
+_NEG_K = 3           # negatives per order
+_NEG_A = 48271       # MINSTD multiplier: o*A fits int64 for o < 1.9e14
+_NEG_B = 16807
+_NEG_P = 2147483647  # 2^31 - 1
+
+
+@register(
+    "q_sample_negative",
+    oracle=f"""
+    WITH mx AS (
+      SELECT CAST(MAX(p_partkey) AS BIGINT) AS max_pk FROM part
+    ), cand AS (
+      SELECT o.o_orderkey,
+             CAST((o.o_orderkey * {_NEG_A} + t.i * {_NEG_B})
+                  % {_NEG_P} % mx.max_pk + 1 AS BIGINT) AS neg_partkey,
+             CAST(t.i AS BIGINT) AS slot
+      FROM orders o
+      CROSS JOIN mx
+      CROSS JOIN UNNEST(range(1, {_NEG_K + 1})) AS t(i)
+    )
+    SELECT c.o_orderkey, c.slot, c.neg_partkey
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = c.o_orderkey AND l.l_partkey = c.neg_partkey
+    )
+    """,
+)
+def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling: for every order, {k} candidate
+    parts drawn by an LCG of (orderkey, slot), keeping only candidates
+    the order did NOT purchase — the contrastive-pair generation step of
+    every two-tower / recsys / embedding training pipeline, with the
+    q_corpus_shuffle determinism argument (``rand()`` re-rolls on task
+    retry; the LCG of stable keys never does; collisions with true
+    positives drop by the same verified rule on both engines, so the
+    effective negative count per order is data-dependent and exact).
+
+    Integer bounds: MINSTD constants keep ``o_orderkey * A`` exact in
+    int64 for keys < 1.9e14 (vs the corpus-shuffle Knuth multiplier's
+    3.5e9 bound — chosen smaller here precisely because orderkeys grow
+    faster than doc ids; ANSI overflow fails loud past it).
+
+    Scale: candidates are generated map-side (explode of a {k}-literal
+    sequence — no shuffle); the verification is ONE left-anti join
+    keyed (orderkey, partkey) — co-partitioned with the fact table's
+    natural layout, the same exchange any order-grain join pays. The
+    1-row max-partkey frame broadcasts.
+    """
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    mx = tables.load(spark, sf_dir, "part").agg(
+        F.max("p_partkey").cast("long").alias("max_pk")
+    )
+    cand = (
+        orders.crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("slot"),
+            "max_pk",
+        )
+        .select(
+            "o_orderkey",
+            F.col("slot").cast("long").alias("slot"),
+            (
+                (F.col("o_orderkey") * _NEG_A + F.col("slot") * _NEG_B)
+                % _NEG_P
+                % F.col("max_pk")
+                + 1
+            ).alias("neg_partkey"),
+        )
+    )
+    return cand.join(
+        li,
+        (cand["o_orderkey"] == li["l_orderkey"])
+        & (cand["neg_partkey"] == li["l_partkey"]),
+        "left_anti",
+    ).select("o_orderkey", "slot", "neg_partkey")
