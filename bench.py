@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ws_to_kafka_spark.operators import QUERIES  # noqa: E402
+from ws_to_kafka_spark.operators import distributed  # noqa: E402
 from ws_to_kafka_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,7 +88,11 @@ HEADLINE = (
 def run_once(spark, name: str, sf_dir: str) -> float:
     start = time.perf_counter()
     QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - start
+    elapsed = time.perf_counter() - start
+    # Rank passes cache their range exchange; release between queries so
+    # a long bench session doesn't accumulate executor storage.
+    distributed.release_persisted()
+    return elapsed
 
 
 def compare_to_baseline(per_query: dict[str, float], sf: float):
@@ -197,7 +202,23 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001 - bench must still emit batch numbers
         payload["streaming"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    print(json.dumps(payload))
+    # Emit the one machine-readable line ONLY after the JVM is down:
+    # round 6's BENCH artifact came back "parsed: null" because a
+    # late-arriving `WARN DAGScheduler` line (the JVM writes to the same
+    # fd 1 asynchronously) interleaved into the middle of the JSON
+    # payload. spark.stop() joins the JVM logging before we print, and the
+    # explicit flush puts the payload in one write. A file copy at
+    # BENCH_LAST.json is the belt-and-braces channel.
+    line = json.dumps(payload)
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - stop() failure must not void the numbers
+        pass
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LAST.json"), "w") as fh:
+        fh.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -7,7 +7,7 @@ real deployment exercises exactly the untested path: the
 ``key``/``value``/``timestamp`` column contract as Kafka actually stores
 it. Wherever a broker exists, run::
 
-    KAFKA_BOOTSTRAP=localhost:9092 python -m pytest tests/test_kafka_integration.py
+    KAFKA_BOOTSTRAP=localhost:9092 python -m pytest integration/test_kafka_live.py
 
 Requirements in that environment (both public artifacts):
 
@@ -17,8 +17,11 @@ Requirements in that environment (both public artifacts):
   ``spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>``
   — set ``KAFKA_CONNECTOR_PACKAGE`` to override the coordinates.
 
-Skipped (not failed) when ``KAFKA_BOOTSTRAP`` is unset so the default
-suite stays broker-free.
+Lives OUTSIDE tests/ so the default suite (``pytest tests/``) collects
+zero skips; when ``KAFKA_BOOTSTRAP`` is unset this module still skips
+rather than fails, so an accidental collection stays green. The
+cannot-skip twin asserting the same key/value/timestamp contract on
+real rows is tests/test_streaming.py::test_pipeline_foreach_batch_parquet.
 """
 
 from __future__ import annotations

@@ -157,3 +157,103 @@ def test_global_row_number_and_ntile_match_window_functions(
         ).collect()
     }
     assert got_rows == want_rows
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # sort value (ties!)
+            st.integers(min_value=0, max_value=10**6),  # unique-ish id
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=2, max_value=7),  # tile count
+    st.booleans(),  # ascending?
+)
+@settings(max_examples=8, deadline=None)
+def test_global_ntile_matches_window_ntile(spark, rows, tiles, asc):
+    """global_ntile must equal NTILE(t) over the same total order — the
+    boundary-tuple shortcut has sharp corners the window version doesn't:
+    boundary ranks that REPEAT when n < tiles, tie groups straddling
+    range-partition boundaries, and the empty-input null column."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ws_to_kafka_spark.operators.distributed import (
+        global_ntile,
+        release_persisted,
+    )
+
+    df = spark.createDataFrame(rows or [(0, 0)], schema="v long, id long")
+    if not rows:
+        df = df.filter(F.lit(False))
+    got = {
+        r["id"]: r["t"]
+        for r in global_ntile(
+            df, [("v", asc), ("id", True)], tiles, "t", num_parts=5
+        ).collect()
+    }
+    release_persisted()
+    w = W.orderBy(F.col("v").asc() if asc else F.col("v").desc(), "id")
+    want = {
+        r["id"]: r["t"]
+        for r in df.select("id", F.ntile(tiles).over(w).alias("t")).collect()
+    }
+    assert got == want  # both empty-dict when the input has zero rows
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # axis 1 value
+            st.integers(min_value=0, max_value=9),  # axis 2 value (dense ties)
+            st.integers(min_value=0, max_value=10**6),  # unique-ish id
+        ),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[2],
+    ),
+    st.integers(min_value=2, max_value=6),  # tile count
+)
+@settings(max_examples=8, deadline=None)
+def test_global_ntile_multi_matches_per_axis_window_ntile(spark, rows, tiles):
+    """global_ntile_multi fuses all axes into ONE range exchange; every
+    axis column must still equal its own independent NTILE(t) — with a
+    mixed asc/desc axis set exercising the negate-to-ascend encoding."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ws_to_kafka_spark.operators.distributed import (
+        global_ntile_multi,
+        release_persisted,
+    )
+
+    df = spark.createDataFrame(
+        rows or [(0, 0, 0)], schema="a long, b long, id long"
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    got = {
+        r["id"]: (r["ta"], r["tb"])
+        for r in global_ntile_multi(
+            df,
+            [("a", True, "ta"), ("b", False, "tb")],
+            tiles,
+            tiebreak="id",
+            num_parts=5,
+        ).collect()
+    }
+    release_persisted()
+    wa = W.orderBy(F.col("a").asc(), F.col("id").asc())
+    wb = W.orderBy(F.col("b").desc(), F.col("id").asc())
+    want = {
+        r["id"]: (r["ta"], r["tb"])
+        for r in df.select(
+            "id",
+            F.ntile(tiles).over(wa).alias("ta"),
+            F.ntile(tiles).over(wb).alias("tb"),
+        ).collect()
+    }
+    assert got == want

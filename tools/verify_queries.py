@@ -24,6 +24,7 @@ import duckdb
 sys.path.insert(0, ".")
 
 from ws_to_kafka_spark.operators import QUERIES  # noqa: E402
+from ws_to_kafka_spark.operators import distributed  # noqa: E402
 from ws_to_kafka_spark.session import get_spark  # noqa: E402
 from ws_to_kafka_spark.tables import TABLE_NAMES  # noqa: E402
 
@@ -94,6 +95,9 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report and continue
             status = f"ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
         ok = status.startswith(("match", "rows-only"))
+        # Release rank-pass caches between queries (see distributed.py):
+        # the full-registry run builds 240+ plans in one session.
+        distributed.release_persisted()
         failures += 0 if ok else 1
         results[name] = {"ok": ok, "status": status}
         print(f"{'PASS' if ok else 'FAIL'}  {name:24s} {status}", flush=True)

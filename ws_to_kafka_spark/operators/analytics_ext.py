@@ -14,7 +14,16 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import tables
-from .distributed import global_row_number, ntile_from_rank
+from .distributed import (
+    _PERSISTED as _track_persisted_list,
+    global_ntile_multi,
+    global_row_number,
+)
+
+
+def _track_persisted(df):
+    """Register a caller-persisted frame for release_persisted()."""
+    _track_persisted_list.append(df)
 from .registry import register
 
 
@@ -2169,29 +2178,37 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("monetary_cents"),
     )
-    anchor = per_cust.agg(F.max("last_day").alias("max_day"))
+    # max(per-customer last_day) == max(order date): anchor from the raw
+    # table skips a second pass over the per-customer aggregation.
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("max_day")
+    )
     rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
         "o_custkey",
         F.datediff("max_day", "last_day").cast("long").alias("recency_days"),
         "frequency",
         "monetary_cents",
     )
-    n_frame = rfm.agg(F.count("*").alias("_n_cust"))
-    ranked = global_row_number(
-        rfm, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "_rk_r"
+    # One persisted per-customer frame feeds all three quintile passes
+    # (the r5->r6 regression was range-exchanging an ever-wider chained
+    # frame per axis). NTILE only needs the 4 boundary TUPLES per axis —
+    # order statistics, i.e. metadata — so ``global_ntile`` exchanges a
+    # slim 2-column projection per axis, collects O(parts) counts plus 4
+    # boundary rows, and assigns the quintile MAP-SIDE with broadcast
+    # comparisons: no global rank, no joins, no window in the final plan.
+    rfm = rfm.persist()
+    _track_persisted(rfm)
+    ranked = global_ntile_multi(
+        rfm,
+        [
+            ("recency_days", True, "r_quintile"),
+            ("frequency", False, "f_quintile"),
+            ("monetary_cents", False, "m_quintile"),
+        ],
+        5,
+        tiebreak="o_custkey",
     )
-    ranked = global_row_number(
-        ranked,
-        [F.col("frequency").desc(), F.col("o_custkey").asc()],
-        "_rk_f",
-    )
-    ranked = global_row_number(
-        ranked,
-        [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
-        "_rk_m",
-    )
-    n = F.col("_n_cust")
-    scored = ranked.crossJoin(F.broadcast(n_frame)).select(
+    scored = ranked.select(
         "o_custkey",
         "recency_days",
         "frequency",
@@ -2202,9 +2219,9 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 100
         ).alias("monetary"),
-        ntile_from_rank(F.col("_rk_r"), n, 5).alias("r_quintile"),
-        ntile_from_rank(F.col("_rk_f"), n, 5).alias("f_quintile"),
-        ntile_from_rank(F.col("_rk_m"), n, 5).alias("m_quintile"),
+        "r_quintile",
+        "f_quintile",
+        "m_quintile",
     )
     segment = (
         F.when(
