@@ -232,6 +232,121 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_drift_ks",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS b
+      FROM orders
+    ), g AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS c1, CAST(SUM(b) AS BIGINT) AS c2
+      FROM cents GROUP BY v
+    ), c AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS s1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS s2
+      FROM g
+    ), tot AS (
+      SELECT MAX(s1) AS n_a, MAX(s2) AS n_b FROM c
+    ), gap AS (
+      SELECT c.v, abs(c.s1 * tot.n_b - c.s2 * tot.n_a) AS gp,
+             tot.n_a AS n_a, tot.n_b AS n_b
+      FROM c CROSS JOIN tot
+    ), mx AS (SELECT MAX(gp) AS m FROM gap)
+    SELECT MAX(n_a) AS n_a,
+           MAX(n_b) AS n_b,
+           MIN(v) AS ks_at,
+           floor(MAX(gp) / NULLIF(MAX(n_a) * MAX(n_b), 0)
+                 * 1000000 + 0.5) / 1000000 AS ks_stat
+    FROM gap WHERE gp = (SELECT m FROM mx)
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test: the exact KS statistic
+    (sup-norm CDF gap) between the order-price distributions of finished
+    ('F') vs open/pending orders, plus the price point where the gap
+    peaks — the sharper companion to q_drift_psi for detecting corpus
+    drift between ingest batches (KS localizes WHERE distributions
+    diverge; PSI only scores how much).
+
+    Exactness: prices quantize to integer cents; per-value group counts
+    and both cumulative counts are exact longs, and the CDF gap is
+    compared CROSS-MULTIPLIED (|s1*n_b - s2*n_a|, max ~1e10 at sf1 —
+    far inside long range) so the max and its argmin price are decided
+    in integer arithmetic on both engines; the single double division
+    happens once on the final scalar, floor-scale rounded to 6dp on both
+    sides (registry convention). Empty side -> NULL via the nullif
+    guard (ANSI divide-by-zero trap).
+
+    Scale: groupBy(v) collapses the scan to distinct price points with
+    map-side combine; the two-sample CDF is TWO distributed prefix sums
+    riding ONE range exchange (:func:`distributed.global_row_number`
+    ``extra_sums`` — per-partition totals collected as metadata, no
+    single-partition window, no self-join); totals come free as the
+    final cumsums. Everything after the exchange is aggregation over
+    the distinct-values frame.
+    """
+    from .distributed import global_row_number
+
+    orders = tables.load(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        F.when(is_f, F.lit(1)).otherwise(F.lit(0)).alias("a"),
+        F.when(is_f, F.lit(0)).otherwise(F.lit(1)).alias("b"),
+    )
+    g = cents.groupBy("v").agg(
+        F.sum("a").cast("long").alias("c1"),
+        F.sum("b").cast("long").alias("c2"),
+    )
+    cum = global_row_number(
+        g,
+        [F.col("v").asc()],
+        out="_rn",
+        sum_col="c1",
+        sum_out="s1",
+        extra_sums=[("c2", "s2")],
+    )
+    tot = cum.agg(F.max("s1").alias("n_a"), F.max("s2").alias("n_b"))
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("s1") * F.col("n_b") - F.col("s2") * F.col("n_a")
+        ).alias("gp"),
+    )
+    mx = gap.agg(F.max("gp").alias("m"))
+    return (
+        gap.crossJoin(F.broadcast(mx))
+        .filter(F.col("gp") == F.col("m"))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.min("v").alias("ks_at"),
+            F.max("gp").alias("_g"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_at",
+            (
+                F.floor(
+                    F.col("_g")
+                    / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("ks_stat"),
+        )
+    )
+
+
 # log10(1 + 1/d) for d = 1..9, precomputed to 6dp so the expectation is a
 # pure literal on both engines (no libm in the comparison path)
 _BENFORD = (0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
