@@ -174,15 +174,18 @@ def test_global_row_number_and_ntile_match_window_functions(
 )
 @settings(max_examples=8, deadline=None)
 def test_global_ntile_matches_window_ntile(spark, rows, tiles, asc):
-    """global_ntile must equal NTILE(t) over the same total order — the
-    boundary-tuple shortcut has sharp corners the window version doesn't:
-    boundary ranks that REPEAT when n < tiles, tie groups straddling
-    range-partition boundaries, and the empty-input null column."""
+    """Single-axis global_ntile_multi must equal NTILE(t) over the same
+    total order — the sample-and-refine selection has sharp corners the
+    window version doesn't: boundary ranks that REPEAT when n < tiles,
+    tie groups split across partitions, bracket windows that span
+    partitions, and the empty-input null column. samples_per_part=2
+    forces real bracketing (coarse samples, non-trivial refine windows)
+    instead of the every-row-sampled degenerate path."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from ws_to_kafka_spark.operators.distributed import (
-        global_ntile,
+        global_ntile_multi,
         release_persisted,
     )
 
@@ -191,8 +194,8 @@ def test_global_ntile_matches_window_ntile(spark, rows, tiles, asc):
         df = df.filter(F.lit(False))
     got = {
         r["id"]: r["t"]
-        for r in global_ntile(
-            df, [("v", asc), ("id", True)], tiles, "t", num_parts=5
+        for r in global_ntile_multi(
+            df, [("v", asc, "t")], tiles, tiebreak="id", samples_per_part=2
         ).collect()
     }
     release_persisted()
@@ -219,9 +222,10 @@ def test_global_ntile_matches_window_ntile(spark, rows, tiles, asc):
 )
 @settings(max_examples=8, deadline=None)
 def test_global_ntile_multi_matches_per_axis_window_ntile(spark, rows, tiles):
-    """global_ntile_multi fuses all axes into ONE range exchange; every
-    axis column must still equal its own independent NTILE(t) — with a
-    mixed asc/desc axis set exercising the negate-to-ascend encoding."""
+    """global_ntile_multi computes all axes in the SAME two narrow
+    passes; every axis column must still equal its own independent
+    NTILE(t) — with a mixed asc/desc axis set exercising the
+    negate-to-ascend encoding."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -242,7 +246,7 @@ def test_global_ntile_multi_matches_per_axis_window_ntile(spark, rows, tiles):
             [("a", True, "ta"), ("b", False, "tb")],
             tiles,
             tiebreak="id",
-            num_parts=5,
+            samples_per_part=2,
         ).collect()
     }
     release_persisted()

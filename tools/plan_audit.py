@@ -50,6 +50,7 @@ EXPECTED_NESTED_LOOP = {
     "q_join_bloom",  # probe × broadcast 1-row bloom-bitset frame (16 KiB)
     "q_mix_sample",  # per-lang rates × broadcast 1-row token-total frame
     "q_drift_psi",  # 10-row bucket counts × broadcast 1-row totals frame
+    "q_drift_ks",  # distinct-price CDF × broadcast 1-row totals/max frames
     "q_sim_centroid",  # corpus × broadcast #labels centroid frame (argmax scoring)
     "q_agg_countmin",  # probe keys × broadcast 1-row stream-total frame
     "q_ts_similarity",  # user profiles × broadcast bounded query-user set

