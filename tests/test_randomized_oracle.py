@@ -658,7 +658,15 @@ def test_quantile_thresholds_match_oracle_on_tied_prices(
         "CREATE VIEW orders AS SELECT * FROM "
         f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
     )
-    for qname in ("q_quantile_buckets", "q_feat_winsorize", "q_drift_psi"):
+    for qname in (
+        "q_quantile_buckets",
+        "q_feat_winsorize",
+        "q_drift_psi",
+        # KS rides the same table: all-one-status inputs (empty sample ->
+        # NULL ks_stat via nullif on both engines), tie-heavy prices (max
+        # CDF gap achieved at several values -> min-v argmin must agree)
+        "q_drift_ks",
+    ):
         _run_spec_vs_oracle(spark, con, qname, sf_dir)
 
 

@@ -51,6 +51,7 @@ EXPECTED_NESTED_LOOP = {
     "q_mix_sample",  # per-lang rates × broadcast 1-row token-total frame
     "q_drift_psi",  # 10-row bucket counts × broadcast 1-row totals frame
     "q_drift_ks",  # distinct-price CDF × broadcast 1-row totals/max frames
+    "q_ab_chi2",  # 15-row contingency cells × broadcast 1-row grand total
     "q_sim_centroid",  # corpus × broadcast #labels centroid frame (argmax scoring)
     "q_agg_countmin",  # probe keys × broadcast 1-row stream-total frame
     "q_ts_similarity",  # user profiles × broadcast bounded query-user set

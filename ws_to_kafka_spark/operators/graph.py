@@ -772,6 +772,113 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ROUNDS = 3
+
+_LPA_ROUND_SQL = """
+    , c{i} AS (
+      SELECT e.u AS v, l.lbl, COUNT(*) AS cnt
+      FROM edges e JOIN lab{prev} l ON l.v = e.v
+      GROUP BY e.u, l.lbl
+    ), lab{i} AS (
+      SELECT v, lbl FROM (
+        SELECT v, lbl,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "q_graph_label_prop",
+    oracle=f"""
+    WITH half AS (
+      {_COMP_EDGE_SQL}
+    ), edges AS (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ), lab0 AS (
+      SELECT DISTINCT u AS v, u AS lbl FROM edges
+    )
+    {"".join(_LPA_ROUND_SQL.format(i=i, prev=i - 1)
+             for i in range(1, _LPA_ROUNDS + 1))}
+    SELECT lbl AS community_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM lab{_LPA_ROUNDS} GROUP BY lbl
+    """,
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the part co-purchase graph: {_LPA_ROUNDS} fixed
+    sync rounds where every node adopts the most frequent label among
+    its neighbors (ties -> smallest label), then the community-size
+    histogram — the cheap community detector whose output
+    q_graph_modularity scores.
+
+    Determinism: classic LPA is order-dependent; this is the
+    deterministic variant — SYNCHRONOUS updates (all nodes step on the
+    round-i labels), a FIXED round count, and a total tie order
+    (max count, then min label) — so both engines compute the identical
+    labeling and the oracle can unroll the rounds as {_LPA_ROUNDS}
+    join+argmax SQL stages (aggregation inside recursion is not legal
+    SQL, so the loop unrolls instead).
+
+    Scale: the edge index is the shared persisted `coorder_part_edges`
+    frame (pre-partitioned on u — triangles/components/kcore reuse it);
+    each round is one join moving only the O(|V|) label side plus a
+    per-NODE window (keyed, never global), localCheckpoint()ed to keep
+    lineage flat (module convention for iterative ops). Round count is
+    a constant, so the whole operator is {_LPA_ROUNDS} bounded shuffles
+    regardless of graph size.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def build_edges() -> DataFrame:
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        half = (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= _COMP_MIN_COORDERS)
+            .select("u", "v")
+        )
+        return (
+            half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition("u")
+        )
+
+    edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
+    labels = edges.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(
+                labels.select(F.col("v").alias("_nv"), "lbl"),
+                F.col("_nv") == F.col("v"),
+            )
+            .groupBy(F.col("u").alias("nv"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(
+                W.partitionBy("nv").orderBy(
+                    F.col("cnt").desc(), F.col("lbl").asc()
+                )
+            ))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nv").alias("v"), "lbl")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community_id"))
+        .agg(F.count("*").alias("n_nodes"))
+        .select("community_id", "n_nodes")
+    )
+
+
 @register(
     "q_graph_jaccard",
     oracle="""

@@ -719,6 +719,102 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ab_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ), rows_ AS (
+      SELECT pri, CAST(SUM(obs) AS BIGINT) AS r FROM cells GROUP BY pri
+    ), cols_ AS (
+      SELECT status, CAST(SUM(obs) AS BIGINT) AS c FROM cells
+      GROUP BY status
+    ), tot AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells
+    )
+    SELECT cells.pri, cells.status, cells.obs,
+           floor(CAST(rows_.r * cols_.c AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS expected,
+           floor((CAST(cells.obs AS DOUBLE)
+                  - CAST(rows_.r * cols_.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * (CAST(cells.obs AS DOUBLE)
+                    - CAST(rows_.r * cols_.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 / NULLIF(CAST(rows_.r * cols_.c AS DOUBLE)
+                          / CAST(tot.n AS DOUBLE), 0)
+                 * 1000000 + 0.5) / 1000000 AS chi2_term
+    FROM cells
+    JOIN rows_ USING (pri) JOIN cols_ USING (status) CROSS JOIN tot
+    """,
+)
+def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and order
+    status: the observed contingency cell counts, the
+    independence-expected count r_i*c_j/n, and each cell's chi2
+    contribution (obs-exp)^2/exp — the categorical-association monitor
+    completing the drift/test family (PSI scores a 1-D shift, KS
+    localizes it, chi2 catches CROSS-FIELD dependence drift, e.g. a
+    corpus where language and source stop being independent).
+
+    Exactness: cell counts, row/col totals and n are exact longs; exp
+    and the chi2 term are FIXED TREES of IEEE double ops written with
+    identical association in both engines (the q_ab_ttest discipline),
+    floor-scale rounded at 6dp. Cells are enumerated from the observed
+    contingency table (a structurally-zero cell contributes no row —
+    both engines enumerate the same set). exp > 0 whenever a cell
+    exists (its row and column totals are >= obs >= 1); the nullif
+    guard is belt-and-braces for the ANSI divide.
+
+    Scale: one conditional-aggregate scan to the contingency table
+    (bounded: |priorities| x |statuses| rows), then all totals derive
+    from THAT table (never a second fact scan) and join back broadcast
+    — the whole statistic is metadata-sized after one pass, the same
+    sufficient-statistics argument as q_ab_lift/q_ab_ttest.
+    """
+    orders = tables.load(spark, sf_dir, "orders")
+    from .distributed import _PERSISTED
+
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").cast("long").alias("obs"))
+    # persisted so rows_/cols_/tot derive from the 15-row contingency
+    # table instead of re-scanning orders once each; released by the
+    # harnesses via distributed.release_persisted()
+    cells = cells.persist()
+    _PERSISTED.append(cells)
+    rows_ = cells.groupBy("pri").agg(F.sum("obs").cast("long").alias("r"))
+    cols_ = cells.groupBy("status").agg(
+        F.sum("obs").cast("long").alias("c")
+    )
+    tot = cells.agg(F.sum("obs").cast("long").alias("n"))
+    exp = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    diff = F.col("obs").cast("double") - exp
+    return (
+        cells.join(F.broadcast(rows_), "pri")
+        .join(F.broadcast(cols_), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pri",
+            "status",
+            "obs",
+            (F.floor(exp * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "expected"
+            ),
+            (
+                F.floor(
+                    diff * diff / F.nullif(exp, F.lit(0.0)) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@register(
     "q_skew_keys",
     oracle="""
     WITH per_key AS (

@@ -618,6 +618,111 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ts_crosscorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600
+                  AS BIGINT) AS h,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT * FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) t(lag)
+    ), pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM hourly a CROSS JOIN lags l
+      JOIN hourly b ON b.h = a.h + l.lag
+    ), m AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+           floor((n * sxy - sx * sy)
+                 / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0)
+                 * 1000000 + 0.5) / 1000000 AS r
+    FROM m
+    """,
+)
+def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two event series: Pearson r of
+    hourly click counts against error counts shifted by lag -3..+3 hours
+    — the lead/lag detector that tells an ops or feature team WHICH
+    series moves first and by how many buckets (q_ts_acf's two-series
+    sibling; lag 0 is plain correlation).
+
+    Exactness: the series are integer COUNTS, so all five moment sums
+    are exact longs; the Pearson quotient is assembled from them with
+    one double division and one sqrt — both IEEE-correctly-rounded, so
+    the engines agree bit-for-bit (unlike pow/ln, sqrt is exactly
+    specified; module-header convention). The variance factors are cast
+    to double BEFORE multiplying (their product overflows long at big
+    n), and a constant series nulls out via the nullif guard instead of
+    tripping ANSI divide-by-zero.
+
+    Scale: the raw scan collapses to the hourly frame FIRST (map-side
+    combine, one shuffle on the hour key — the frame is bounded by the
+    time span, not the event count); the 7-lag fan-out replicates only
+    that bounded frame and the self-join keys on the shifted hour, which
+    Catalyst resolves as a broadcast join at any realistic span. Moments
+    partial-aggregate per lag. At 100 TB of events this plan's cost is
+    the one scan.
+    """
+    events = _t(spark, sf_dir, "events")
+    hour = (
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+    ).cast("long")
+    hourly = events.groupBy(hour.alias("h")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("y"),
+    )
+    a = hourly.select(
+        "h",
+        "x",
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag"),
+    )
+    pairs = a.join(
+        hourly.select(F.col("h").alias("bh"), "y"),
+        F.col("bh") == F.col("h") + F.col("lag"),
+    ).select("lag", "x", "y")
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        (
+            F.floor(
+                num / F.nullif(den, F.lit(0.0)) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("r"),
+    )
+
+
+@register(
     "q_ts_changepoint",
     oracle="""
     WITH series AS (
