@@ -78,10 +78,16 @@ HEADLINE = (
     "q_embed_pca",                 # outer-product co-moments + 2 matvecs
     "q_graph_neighborhood",        # edges self-join + distinct 2-ball count
     # round-6 additions
-    "q_embed_knn_graph",           # all-pairs cosine + per-node top-k window
+    "q_embed_knn_graph",           # blocked exact matmul + two-level top-k
     "q_graph_clustering",          # triangle listing + per-corner aggregate
     "q_skew_keys",                 # distributed global rank (range + offsets)
     "q_corpus_shuffle",            # two-level (shard, pos) permutation
+    # round-7 additions
+    "q_drift_ks",                  # two-sample CDF via fused prefix sums
+    "q_ts_crosscorr",              # hourly series lag join + exact moments
+    "q_graph_label_prop",          # 3 sync LPA rounds over the edge index
+    "q_ab_chi2",                   # contingency cells + broadcast totals
+    "q_stream_session",            # per-user lag-gap session scan
 )
 
 

@@ -134,18 +134,19 @@ def test_global_row_number_and_ntile_match_window_functions(
         df = df.filter(F.lit(False))
     order = [F.col("v").asc(), F.col("id").asc()]
     got = global_row_number(
-        df, order, "rn", num_parts=5, sum_col="v", sum_out="cs"
+        df, order, "rn", num_parts=5, sum_col="v", sum_out="cs",
+        extra_sums=[("id", "cs2")],  # second prefix sum, SAME exchange
     )
     n_total = df.count()
     got_rows = {
-        r["id"]: (r["rn"], r["cs"], r["tile"])
+        r["id"]: (r["rn"], r["cs"], r["cs2"], r["tile"])
         for r in got.withColumn(
             "tile", ntile_from_rank(F.col("rn"), F.lit(n_total), tiles)
         ).collect()
     }
     w = W.orderBy(*order)
     want_rows = {
-        r["id"]: (r["rn"], r["cs"], r["tile"])
+        r["id"]: (r["rn"], r["cs"], r["cs2"], r["tile"])
         for r in df.select(
             "id",
             F.row_number().over(w).cast("long").alias("rn"),
@@ -153,6 +154,10 @@ def test_global_row_number_and_ntile_match_window_functions(
             .over(w.rowsBetween(W.unboundedPreceding, 0))
             .cast("long")
             .alias("cs"),
+            F.sum("id")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cs2"),
             F.ntile(tiles).over(w).alias("tile"),
         ).collect()
     }

@@ -643,6 +643,44 @@ def test_stateful_running_max(spark, tmp_path, event_frames):
         server.close()
 
 
+def test_stateful_sessionize_counts_gap_sessions(spark, tmp_path, event_frames):
+    """Gap-based streaming sessionization: with a 120 s gap and the
+    fixture's 180 s per-user spacing, EVERY consecutive pair breaks —
+    4 sessions of 1 event per user; with a 300 s gap none break — 1
+    session of 4. Final per-key state must equal the lag-scan batch rule
+    (the q_stream_session twin's semantics) in both regimes."""
+    from ws_to_kafka_spark.streaming.ops import stateful_sessionize
+
+    for gap_s, want_sessions in ((120, 4), (300, 1)):
+        server = RecordingWsServer(frames_per_connection=event_frames)
+        stream = stateful_sessionize(
+            _typed_stream(spark, server.url), gap_us=gap_s * 1_000_000
+        )
+        qname = f"sessionize_{gap_s}"
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{gap_s}"))
+            .start()
+        )
+        try:
+            def final_state_ok():
+                rows = spark.sql(
+                    f"SELECT user_id, MAX(n_events) n, MAX(n_sessions) s "
+                    f"FROM {qname} GROUP BY user_id"
+                ).collect()
+                got = {r.user_id: (r.n, r.s) for r in rows}
+                return got == {u: (4, want_sessions) for u in (0, 1, 2)}
+
+            assert wait_until(final_state_ok, timeout=60), (
+                f"sessionize gap={gap_s}s never converged"
+            )
+        finally:
+            query.stop()
+            server.close()
+
+
 def test_stateful_zscore_flags_spike(spark, tmp_path):
     """Welford anomaly operator end-to-end: user 0 sends six calm values
     then a spike (z >> 3 against the prior stats) -> exactly one anomaly;

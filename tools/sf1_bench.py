@@ -58,6 +58,15 @@ HEAVY = {
     "q_dedup_clusters": 2.0,
     "q_text_repetition": 1.0,
     "q_graph_kcore": 1.0,
+    # round-7 additions: the NTILE rewrite (sample-and-refine selection,
+    # argued linear in the customer dim), the fused-prefix-sum KS
+    # (linear in distinct prices), LPA (3 bounded rounds over the edge
+    # index), and cross-correlation (hourly frame is span-bounded; the
+    # scan is the cost).
+    "q_orders_rfm": 1.0,
+    "q_drift_ks": 1.0,
+    "q_graph_label_prop": 1.0,
+    "q_ts_crosscorr": 1.0,
 }
 ROUNDS = 3
 

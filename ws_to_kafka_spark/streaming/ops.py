@@ -254,6 +254,78 @@ def stateful_zscore(
     )
 
 
+#: Event-time gap that closes a session (batch twin q_stream_session
+#: shares it) — 2 h in microseconds.
+_SESSION_GAP_US = 7_200 * 1_000_000
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_us: int = _SESSION_GAP_US,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState``: per-user
+    session COUNT and event count carried across microbatches, where a
+    new session opens when the event-time gap to the previous event
+    exceeds ``gap_us`` — the canonical arbitrary-state streaming
+    operator (gap-based sessions cannot be a fixed window; the boundary
+    depends on the data).
+
+    Semantics are EVENT-TIME gaps scored in (ts, event_id) order — the
+    same order contract as ``stateful_zscore``: arrival order equals
+    event-time order in the twins, and each batch is sorted explicitly
+    so a re-partitioned batch cannot reorder the gap scan. Late
+    (out-of-order ACROSS batches) data would need the watermarked
+    session-window form instead — that path is the oracle-checked
+    ``q_win_session``; this operator pins the O(1)-state streaming
+    equivalent whose final per-key output the batch twin
+    ``q_stream_session`` verifies.
+
+    Scale: one shuffle on user_id, state is three longs per key; each
+    event is O(1) — the batch formulation re-sorts history every run,
+    the stateful one amortizes it away, which is why sessionization is
+    the textbook stateful-streaming example.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, n_sessions long"
+    state_schema = "last_us long, n_sessions long, n_events long"
+
+    def update(key, pdfs, state: GroupState):
+        # last_us = -1 sentinel for "no prior event" (kept non-null so
+        # the state row round-trips without nullable-field surprises)
+        last_us, n_sessions, n_events = (
+            state.get if state.exists else (-1, 0, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                us = int(ts.value // 1000)  # pandas ns -> us
+                if last_us < 0 or us - last_us > gap_us:
+                    n_sessions += 1
+                n_events += 1
+                last_us = us
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
 def stream_stream_join(
     purchases: DataFrame,
     signups: DataFrame,
@@ -465,6 +537,62 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts NULLS FIRST, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 + SUM(CASE WHEN epoch_us(ts) - epoch_us(prev_ts)
+                                  > {_SESSION_GAP_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions
+    FROM ordered GROUP BY user_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`stateful_sessionize`: per-user session count
+    under the same event-time gap rule ({_SESSION_GAP_US} us), expressed
+    as a lag-window gap scan — final streaming state per key must equal
+    this (the streaming test asserts it), and the oracle pins the gap
+    semantics cross-engine, NULL-ts ordering included (NULLS FIRST
+    matches Spark's ascending default; a NULL gap is not a break on
+    either engine).
+
+    Scale: one shuffle on user_id serves the window and the aggregate
+    (same key, no second exchange); the lag scan is per-key sequential
+    with per-key parallelism — the module's standard ordered-op shape.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
+    prev = F.lag("ts").over(w)
+    # ts is TIMESTAMP_NTZ in the fixtures; the UTC-session cast is
+    # value-preserving and unix_micros matches DuckDB's epoch_us
+    # (timeseries module convention)
+    brk = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(prev.cast("timestamp"))
+        > F.lit(_SESSION_GAP_US)
+    )
+    return (
+        events.select(
+            "user_id",
+            F.when(brk, 1).otherwise(0).alias("brk"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.lit(1) + F.sum("brk")).cast("long").alias("n_sessions"),
+        )
     )
 
 
