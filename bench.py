@@ -88,6 +88,7 @@ HEADLINE = (
     "q_graph_label_prop",          # 3 sync LPA rounds over the edge index
     "q_ab_chi2",                   # contingency cells + broadcast totals
     "q_stream_session",            # per-user lag-gap session scan
+    "q_ab_bootstrap",              # 16x map-side replicate fan-out + agg
 )
 
 

@@ -1519,3 +1519,7 @@ def test_target_encode_singleton_categories_match_oracle(
         f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
     )
     _run_spec_vs_oracle(spark, con, "q_feat_target_encode", sf_dir)
+    # chi2 rides the same table: the FIXED 'O' status makes a degenerate
+    # one-column contingency (expected == observed, contribution 0) and
+    # tiny priority groups stress the exact integer r*c/n path
+    _run_spec_vs_oracle(spark, con, "q_ab_chi2", sf_dir)

@@ -67,6 +67,8 @@ HEAVY = {
     "q_drift_ks": 1.0,
     "q_graph_label_prop": 1.0,
     "q_ts_crosscorr": 1.0,
+    # bootstrap: scan + constant 16x map-side fan-out, one agg — linear
+    "q_ab_bootstrap": 1.0,
 }
 ROUNDS = 3
 

@@ -718,6 +718,141 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bootstrap: B half-sample replicates selected by a MINSTD LCG of the
+# event key (deterministic and engine-portable, the q_sample_negative
+# discipline); replicate means quantized to 1e-4-cent units by INTEGER
+# division so the across-replicate moments are exact longs.
+_BOOT_B = 16
+_BOOT_A = 48271
+_BOOT_M = 2147483647
+
+
+@register(
+    "q_ab_bootstrap",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), rep AS (
+      SELECT b.b, obs.cents
+      FROM obs CROSS JOIN (
+        SELECT UNNEST(range({_BOOT_B})) AS b
+      ) b
+      WHERE ((obs.event_id * {_BOOT_B} + b.b + 1) * {_BOOT_A})
+            % {_BOOT_M} < {_BOOT_M // 2}
+    ), means AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(cents) AS BIGINT) * 10000
+               // NULLIF(CAST(COUNT(*) AS BIGINT), 0) AS m
+      FROM rep GROUP BY b
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+             CAST(SUM(n_b) AS BIGINT) AS n_draws,
+             CAST(SUM(m) AS BIGINT) AS s1,
+             CAST(SUM(m * m) AS BIGINT) AS s2
+      FROM means
+    )
+    SELECT n_reps, n_draws,
+           floor(CAST(s1 AS DOUBLE) / NULLIF(CAST(n_reps AS DOUBLE), 0)
+                 / 1000000 * 1000000 + 0.5) / 1000000 AS boot_mean,
+           floor(sqrt(CAST(n_reps * s2 - s1 * s1 AS DOUBLE)
+                      / NULLIF(CAST(n_reps * (n_reps - 1) AS DOUBLE), 0))
+                 / 1000000 * 1000000 + 0.5) / 1000000 AS boot_se
+    FROM mom
+    """,
+)
+def q_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of the mean purchase value: {_BOOT_B}
+    deterministic half-sample replicates (each event joins replicate b
+    iff a MINSTD LCG of (event_id, b) lands in the lower half of the
+    modulus), each replicate's mean, and the across-replicate mean and
+    sample-std — the uncertainty quantification a metrics pipeline
+    attaches to every point estimate (q_ab_ttest's model-free sibling:
+    no normality assumption, just resampling).
+
+    Determinism (the hard part of resampling cross-engine): the
+    "random" inclusions are a pure integer LCG both engines compute
+    identically (bounds: event_id*B*A < 2^63 far past 100 TB key
+    ranges), and each replicate mean is quantized to 1e-4-cent units by
+    INTEGER division (floor on positives in both engines) so the
+    across-replicate moments are EXACT longs; the final sqrt/divides
+    are one fixed IEEE tree, floor-6 rounded. Empty replicates nullif
+    to NULL rather than tripping ANSI division.
+
+    Scale: the {_BOOT_B}x fan-out is map-side (explode of a literal
+    range) feeding ONE map-combined aggregate down to {_BOOT_B} rows —
+    the classic Poisson-bootstrap-on-MapReduce shape (Kleiner et al.'s
+    bag-of-little-bootstraps reduces the same way); the raw scan is
+    paid once regardless of B.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    obs = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    rep = obs.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).filter(
+        ((F.col("event_id") * _BOOT_B + F.col("b") + 1) * _BOOT_A)
+        % _BOOT_M
+        < _BOOT_M // 2
+    )
+    means = rep.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.expr("CAST(sum(cents) AS BIGINT) * 10000")
+        .alias("_s"),
+    ).select(
+        "b",
+        "n_b",
+        F.expr("_s div nullif(n_b, 0)").alias("m"),
+    )
+    mom = means.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum("n_b").cast("long").alias("n_draws"),
+        F.sum("m").cast("long").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("s2"),
+    )
+    return mom.select(
+        "n_reps",
+        "n_draws",
+        (
+            F.floor(
+                F.col("s1").cast("double")
+                / F.nullif(F.col("n_reps").cast("double"), F.lit(0.0))
+                / 1000000
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("boot_mean"),
+        (
+            F.floor(
+                F.sqrt(
+                    (
+                        F.col("n_reps") * F.col("s2")
+                        - F.col("s1") * F.col("s1")
+                    ).cast("double")
+                    / F.nullif(
+                        (
+                            F.col("n_reps") * (F.col("n_reps") - 1)
+                        ).cast("double"),
+                        F.lit(0.0),
+                    )
+                )
+                / 1000000
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("boot_se"),
+    )
+
+
 @register(
     "q_ab_chi2",
     oracle="""
