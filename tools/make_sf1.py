@@ -31,14 +31,19 @@ from pyspark.sql import functions as F  # noqa: E402
 from ws_to_kafka_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
+# default 10x; override with --copies N for further decades (sf3 ~ 30x)
 COPIES = 10
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "_scale/sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else "_scale/sf1"
+    n_copies = COPIES
+    if "--copies" in sys.argv:
+        n_copies = int(sys.argv[sys.argv.index("--copies") + 1])
     os.makedirs(out, exist_ok=True)
     spark = get_spark("make-sf1")
-    copies = spark.range(COPIES).select(F.col("id").alias("_c"))
+    copies = spark.range(n_copies).select(F.col("id").alias("_c"))
 
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
     orders = spark.read.parquet(f"{SRC}/orders.parquet")

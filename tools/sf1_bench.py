@@ -92,16 +92,22 @@ def main() -> None:
     out_path = "SF1_BENCH.json"
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    factor = 10
+    if "--factor" in sys.argv:
+        factor = int(sys.argv[sys.argv.index("--factor") + 1])
     spark = get_spark("sf1-bench")
-    names = list(HEAVY)
+    # optional subset (further-decade runs measure a hand-picked few):
+    # any extra positional args after the dir are query names
+    names = [a for a in args[1:] if a in HEAVY] or list(HEAVY)
     t01 = _time_all(spark, SF01, names)
     # clear per-corpus caches between scales so sf1 builds its own indexes
     spark.catalog.clearCache()
     t1 = _time_all(spark, sf1_dir, names)
-    result = {"sf0.1": t01, "sf1": t1, "scale_factor": 10, "queries": {}}
-    for n, pred_exp in HEAVY.items():
+    result = {"sf0.1": t01, "sf1": t1, "scale_factor": factor, "queries": {}}
+    for n in names:
+        pred_exp = HEAVY[n]
         ratio = round(t1[n] / t01[n], 2) if t01[n] else None
-        predicted = round(10 ** pred_exp, 1)
+        predicted = round(float(factor) ** pred_exp, 1)
         result["queries"][n] = {
             "sf0.1_sec": t01[n],
             "sf1_sec": t1[n],
