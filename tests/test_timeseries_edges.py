@@ -221,3 +221,62 @@ def test_m4_duplicate_timestamps_and_null_bucket(spark, edge_sf_dir):
     assert (b10.n_points, b10.v_min, b10.v_max) == (5, 1.0, 99.0)
     assert (b10.v_first, b10.v_last) == (2.0, 99.0)
     assert by_bucket[None].n_points == 1  # the NULL-ts row
+
+
+def test_hampel_dup_ts_and_null_ts_rows(spark, edge_sf_dir):
+    """Hampel on the edge corpus: duplicate-timestamp frames must pin
+    membership through the event_id tiebreak on both engines, the
+    NULL-ts row is excluded by the shared filter, and tiny end frames
+    (< 5 rows) use the available window identically. The error spike
+    (99.0 amid small views... different event_type) must NOT leak across
+    series: each event_type is its own partition."""
+    df = QUERIES["q_ts_hampel"].fn(spark, edge_sf_dir)
+    got = sorted(
+        (tuple(r) for r in df.select(sorted(df.columns)).collect()), key=str
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, ts, user_id, event_type, "
+        f"value, props FROM read_parquet('{edge_sf_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(QUERIES["q_ts_hampel"].oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = sorted(
+        (tuple(r[i] for i in order) for r in cur.fetchall()), key=str
+    )
+    assert got == want
+    rows = {r.event_id: r for r in df.collect()}
+    assert 7 not in rows  # NULL ts excluded
+    # 'view' series values are 2,4,1,3,5,6,7 — no outliers among them
+    # (MAD-scaled deviations stay under the threshold in 5-row frames)
+    assert not any(r.is_outlier for r in rows.values() if r.event_type == "view")
+    # repaired == value wherever not flagged
+    assert all(
+        r.repaired == r.value for r in rows.values() if not r.is_outlier
+    )
+
+
+def test_crosscorr_hour_bucket_edges(spark, edge_sf_dir):
+    """Cross-correlation on the edge corpus: the NULL-ts row must drop
+    from the hourly frame on BOTH engines (date_trunc(NULL) bucket is
+    excluded by the grouped-join shape producing no NULL-hour pair), and
+    with no 'click' events at all the pair frame may be empty — both
+    engines must return the same (possibly empty) lag rows rather than
+    diverge on NULL CDFs."""
+    df = QUERIES["q_ts_crosscorr"].fn(spark, edge_sf_dir)
+    got = sorted(
+        (tuple(r) for r in df.select(sorted(df.columns)).collect()), key=str
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, ts, user_id, event_type, "
+        f"value, props FROM read_parquet('{edge_sf_dir}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(QUERIES["q_ts_crosscorr"].oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = sorted(
+        (tuple(r[i] for i in order) for r in cur.fetchall()), key=str
+    )
+    assert got == want

@@ -1696,3 +1696,52 @@ def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (cand["neg_partkey"] == li["l_partkey"]),
         "left_anti",
     ).select("o_orderkey", "slot", "neg_partkey")
+
+
+_MANIFEST_SHARDS = 16
+
+
+@register(
+    "q_corpus_manifest",
+    oracle=f"""
+    SELECT doc_id % {_MANIFEST_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           MIN(md5(text)) AS min_md5,
+           MAX(md5(text)) AS max_md5
+    FROM documents GROUP BY 1
+    """,
+)
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-publishing manifest: the per-shard summary a pipeline
+    writes NEXT TO the dataset it ships — deterministic shard assignment
+    (doc_id mod {_MANIFEST_SHARDS}), document and byte totals, and
+    order-insensitive content anchors (min/max md5 of the text) that a
+    consumer re-derives to detect truncation, reordering-with-loss, or
+    silent corruption without re-reading counts from the producer.
+
+    Portability: md5 hex is the one content hash both engines spell
+    identically (the q_text_fingerprint choice); min/max over the hex
+    strings are order-insensitive and NULL-skipping on both, so the
+    manifest is reproducible from the data alone on any engine.
+
+    Scale: one scan, {_MANIFEST_SHARDS}-key partial-agg — the manifest
+    costs what a count(*) costs. Real shard files would be written with
+    ``partitionBy(shard)`` from the same projection; the manifest
+    aggregate IS the verification artifact for that layout.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (F.col("doc_id") % _MANIFEST_SHARDS).alias("shard"),
+            "n_chars",
+            F.md5(F.col("text")).alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.min("h").alias("min_md5"),
+            F.max("h").alias("max_md5"),
+        )
+    )

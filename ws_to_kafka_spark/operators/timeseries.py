@@ -723,6 +723,88 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ts_hampel",
+    oracle="""
+    WITH framed AS (
+      SELECT event_id, event_type, ts, value,
+             array_agg(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             ) AS vals
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), med AS (
+      SELECT *, list_sort(vals)[(len(vals) + 1) // 2] AS m FROM framed
+    ), mad AS (
+      SELECT *,
+             list_sort(list_transform(vals, v -> abs(v - m)))
+               [(len(vals) + 1) // 2] AS d
+      FROM med
+    )
+    SELECT event_id, event_type, ts, value,
+           m AS med,
+           abs(value - m) > 4.4478 * d AS is_outlier,
+           CASE WHEN abs(value - m) > 4.4478 * d THEN m
+                ELSE value END AS repaired
+    FROM mad
+    """,
+)
+def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: rolling-window robust outlier REPAIR — each point
+    is compared to its centered 5-row window median, flagged when the
+    absolute deviation exceeds 3 sigma-equivalents of the window MAD
+    (3 x 1.4826 = 4.4478, the Gaussian consistency constant as ONE
+    literal so both engines multiply identically), and repaired to the
+    median — the standard telemetry-cleaning step ahead of model
+    features (Pearson/Hampel 1974; q_win_rolling_median smooths, this
+    REPLACES only proven outliers and keeps everything else verbatim).
+
+    Determinism: median AND MAD are SELECTED elements of sorted frame
+    arrays (never interpolated — module convention), deviations are
+    differences of identical stored doubles, and the threshold compare
+    is one fixed IEEE expression — bit-identical cross-engine, boundary
+    ties included. Edge frames (< 5 rows at series ends) use the
+    available window on both engines.
+
+    Scale: one shuffle on event_type + local sort serves the window;
+    per-row state is the O(5) frame; the transform/sort/select chain is
+    JVM-side codegen. Same shape as every ordered per-key op here.
+    """
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    vals = F.collect_list("value").over(w)
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "event_type", "ts", "value", vals.alias("vals"))
+    )
+    mid = ((F.size("vals") + 1) / 2).cast("int")
+    base = base.withColumn(
+        "m", F.element_at(F.array_sort("vals"), mid)
+    ).withColumn(
+        "d",
+        F.element_at(
+            F.array_sort(
+                F.transform(F.col("vals"), lambda v: F.abs(v - F.col("m")))
+            ),
+            mid,
+        ),
+    )
+    flag = F.abs(F.col("value") - F.col("m")) > 4.4478 * F.col("d")
+    return base.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.col("m").alias("med"),
+        flag.alias("is_outlier"),
+        F.when(flag, F.col("m")).otherwise(F.col("value")).alias("repaired"),
+    )
+
+
+@register(
     "q_ts_changepoint",
     oracle="""
     WITH series AS (
