@@ -59,6 +59,7 @@ def global_row_number(
     sum_col: str | None = None,
     sum_out: str = "cumsum",
     extra_sums: list[tuple[str, str]] | None = None,
+    totals_out: dict | None = None,
 ) -> DataFrame:
     """Append ``out`` = 1-based global row_number under ``order_cols``
     (must be a TOTAL order — include a unique tiebreak column) without a
@@ -80,7 +81,11 @@ def global_row_number(
     ``extra_sums`` adds further ``(column, out_name)`` prefix-sum pairs
     riding the SAME exchange and count pass (the per-partition totals
     vector just grows one long per pair) — a two-sample CDF (q_drift_ks)
-    is two prefix sums over one total order, one exchange.
+    is two prefix sums over one total order, one exchange. Pass a dict
+    as ``totals_out`` to receive the GRAND totals driver-side for free
+    ({"_n": row count, <sum_out>: sum, ...} — they are the final
+    entries of the already-collected per-partition metadata), saving
+    callers a broadcast-aggregate job over the ranked frame.
 
     The frame is persisted before the count pass: ``spark_partition_id``
     must observe the SAME physical partitioning in the count pass and
@@ -119,6 +124,10 @@ def global_row_number(
             sum_offs[i].append(sum_accs[i])
             if pid in stats:
                 sum_accs[i] += stats[pid][f"_s{i}"] or 0
+    if totals_out is not None:
+        totals_out["_n"] = acc
+        for i, (_, o) in enumerate(pairs):
+            totals_out[o] = sum_accs[i]
     w_pid = W.partitionBy("_rank_pid").orderBy(*order_cols)
     local = F.row_number().over(w_pid)
     offset = F.element_at(

@@ -303,6 +303,10 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").cast("long").alias("c1"),
         F.sum("b").cast("long").alias("c2"),
     )
+    # Grand totals come back driver-side for FREE from the prefix-sum
+    # metadata (totals_out) — they were a broadcast-aggregate job over
+    # the ranked frame before, one of five actions this query paid.
+    totals: dict = {}
     cum = global_row_number(
         g,
         [F.col("v").asc()],
@@ -310,14 +314,15 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_col="c1",
         sum_out="s1",
         extra_sums=[("c2", "s2")],
+        totals_out=totals,
     )
-    tot = cum.agg(F.max("s1").alias("n_a"), F.max("s2").alias("n_b"))
-    gap = cum.crossJoin(F.broadcast(tot)).select(
+    n_a, n_b = totals["s1"], totals["s2"]
+    gap = cum.select(
         "v",
-        "n_a",
-        "n_b",
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
         F.abs(
-            F.col("s1") * F.col("n_b") - F.col("s2") * F.col("n_a")
+            F.col("s1") * F.lit(n_b) - F.col("s2") * F.lit(n_a)
         ).alias("gp"),
     )
     mx = gap.agg(F.max("gp").alias("m"))
