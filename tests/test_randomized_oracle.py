@@ -164,6 +164,46 @@ def test_except_all_bag_semantics(spark, rows_a, rows_b):
 
 @given(_table)
 @_SETTINGS
+def test_quantized_group_mean_floor_division(spark, rows):
+    """q_ab_bootstrap's replicate-mean quantization on NEGATIVE sums:
+    Spark `div` truncates toward zero, DuckDB `//` floors (-5 // 2 = -3),
+    so the registry query carries a remainder adjustment — this pins
+    that adjusted form against DuckDB's native floor for every generated
+    table, refund-valued (negative) groups included. Mirrors
+    quality.q_ab_bootstrap's `m` expression exactly."""
+    from pyspark.sql import functions as F
+
+    sdf, con = _frames(spark, rows)
+    got = _rowset(
+        sdf.filter(F.col("v").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.expr("CAST(sum(v) AS BIGINT) * 10000").alias("_s"),
+            F.count("v").cast("long").alias("n_b"),
+        )
+        .select(
+            "k",
+            F.expr(
+                "_s div nullif(n_b, 0)"
+                " - (CASE WHEN _s % nullif(n_b, 0) != 0 AND _s < 0"
+                " THEN 1 ELSE 0 END)"
+            ).alias("m"),
+        )
+    )
+    want = _nullsafe(
+        con.execute(
+            """
+            SELECT k, CAST(SUM(v) AS BIGINT) * 10000
+                      // NULLIF(CAST(COUNT(v) AS BIGINT), 0) AS m
+            FROM t WHERE v IS NOT NULL GROUP BY k
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(_table)
+@_SETTINGS
 def test_distinct_treats_nulls_as_equal(spark, rows):
     """DISTINCT (and GROUP BY) use null-safe grouping — all NULLs collapse
     to one row — unlike join equality where NULL matches nothing; both

@@ -681,6 +681,61 @@ def test_stateful_sessionize_counts_gap_sessions(spark, tmp_path, event_frames):
             server.close()
 
 
+def test_stateful_sessionize_null_ts_is_not_a_break(spark, tmp_path):
+    """NULL event-time must follow the batch twin's rule (q_stream_session
+    oracle): NULLS FIRST, the event COUNTS, and a NULL gap never breaks a
+    session. Two NULL-ts events then two timed events 180 s apart with a
+    120 s gap -> 4 events, 2 sessions (the first event opens session 1;
+    the only break is the 180 s gap). The pre-fix code fed NaT.value
+    (int64 min) into last_us and opened a session per subsequent event,
+    which would report 3 here."""
+    from ws_to_kafka_spark.streaming.ops import stateful_sessionize
+
+    base_ms = 1704067200000
+    frames = [
+        json.dumps({"event_id": 0, "user_id": 0, "value": 1.0}).encode(),
+        json.dumps({"event_id": 1, "user_id": 0, "value": 2.0}).encode(),
+        json.dumps(
+            {"event_id": 2, "user_id": 0, "value": 3.0, "ts_ms": base_ms}
+        ).encode(),
+        json.dumps(
+            {
+                "event_id": 3,
+                "user_id": 0,
+                "value": 4.0,
+                "ts_ms": base_ms + 180_000,
+            }
+        ).encode(),
+    ]
+    server = RecordingWsServer(frames_per_connection=frames)
+    stream = stateful_sessionize(
+        _typed_stream(spark, server.url), gap_us=120 * 1_000_000
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("sessionize_nullts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nullts"))
+        .start()
+    )
+    try:
+        def final_state_ok():
+            rows = spark.sql(
+                "SELECT user_id, MAX(n_events) n, MAX(n_sessions) s "
+                "FROM sessionize_nullts GROUP BY user_id"
+            ).collect()
+            got = {r.user_id: (r.n, r.s) for r in rows}
+            return got == {0: (4, 2)}
+
+        assert wait_until(final_state_ok, timeout=60), (
+            "NULL-ts sessionize never converged to the batch rule: "
+            + str(spark.sql("SELECT * FROM sessionize_nullts").collect())
+        )
+    finally:
+        query.stop()
+        server.close()
+
+
 def test_stateful_zscore_flags_spike(spark, tmp_path):
     """Welford anomaly operator end-to-end: user 0 sends six calm values
     then a spike (z >> 3 against the prior stats) -> exactly one anomaly;

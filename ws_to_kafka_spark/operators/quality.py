@@ -780,10 +780,13 @@ def q_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "random" inclusions are a pure integer LCG both engines compute
     identically (bounds: event_id*B*A < 2^63 far past 100 TB key
     ranges), and each replicate mean is quantized to 1e-4-cent units by
-    INTEGER division (floor on positives in both engines) so the
-    across-replicate moments are EXACT longs; the final sqrt/divides
-    are one fixed IEEE tree, floor-6 rounded. Empty replicates nullif
-    to NULL rather than tripping ANSI division.
+    FLOOR division — DuckDB's `//` floors natively; Spark's `div`
+    truncates, so the negative-sum case carries an explicit remainder
+    adjustment (agreement holds for refund-valued data too, pinned in
+    tests/test_randomized_oracle.py) — so the across-replicate moments
+    are EXACT longs; the final sqrt/divides are one fixed IEEE tree,
+    floor-6 rounded. Empty replicates nullif to NULL rather than
+    tripping ANSI division.
 
     Scale: the {_BOOT_B}x fan-out is map-side (explode of a literal
     range) feeding ONE map-combined aggregate down to {_BOOT_B} rows —
@@ -814,7 +817,18 @@ def q_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "b",
         "n_b",
-        F.expr("_s div nullif(n_b, 0)").alias("m"),
+        # FLOOR division on exact longs: Spark's `div` truncates toward
+        # zero while DuckDB's `//` floors (-5 // 2 = -3), so a replicate
+        # with a NEGATIVE cents sum (refund-valued purchases) needs the
+        # truncate->floor adjustment: subtract 1 when the remainder is
+        # nonzero and the operands disagree in sign (n_b > 0 always, so
+        # that is simply _s < 0). Stays in exact integer arithmetic —
+        # no double roundtrip, valid past 2^53.
+        F.expr(
+            "_s div nullif(n_b, 0)"
+            " - (CASE WHEN _s % nullif(n_b, 0) != 0 AND _s < 0"
+            " THEN 1 ELSE 0 END)"
+        ).alias("m"),
     )
     mom = means.agg(
         F.count("*").cast("long").alias("n_reps"),

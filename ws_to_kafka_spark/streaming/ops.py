@@ -274,7 +274,10 @@ def stateful_sessionize(
     Semantics are EVENT-TIME gaps scored in (ts, event_id) order — the
     same order contract as ``stateful_zscore``: arrival order equals
     event-time order in the twins, and each batch is sorted explicitly
-    so a re-partitioned batch cannot reorder the gap scan. Late
+    (NaT first, matching the batch NULLS FIRST) so a re-partitioned
+    batch cannot reorder the gap scan. NULL ts follows the batch rule
+    exactly: the event counts, a NULL gap never breaks a session, and
+    the per-key first event opens session 1 regardless of its ts. Late
     (out-of-order ACROSS batches) data would need the watermarked
     session-window form instead — that path is the oracle-checked
     ``q_win_session``; this operator pins the O(1)-state streaming
@@ -293,18 +296,32 @@ def stateful_sessionize(
     state_schema = "last_us long, n_sessions long, n_events long"
 
     def update(key, pdfs, state: GroupState):
-        # last_us = -1 sentinel for "no prior event" (kept non-null so
-        # the state row round-trips without nullable-field surprises)
+        # last_us = -1 sentinel for "no prior VALID timestamp" (kept
+        # non-null so the state row round-trips without nullable-field
+        # surprises). NULL ts must match the batch twin: NULLS FIRST
+        # ordering, the event COUNTS, and a NULL gap is never a break —
+        # so NaT leaves last_us untouched (pandas NaT.value is int64
+        # min; feeding it through would poison every later gap). The
+        # first event of a key opens session 1 whether or not its ts is
+        # NULL (the batch rule's "1 +" term), tracked by n_events == 0,
+        # NOT by last_us — an all-NULL prefix must not reopen sessions.
         last_us, n_sessions, n_events = (
             state.get if state.exists else (-1, 0, 0)
         )
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+            pdf = pdf.sort_values(["ts", "event_id"], na_position="first")
             for ts in pdf["ts"]:
+                if pd.isna(ts):
+                    if n_events == 0:
+                        n_sessions += 1
+                    n_events += 1
+                    continue
                 us = int(ts.value // 1000)  # pandas ns -> us
-                if last_us < 0 or us - last_us > gap_us:
+                if n_events == 0 or (
+                    last_us >= 0 and us - last_us > gap_us
+                ):
                     n_sessions += 1
                 n_events += 1
                 last_us = us
