@@ -1021,12 +1021,13 @@ def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-locates each customer's intervals and the overlap predicate runs
     inside the hash-join group, so candidate pairs are bounded by each
     customer's own order count (tens), never all-pairs. The UNKEYED
-    variant needs time blocking first: assign each interval to the
-    ``width``-sized grid cells it spans (explode), join within cells, and
-    keep a pair only in its first shared cell (the ownership trick
-    ``q_join_spatial`` uses for 2-D grids) — same bucketed-not-all-pairs
-    structure as the dedup family. ``o_orderkey < o_orderkey`` halves the
-    pair space and makes output deterministic.
+    variant needs time blocking first — implemented as
+    :func:`q_join_overlap_grid` (explode into width-sized grid cells,
+    join within cells, keep a pair only in its first shared cell — the
+    ownership trick ``q_join_spatial``'s 2-D gridding family uses); same
+    bucketed-not-all-pairs structure as the dedup family.
+    ``o_orderkey < o_orderkey`` halves the pair space and makes output
+    deterministic.
     """
     orders = tables.load(spark, sf_dir, "orders")
     li = tables.load(spark, sf_dir, "lineitem")
@@ -1060,6 +1061,114 @@ def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + 1
             ).cast("long").alias("overlap_days"),
+        )
+    )
+
+
+#: Grid-cell width for the unkeyed overlap join, microseconds (1 h) —
+#: must be >= the maximum interval length (5 + 55 min) so an interval
+#: spans at most 2 cells and the explode fan-out is bounded by 2x.
+_OVERLAP_CELL_US = 3_600_000_000
+#: Per-event session length, minutes: 5 + event_id % 56 in [5, 60] —
+#: derive-not-synthesize (the q_join_spatial discipline), so the oracle
+#: replicates it verbatim and re-executed tasks agree.
+_OVERLAP_DUR_SQL = "(5 + event_id % 56) * 60000000"
+
+
+@register(
+    "q_join_overlap_grid",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_OVERLAP_DUR_SQL} AS e
+      FROM events
+      WHERE event_type = 'purchase' AND value > 50 AND ts IS NOT NULL
+    )
+    SELECT a.event_id AS event_a,
+           b.event_id AS event_b,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT)
+             AS overlap_us
+    FROM iv a
+    JOIN iv b
+      ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q_join_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNKEYED interval-overlap self-join via time-grid blocking — the
+    scale path :func:`q_join_overlap`'s docstring promises: pairs of
+    high-value purchase sessions (interval [ts, ts + 5..60 min], length
+    derived from the event key) that overlap in time, across ALL users —
+    no equi key exists, so the naive plan is an all-pairs theta join.
+
+    The grid plan: each interval is exploded into every 1 h cell it
+    spans (<= 2, because cell width >= max interval length), both sides
+    join on the CELL equi key, the overlap predicate runs inside the
+    hash-join group, and a pair is kept only in its FIRST SHARED cell —
+    ``floor(greatest(s_a, s_b) / width)``, a cell both intervals provably
+    occupy when they overlap — so no pair is emitted twice (the
+    ownership trick 2-D gridding uses in :func:`q_join_spatial`'s
+    family). The ORACLE runs the naive all-pairs form; agreement proves
+    the blocking is exactness-preserving. All arithmetic is integer
+    microseconds (unix_micros vs epoch_us, the timeseries convention).
+
+    Scale: work is candidates-only — each cell's occupancy is bounded by
+    local temporal density, never the corpus; one shuffle on cell_id
+    replaces the unbounded theta join (Spark would otherwise
+    BroadcastNestedLoop this). Output (and candidate) count grows with
+    density^2 per cell — the honest envelope for UNkeyed overlap under
+    the sf1 fixture's density-10x construction is ~100x pairs (measured
+    in SF1_BENCH.json) while runtime stays scan-bound until pair volume
+    dominates; at production scale `width` is sized so cell occupancy
+    stays bounded (narrower cells = more, smaller groups). Skewed hot
+    cells would salt exactly like q_dedup_ngram's df cap.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > 50)
+        & F.col("ts").isNotNull()
+    ).select(
+        "event_id",
+        s.alias("s"),
+        (s + (F.lit(5) + F.col("event_id") % 56) * 60_000_000).alias("e"),
+    )
+    # integer `div` (== floor for the non-negative epoch-us domain), not
+    # double /: cell indices stay in exact long arithmetic end to end
+    cells = iv.select(
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_OVERLAP_CELL_US}"),
+                F.expr(f"e div {_OVERLAP_CELL_US}"),
+            )
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        # ownership: count the pair only in the first cell both occupy
+        .filter(
+            F.col("a.cell")
+            == F.expr(
+                f"greatest(a.s, b.s) div {_OVERLAP_CELL_US}"
+            )
+        )
+        .select(
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).cast("long").alias("overlap_us"),
         )
     )
 
