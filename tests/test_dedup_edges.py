@@ -287,3 +287,75 @@ def test_substring_survives_mega_df_gram_skew(spark, tmp_path_factory):
     i_spans = cols_sorted.index("dup_spans")
     i_toks = cols_sorted.index("dup_tokens")
     assert all(r[i_spans] == 1 and r[i_toks] == 9 for r in by_id.values())
+
+
+# Hot-band corpus for the q_dedup_near occupancy cap: 12 byte-identical
+# boilerplate docs (identical MinHash signature -> every one of their 32
+# band buckets holds all 12 docs), plus one genuine near-dup pair (30
+# tokens, one substitution -> Jaccard 27/31 ~ 0.87) whose buckets hold
+# only 2 docs, plus one unrelated doc.
+_TEMPLATE = (
+    "subscribe to our newsletter terms of service privacy policy all"
+    " rights reserved contact us about careers"
+)
+_LONG_A = (
+    "the quick brown fox jumps over the lazy dog while seventeen green"
+    " bottles hang quietly on the old stone wall beside a winding river"
+    " that flows north"
+)
+_LONG_B = _LONG_A.rsplit(" ", 1)[0] + " south"
+_HOT_DOCS = (
+    [(100 + i, _TEMPLATE) for i in range(12)]
+    + [(200, _LONG_A), (201, _LONG_B)]
+    + [(300, "completely unrelated vocabulary occupying its own band space"
+             " with zero shingle overlap anywhere")]
+)
+
+
+@pytest.fixture(scope="module")
+def hot_band_sf_dir(spark, tmp_path_factory) -> str:
+    rows = [(i, t, "en", "web", len(t)) for (i, t) in _HOT_DOCS]
+    dst = str(tmp_path_factory.mktemp("sf_hotband"))
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    return dst
+
+
+def test_dedup_near_hot_band_cap(spark, hot_band_sf_dir, monkeypatch):
+    """The _NEAR_BAND_CAP occupancy bound: with the cap lowered below the
+    boilerplate cluster size, every band bucket the 12 identical docs
+    share is hot and their 66 internal pairs are dropped from candidate
+    generation, while the genuine near-dup pair (bucket occupancy 2)
+    survives untouched. With the default cap the query must still match
+    its exact oracle on this corpus (cap as pure safety valve)."""
+    from ws_to_kafka_spark.operators import dedup
+
+    spec = QUERIES["q_dedup_near"]
+
+    # default cap: no bucket exceeds 256 -> oracle agreement holds
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spec.fn(spark, hot_band_sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hot_band_sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (a, b)
+        for (a, b, _j) in con.execute(spec.oracle).fetchall()
+    }
+    assert (200, 201) in want  # corpus sanity: the genuine pair qualifies
+    assert len(want) == 66 + 1  # 12-clique + the genuine pair
+    assert got == want
+
+    # cap below the cluster size: boilerplate-internal pairs dropped,
+    # genuine pair kept, nothing else appears
+    monkeypatch.setattr(dedup, "_NEAR_BAND_CAP", 8)
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in spec.fn(spark, hot_band_sf_dir).collect()
+    }
+    assert capped == {(200, 201)}

@@ -60,6 +60,15 @@ _NGRAM_THRESHOLD = 0.5
 # this are dropped from candidate generation (never from the verify step).
 # Far above anything in the fixtures; at 100 TB it bounds bucket skew.
 _NGRAM_DF_CAP = 1000
+# LSH hot-band occupancy cap (q_dedup_near): a (band_idx, band_key) bucket
+# holding more docs than this is dropped from candidate generation — the
+# band self-join is quadratic in bucket occupancy, and on templated /
+# boilerplate-heavy web corpora a single hot band otherwise goes
+# quadratic (the same failure mode _NGRAM_DF_CAP bounds for the inverted
+# index). Far above any fixture occupancy (max 2 at sf0.1), so the gate
+# oracles are unaffected; the pigeonhole-style argument for what a >cap
+# band can lose is in the q_dedup_near docstring.
+_NEAR_BAND_CAP = 256
 
 # SimHash operating point (see q_dedup_simhash docstring): small-document
 # corpora need a larger Hamming budget; pigeonhole needs n_bands > max_dist.
@@ -307,10 +316,33 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability (1 - 0.8²)³² ≈ 6e-15 — the oracle (exact all-pairs-sharing-
     a-shingle Jaccard) and this approximate plan agree on real data.
     Scale: candidates come from a shuffle on (band_idx, band_key); nothing
-    is quadratic in the corpus, only in bucket occupancy.
+    is quadratic in the corpus, only in bucket occupancy — which the
+    ``_NEAR_BAND_CAP`` occupancy bound caps: buckets holding more than
+    cap docs (boilerplate/templated text, where one band signature is
+    shared corpus-wide) are dropped from candidate generation BEFORE the
+    self-join, so the worst bucket costs cap² pairs, never corpus².
+    What the cap can lose: only a pair whose EVERY matching band is hot.
+    A true J ≥ 0.8 pair matches ~20 of the 32 bands in expectation
+    (per-band match prob J² = 0.64), so losing it requires ~20
+    independent band signatures to EACH be shared by > cap other
+    documents — i.e. the pair is boilerplate by construction, already
+    surfaced (cheaper) by q_dedup_exact / q_text_fingerprint on the
+    template. The hot-band list itself is tiny by construction
+    (≤ rows/cap entries) and is applied as a broadcast anti-join —
+    no extra shuffle of the banded frame. Hot-band behavior is pinned on
+    a constructed boilerplate corpus in tests/test_dedup_edges.py.
     """
     sh = _shingled_docs(spark, sf_dir)
     banded = _minhash_banded(spark, sf_dir)
+    hot = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") > _NEAR_BAND_CAP)
+        .select("band_idx", "band_key")
+    )
+    banded = banded.join(
+        F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+    )
     left = banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
     )
