@@ -70,3 +70,27 @@ def test_similarity_query_tolerates_zero_vector(spark, zero_sf_dir, qname):
     order = [cols.index(c) for c in sorted(cols)]
     want = _norm(tuple(r[i] for i in order) for r in cur.fetchall())
     assert got == want, f"{qname} diverges on a zero-vector corpus"
+
+
+def test_knn_graph_tree_merge_multiblock(spark, zero_sf_dir, monkeypatch):
+    """Force a real multi-block grid on the 41-vector corpus
+    (rows_per_cell=8 -> 6x6 cells; fanin=2 -> two tree-merge levels,
+    6 -> 3 -> 2 block groups) and require exact oracle agreement — the
+    tree merge must be a pure plan-shape change, invisible in results."""
+    from ws_to_kafka_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_KNN_ROWS_PER_CELL", 8)
+    monkeypatch.setattr(similarity, "_KNN_MERGE_FANIN", 2)
+    spec = QUERIES["q_embed_knn_graph"]
+    df = spec.fn(spark, zero_sf_dir)
+    got = _norm(tuple(r) for r in df.select(sorted(df.columns)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{zero_sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _norm(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want, "tree merge changed the knn graph"
