@@ -93,12 +93,17 @@ HEADLINE = (
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
-    start = time.perf_counter()
-    QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    elapsed = time.perf_counter() - start
-    # Rank passes cache their range exchange; release between queries so
-    # a long bench session doesn't accumulate executor storage.
-    distributed.release_persisted()
+    # Rank passes cache their range exchange; the scope releases this
+    # query's caches on exit so a long bench session doesn't accumulate
+    # executor storage (and can't touch any other plan's caches). The
+    # timed region excludes the scope-exit unpersist, matching the
+    # pre-scope methodology (release was never billed to the query).
+    with distributed.persist_scope():
+        start = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        elapsed = time.perf_counter() - start
     return elapsed
 
 

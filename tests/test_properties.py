@@ -266,3 +266,48 @@ def test_global_ntile_multi_matches_per_axis_window_ntile(spark, rows, tiles):
         ).collect()
     }
     assert got == want
+
+
+def test_persist_scope_isolates_interleaved_queries(spark):
+    """The ADVICE-flagged misuse: build plan A, build plan B, consume A,
+    release A's caches, THEN consume B. With the global
+    release_persisted() that stripped B's range-exchange cache before
+    its consuming action; persist_scope must release only its own
+    frames — B's cache stays persisted and B's ranks stay correct."""
+    from pyspark.sql import functions as F
+
+    from ws_to_kafka_spark.operators import distributed
+    from ws_to_kafka_spark.operators.distributed import (
+        global_row_number,
+        persist_scope,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(200)], schema="v long, id long"
+    )
+
+    with persist_scope() as _:
+        ranked_a = global_row_number(
+            df, [F.col("v").asc(), F.col("id").asc()], "rn"
+        )
+        # build B INSIDE its own scope that outlives A's
+        scope_b = persist_scope()
+        scope_b.__enter__()
+        try:
+            ranked_b = global_row_number(
+                df, [F.col("v").desc(), F.col("id").desc()], "rn"
+            )
+            a_rows = {r["id"]: r["rn"] for r in ranked_a.collect()}
+        finally:
+            pass
+    # A's scope exited -> A's cache released; B's must survive
+    try:
+        assert not distributed._PERSISTED  # nothing leaked to the global list
+        b_rows = {r["id"]: r["rn"] for r in ranked_b.collect()}
+    finally:
+        scope_b.__exit__(None, None, None)
+
+    # both rankings correct: rn over asc(v,id) and desc(v,id) are mirror
+    # images over the same 200 unique ids
+    assert sorted(a_rows.values()) == list(range(1, 201))
+    assert all(a_rows[i] + b_rows[i] == 201 for i in a_rows)

@@ -91,13 +91,14 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in names:
         try:
-            status = compare(spark, con, name, sf_dir)
+            # Scope rank-pass caches to this query's build+consume (see
+            # distributed.persist_scope): the full-registry run builds
+            # 250+ plans in one session and must not accumulate them.
+            with distributed.persist_scope():
+                status = compare(spark, con, name, sf_dir)
         except Exception as exc:  # noqa: BLE001 - report and continue
             status = f"ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
         ok = status.startswith(("match", "rows-only"))
-        # Release rank-pass caches between queries (see distributed.py):
-        # the full-registry run builds 240+ plans in one session.
-        distributed.release_persisted()
         failures += 0 if ok else 1
         results[name] = {"ok": ok, "status": status}
         print(f"{'PASS' if ok else 'FAIL'}  {name:24s} {status}", flush=True)

@@ -15,15 +15,10 @@ from pyspark.sql import functions as F
 
 from .. import tables
 from .distributed import (
-    _PERSISTED as _track_persisted_list,
+    _track as _track_persisted,
     global_ntile_multi,
     global_row_number,
 )
-
-
-def _track_persisted(df):
-    """Register a caller-persisted frame for release_persisted()."""
-    _track_persisted_list.append(df)
 from .registry import register
 
 

@@ -23,32 +23,83 @@ bookkeeping on top so the RANK, not just the order, distributes.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _RANK_PARTS = 32  # range partitions for the rank exchange
 
-#: Every ranged frame persisted by ``global_row_number`` — the rank pass
-#: must cache its range exchange (RangePartitioner re-sampling on
-#: recompute is not guaranteed to reproduce boundaries), but a session
-#: that builds many plans would otherwise accumulate cached copies until
-#: ContextCleaner gets to them. Long-running harnesses (verify loop,
-#: bench) call :func:`release_persisted` after each consuming action.
+#: Frames persisted by ``global_row_number`` (and the other rank-pass
+#: callers) OUTSIDE any :func:`persist_scope` — the rank pass must cache
+#: its range exchange (RangePartitioner re-sampling on recompute is not
+#: guaranteed to reproduce boundaries), but a session that builds many
+#: plans would otherwise accumulate cached copies until ContextCleaner
+#: gets to them.
 _PERSISTED: list[DataFrame] = []
+#: Active persist scopes, innermost last; frames created inside a scope
+#: are released when THAT scope exits, never by another query's cleanup.
+_SCOPES: list[list[DataFrame]] = []
 
 
-def release_persisted() -> None:
-    """Unpersist every ranked frame created by ``global_row_number``.
+def _track(frame: DataFrame) -> None:
+    """Register a persisted frame with the innermost active
+    :func:`persist_scope`, or the session-global list when none is
+    active."""
+    (_SCOPES[-1] if _SCOPES else _PERSISTED).append(frame)
 
-    Safe to call only AFTER the consuming action (the ranked output
-    reads the cache lazily); harmless to call twice or when empty.
-    """
-    while _PERSISTED:
-        frame = _PERSISTED.pop()
+
+def _release(frames: list[DataFrame]) -> None:
+    while frames:
+        frame = frames.pop()
         try:
             frame.unpersist()
         except Exception:  # noqa: BLE001 - session may already be stopped
             pass
+
+
+@contextmanager
+def persist_scope():
+    """Scope the rank-pass caches to one query's build+consume.
+
+    ``global_row_number`` persists its range exchange and the ranked
+    output reads that cache LAZILY — the cache must survive until the
+    consuming action, and dropping it earlier silently re-samples range
+    boundaries out from under the already-collected offset metadata.
+    The global :func:`release_persisted` releases EVERY tracked frame,
+    so a caller interleaving two registry queries (build A, build B,
+    consume A, release, consume B) would strip B's cache mid-flight.
+    This context manager keys the tracking to the frames created inside
+    it::
+
+        with persist_scope():
+            df = QUERIES[name].fn(spark, sf_dir)
+            df.collect()          # consume INSIDE the scope
+        # only this query's caches released; other scopes untouched
+
+    Scopes nest (innermost owns new frames); the verify and bench
+    harnesses wrap each query in one.
+    """
+    frames: list[DataFrame] = []
+    _SCOPES.append(frames)
+    try:
+        yield
+    finally:
+        _SCOPES.remove(frames)
+        _release(frames)
+
+
+def release_persisted() -> None:
+    """Unpersist every ranked frame tracked OUTSIDE persist_scope()s.
+
+    The harness-global form: safe only AFTER the consuming action of
+    every plan built so far (the ranked outputs read their caches
+    lazily), so call it between queries, never between building one and
+    consuming it — interactive/multi-plan callers should prefer
+    :func:`persist_scope`, which cannot touch another query's caches.
+    Harmless to call twice or when empty.
+    """
+    _release(_PERSISTED)
 
 
 def global_row_number(
@@ -102,7 +153,7 @@ def global_row_number(
         "_rank_pid", F.spark_partition_id()
     )
     ranged = ranged.persist()
-    _PERSISTED.append(ranged)
+    _track(ranged)
     pairs = ([(sum_col, sum_out)] if sum_col is not None else []) + list(
         extra_sums or []
     )

@@ -926,7 +926,7 @@ def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient-statistics argument as q_ab_lift/q_ab_ttest.
     """
     orders = tables.load(spark, sf_dir, "orders")
-    from .distributed import _PERSISTED
+    from .distributed import _track
 
     cells = orders.groupBy(
         F.col("o_orderpriority").alias("pri"),
@@ -936,7 +936,7 @@ def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table instead of re-scanning orders once each; released by the
     # harnesses via distributed.release_persisted()
     cells = cells.persist()
-    _PERSISTED.append(cells)
+    _track(cells)
     rows_ = cells.groupBy("pri").agg(F.sum("obs").cast("long").alias("r"))
     cols_ = cells.groupBy("status").agg(
         F.sum("obs").cast("long").alias("c")
