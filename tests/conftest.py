@@ -11,7 +11,15 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ws_to_kafka_spark.session import get_spark  # noqa: E402
+from ws_to_kafka_spark.streaming.protostub import ensure_protobuf  # noqa: E402
 from ws_to_kafka_spark.tables import TABLE_NAMES  # noqa: E402
+
+# Activate the vendored protobuf stub (no-op when the real package is
+# installed) BEFORE any SparkSession exists: the transformWithState
+# worker protocol needs google.protobuf in every process of the tree,
+# and PYTHONPATH only propagates to JVM-spawned Python workers when set
+# before the JVM launches.
+PROTOBUF_MODE = ensure_protobuf()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

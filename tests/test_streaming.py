@@ -784,18 +784,29 @@ def test_transform_with_state_user_totals(spark, tmp_path, event_frames):
     """The Spark-4 arbitrary-state API (transformWithStateInPandas with a
     typed ValueState) must converge to the batch aggregate per user.
 
-    Environment gate: the transformWithState Python worker protocol needs
-    ``google.protobuf``, which this container does not ship (and installs
-    are disallowed) — skip, exactly like the kafka-broker gap. The batch
-    twin ``q_stream_user_totals`` stays oracle-checked regardless.
+    The transformWithState Python worker protocol needs
+    ``google.protobuf``, which this container does not ship — conftest
+    activates the vendored minimal wire-format runtime
+    (vendor/protostub) before the session starts, so this exercises the
+    REAL protocol end-to-end: driver plan build, the JVM-spawned driver
+    initializer, and the per-task state-server round-trips all run on
+    the stub's codec. The batch twin ``q_stream_user_totals`` stays
+    oracle-checked regardless.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable: transformWithState worker "
-                    "protocol cannot run in this container")
+    from google.protobuf import descriptor  # noqa: F401  (stub or real)
     from ws_to_kafka_spark.streaming.ops import stateful_user_totals
 
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that (the HDFS-backed
+    # default raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES). Session conf
+    # is read at query start; restore the default for the other tests.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     server = RecordingWsServer(frames_per_connection=event_frames)
     stream = stateful_user_totals(_typed_stream(spark, server.url))
     query = (
@@ -820,6 +831,10 @@ def test_transform_with_state_user_totals(spark, tmp_path, event_frames):
     finally:
         query.stop()
         server.close()
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
 
 
 def test_stream_static_enrich(spark, tmp_path, sf_dir):

@@ -140,10 +140,14 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     Scale: one shuffle on the group key, a single (n, total) tuple per key
     in the state store — O(|keys|) state, like the other stateful ops.
 
-    Environment note: the transformWithState Python worker protocol needs
-    ``google.protobuf``, absent from this container — the streaming test
-    skips with that reason (like the kafka-broker gap), while the batch
-    twin ``q_stream_user_totals`` pins the semantics against the oracle.
+    Environment note: the transformWithState Python worker protocol
+    needs ``google.protobuf``; containers without it activate the
+    vendored minimal wire-format runtime (vendor/protostub, installed by
+    :func:`ws_to_kafka_spark.streaming.protostub.ensure_protobuf` before
+    the session starts). The live streaming test runs the full protocol
+    on that stub (RocksDB state store — transformWithState's per-state
+    column families need it), and the batch twin
+    ``q_stream_user_totals`` pins the semantics against the oracle.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
