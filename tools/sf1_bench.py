@@ -69,6 +69,15 @@ HEAVY = {
     "q_ts_crosscorr": 1.0,
     # bootstrap: scan + constant 16x map-side fan-out, one agg — linear
     "q_ab_bootstrap": 1.0,
+    # round-8 addition: the UNKEYED grid-blocked overlap join. Quadratic
+    # BY CONSTRUCTION on this corpus (the make_sf1 copies keep event
+    # timestamps, so temporal density — and hence both candidate and
+    # OUTPUT pairs — grows with the copy count squared; measured pair
+    # growth is recorded in the artifact's notes). The operator's own
+    # work is candidates-only: on a real corpus where density is set by
+    # the domain, not corpus size, per-cell work is constant and the
+    # plan is linear in cells.
+    "q_join_overlap_grid": 2.0,
 }
 ROUNDS = 3
 
