@@ -1563,3 +1563,54 @@ def test_target_encode_singleton_categories_match_oracle(
     # one-column contingency (expected == observed, contribution 0) and
     # tiny priority groups stress the exact integer r*c/n path
     _run_spec_vs_oracle(spark, con, "q_ab_chi2", sf_dir)
+
+
+# intervals: (start, length) with small coordinates and a cell width
+# SMALLER than many interval lengths — intervals spanning 0..8 cells,
+# starts/ends landing exactly ON cell boundaries constantly (the cases
+# the driver fixtures, with width >= max length, never produce).
+_iv_table = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),  # start
+        st.integers(min_value=0, max_value=120),  # length (0 = point)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(_iv_table, st.integers(min_value=1, max_value=64))
+@_SETTINGS
+def test_grid_overlap_join_matches_naive_all_pairs(spark, rows, width):
+    """grid_overlap_pairs (explode into width-cells + first-shared-cell
+    ownership) must equal the naive all-pairs theta join for EVERY
+    corpus and EVERY cell width — including widths far below interval
+    lengths (multi-cell spans), point intervals, and boundary-exact
+    starts/ends. Pins that the ownership filter emits each overlapping
+    pair exactly once."""
+    from ws_to_kafka_spark.operators.analytics_ext import grid_overlap_pairs
+
+    data = [(i, s, s + ln) for i, (s, ln) in enumerate(rows)]
+    iv = spark.createDataFrame(
+        data or [(0, 0, 0)], schema="event_id long, s long, e long"
+    )
+    if not data:
+        iv = iv.limit(0)
+    got = _nullsafe(
+        tuple(r) for r in grid_overlap_pairs(iv, width).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE iv (event_id BIGINT, s BIGINT, e BIGINT)")
+    if data:
+        con.executemany("INSERT INTO iv VALUES (?, ?, ?)", data)
+    want = _nullsafe(
+        con.execute(
+            """
+            SELECT a.event_id, b.event_id,
+                   CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT)
+            FROM iv a JOIN iv b
+              ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -1064,6 +1064,56 @@ def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: must be >= the maximum interval length (5 + 55 min) so an interval
 #: spans at most 2 cells and the explode fan-out is bounded by 2x.
 _OVERLAP_CELL_US = 3_600_000_000
+
+
+def grid_overlap_pairs(iv: DataFrame, cell_us: int) -> DataFrame:
+    """Unkeyed interval-overlap self-join via time-grid blocking over an
+    ``(event_id long, s long, e long)`` frame with ``s <= e`` (closed
+    intervals, integer coordinates, non-negative).
+
+    Each interval explodes into every ``cell_us``-wide cell it spans,
+    both sides equi-join on the cell, the overlap predicate runs inside
+    the hash-join group, and a pair is kept only in its FIRST SHARED
+    cell — ``greatest(s_a, s_b) div cell_us``, a cell both intervals
+    occupy whenever they overlap (max start <= min end) — so the dedup
+    is a filter, not a second shuffle. Correct for ANY cell width >= 1
+    and any interval length (the width >= max-length choice in
+    :func:`q_join_overlap_grid` only bounds the explode fan-out at 2x);
+    the cell-boundary cases are pinned property-style against the naive
+    all-pairs join in tests/test_randomized_oracle.py.
+    """
+    cells = iv.select(
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {cell_us}"),
+                F.expr(f"e div {cell_us}"),
+            )
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .filter(
+            F.col("a.cell") == F.expr(f"greatest(a.s, b.s) div {cell_us}")
+        )
+        .select(
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).cast("long").alias("overlap_us"),
+        )
+    )
 #: Per-event session length, minutes: 5 + event_id % 56 in [5, 60] —
 #: derive-not-synthesize (the q_join_spatial discipline), so the oracle
 #: replicates it verbatim and re-executed tasks agree.
@@ -1130,42 +1180,7 @@ def q_join_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # integer `div` (== floor for the non-negative epoch-us domain), not
     # double /: cell indices stay in exact long arithmetic end to end
-    cells = iv.select(
-        "event_id",
-        "s",
-        "e",
-        F.explode(
-            F.sequence(
-                F.expr(f"s div {_OVERLAP_CELL_US}"),
-                F.expr(f"e div {_OVERLAP_CELL_US}"),
-            )
-        ).alias("cell"),
-    )
-    a, b = cells.alias("a"), cells.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.event_id") < F.col("b.event_id"))
-            & (F.col("a.s") <= F.col("b.e"))
-            & (F.col("b.s") <= F.col("a.e")),
-        )
-        # ownership: count the pair only in the first cell both occupy
-        .filter(
-            F.col("a.cell")
-            == F.expr(
-                f"greatest(a.s, b.s) div {_OVERLAP_CELL_US}"
-            )
-        )
-        .select(
-            F.col("a.event_id").alias("event_a"),
-            F.col("b.event_id").alias("event_b"),
-            (
-                F.least(F.col("a.e"), F.col("b.e"))
-                - F.greatest(F.col("a.s"), F.col("b.s"))
-            ).cast("long").alias("overlap_us"),
-        )
-    )
+    return grid_overlap_pairs(iv, _OVERLAP_CELL_US)
 
 
 @register(
