@@ -837,6 +837,75 @@ def test_transform_with_state_user_totals(spark, tmp_path, event_frames):
             spark.conf.set(provider_key, old_provider)
 
 
+def test_stateful_session_timeout_timer_closes_idle_key(spark, tmp_path):
+    """Timer half of the arbitrary-state API: user 0 sends 3 events and
+    goes idle; once the processing-time timeout passes, the next
+    microbatch (triggered here by pushing keep-alive events for user 1 —
+    the engine contract is that an idle source produces no batch, so
+    timers fire on batch boundaries) must fire user 0's timer, emit the
+    session-closed record with the accumulated count, and evict the
+    state. User 1 keeps receiving events inside the timeout, so its
+    session must NOT close."""
+    from google.protobuf import descriptor  # noqa: F401  (stub or real)
+    from ws_to_kafka_spark.streaming.ops import stateful_session_timeout
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    frames = [
+        json.dumps({"event_id": i, "user_id": 0, "value": 1.0}).encode()
+        for i in range(3)
+    ]
+    server = RecordingWsServer(frames_per_connection=frames)
+    stream = stateful_session_timeout(
+        _typed_stream(spark, server.url), timeout_ms=2_000
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("session_timeout_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_timer"))
+        .start()
+    )
+    next_id = [100]
+    try:
+        def closed_row_emitted():
+            # keep-alive: user 1 events force new microbatches whose
+            # batch timestamps eventually pass user 0's deadline
+            server.push_frame(
+                json.dumps(
+                    {"event_id": next_id[0], "user_id": 1, "value": 2.0}
+                ).encode()
+            )
+            next_id[0] += 1
+            time.sleep(1)
+            rows = spark.sql(
+                "SELECT user_id, n_events FROM session_timeout_test"
+            ).collect()
+            return {(r.user_id, r.n_events) for r in rows} == {(0, 3)}
+
+        assert wait_until(closed_row_emitted, timeout=90), (
+            "idle session never closed: "
+            + str(spark.sql("SELECT * FROM session_timeout_test").collect())
+        )
+        # user 1 stayed active throughout -> still open, no closed row
+        active = spark.sql(
+            "SELECT COUNT(*) c FROM session_timeout_test WHERE user_id = 1"
+        ).first().c
+        assert active == 0, "active session closed spuriously"
+    finally:
+        query.stop()
+        server.close()
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+
+
 def test_stream_static_enrich(spark, tmp_path, sf_dir):
     """Streaming events joined to the static customer dim stay a broadcast
     join per micro-batch and carry the right dimension attributes."""

@@ -347,6 +347,78 @@ def stateful_sessionize(
     )
 
 
+def stateful_session_timeout(
+    events: DataFrame, timeout_ms: int = 2_000
+) -> DataFrame:
+    """Processing-time session CLOSE via transformWithState TIMERS: each
+    key's event count accumulates in a typed ValueState, every batch
+    re-arms a single per-key timer at now + ``timeout_ms``, and when the
+    timer fires (no events arrived for a full timeout) the operator
+    emits one session-closed record and evicts the state — the
+    idle-session eviction shape (cart abandonment, device-offline
+    alerts) that NEEDS the timer API: gap-based close cannot be a
+    window, and :func:`stateful_sessionize`-style operators can only
+    observe a close when the NEXT event arrives, which for an abandoned
+    session is never.
+
+    API coverage: registerTimer / deleteTimer / listTimers /
+    handleExpiredTimer + state eviction — the timer half of the
+    arbitrary-state surface (:func:`stateful_user_totals` covers the
+    ValueState half). Requires the RocksDB state store provider (per-
+    state column families) and ``google.protobuf`` — containers without
+    it run on the vendored wire-format runtime (streaming/protostub).
+
+    Scale: one shuffle on the key; state is one long plus one timer per
+    LIVE key, and closed keys are evicted — state tracks concurrent
+    sessions, not stream history. Timers fire on microbatch boundaries
+    (engine contract: an idle source produces no batch, so a fully
+    quiet stream defers the close until the next batch — acceptable for
+    eviction semantics and pinned in the test).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._n = handle.getValueState("n_events", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = int(self._n.get()[0]) if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            # one live timer per key: clear stale deadlines, arm the new
+            # one (materialize before deleting — listTimers streams)
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + timeout_ms
+            )
+            return iter([])  # sessions emit only when they close
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n = int(self._n.get()[0]) if self._n.exists() else 0
+            self._n.clear()  # evict: closed sessions hold no state
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "closed_at_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimeout(),
+        outputStructType="user_id long, n_events long, closed_at_ms long",
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )
+
+
 def stream_stream_join(
     purchases: DataFrame,
     signups: DataFrame,
