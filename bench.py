@@ -89,6 +89,8 @@ HEADLINE = (
     "q_ab_chi2",                   # contingency cells + broadcast totals
     "q_stream_session",            # per-user lag-gap session scan
     "q_ab_bootstrap",              # 16x map-side replicate fan-out + agg
+    # round-8 additions
+    "q_join_overlap_grid",         # unkeyed overlap via time-grid blocking
 )
 
 

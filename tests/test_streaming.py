@@ -906,6 +906,68 @@ def test_stateful_session_timeout_timer_closes_idle_key(spark, tmp_path):
             spark.conf.set(provider_key, old_provider)
 
 
+def test_stateful_recent_values_liststate(spark, tmp_path):
+    """ListState third of the arbitrary-state API: user 0 streams values
+    1..5 with k=3 — the final state must retain exactly the newest 3
+    (mean (3+4+5)/3 = 4.0) regardless of how the frames split into
+    microbatches; user 1 streams a constant 2.0 (mean 2.0). List-state
+    get() exercises the protobuf stub's repeated-bytes responses live."""
+    from google.protobuf import descriptor  # noqa: F401  (stub or real)
+    from ws_to_kafka_spark.streaming.ops import stateful_recent_values
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    base_ms = 1704067200000
+    frames = [
+        json.dumps(
+            {
+                "event_id": i * 2 + u,
+                "user_id": u,
+                "value": (float(i + 1) if u == 0 else 2.0),
+                "ts_ms": base_ms + i * 60000,
+            }
+        ).encode()
+        for i in range(5)
+        for u in (0, 1)
+    ]
+    server = RecordingWsServer(frames_per_connection=frames)
+    stream = stateful_recent_values(
+        _typed_stream(spark, server.url), k=3
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("recentk_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_recentk"))
+        .start()
+    )
+    try:
+        def final_state_ok():
+            rows = spark.sql(
+                "SELECT user_id, n_recent, recent_mean "
+                "FROM recentk_test WHERE n_seen = 5"
+            ).collect()
+            got = {r.user_id: (r.n_recent, r.recent_mean) for r in rows}
+            return got == {0: (3, 4.0), 1: (3, 2.0)}
+
+        assert wait_until(final_state_ok, timeout=60), (
+            "recent-k never converged: "
+            + str(spark.sql("SELECT * FROM recentk_test").collect())
+        )
+    finally:
+        query.stop()
+        server.close()
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+
+
 def test_stream_static_enrich(spark, tmp_path, sf_dir):
     """Streaming events joined to the static customer dim stay a broadcast
     join per micro-batch and carry the right dimension attributes."""

@@ -419,6 +419,66 @@ def stateful_session_timeout(
     )
 
 
+def stateful_recent_values(events: DataFrame, k: int = 3) -> DataFrame:
+    """Last-``k`` values per key via transformWithState ListState — the
+    online feature-store "recent activity" feature (rolling mean of the
+    most recent k purchases) maintained incrementally: O(k) state per
+    key, no window over stream history. Each batch appends the new
+    values in (ts, event_id) order, truncates to the newest k with
+    ``put``, and emits (total seen, rounded mean of the retained k).
+
+    API coverage: getListState / get (iterator paging) / put — the
+    ListState third of the arbitrary-state surface (ValueState:
+    :func:`stateful_user_totals`; timers:
+    :func:`stateful_session_timeout`). Same environment notes as those:
+    RocksDB provider; protobuf or the vendored stub — list-state reads
+    exercise the stub's repeated-bytes response parsing live.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RecentK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState("recent", "value double")
+            self._seen = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = [float(t[0]) for t in self._recent.get()]
+            seen = int(self._seen.get()[0]) if self._seen.exists() else 0
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for v in pdf["value"]:
+                    if pd.notna(v):
+                        vals.append(float(v))
+                seen += len(pdf)
+            vals = vals[-k:]
+            self._recent.put([(v,) for v in vals])
+            self._seen.update((seen,))
+            mean = round(sum(vals) / len(vals), 4) if vals else None
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_seen": [seen],
+                    "n_recent": [len(vals)],
+                    "recent_mean": [mean],
+                }
+            )
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentK(),
+        outputStructType=(
+            "user_id long, n_seen long, n_recent long, recent_mean double"
+        ),
+        outputMode="update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(
     purchases: DataFrame,
     signups: DataFrame,
