@@ -968,6 +968,78 @@ def test_stateful_recent_values_liststate(spark, tmp_path):
             spark.conf.set(provider_key, old_provider)
 
 
+def test_stateful_type_profile_mapstate(spark, tmp_path):
+    """MapState quarter of the arbitrary-state API: user 0 streams
+    view x3, click x2, purchase x1 — the final profile map must hold
+    exactly those per-type counts (serialized sorted, so the assertion
+    is order-stable); user 1 streams view x6 -> a single-entry map. The
+    map iterator drives the protobuf stub's KeyAndValuePair parsing."""
+    from pyspark.sql import functions as F
+    from google.protobuf import descriptor  # noqa: F401  (stub or real)
+    from ws_to_kafka_spark.sources.websocket import register_websocket_source
+    from ws_to_kafka_spark.streaming.ops import stateful_type_profile
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    types0 = ["view", "view", "click", "purchase", "view", "click"]
+    frames = [
+        json.dumps(
+            {
+                "event_id": i * 2 + u,
+                "user_id": u,
+                "event_type": (types0[i] if u == 0 else "view"),
+            }
+        ).encode()
+        for i in range(6)
+        for u in (0, 1)
+    ]
+    server = RecordingWsServer(frames_per_connection=frames)
+    register_websocket_source(spark)
+    raw = spark.readStream.format("websocket").option("url", server.url).load()
+    raw = raw.withColumn("value", raw.value.cast("string"))
+    parsed = raw.select(
+        F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("value", "$.event_type").alias("event_type"),
+    )
+    stream = stateful_type_profile(parsed)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("typeprofile_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mapstate"))
+        .start()
+    )
+    try:
+        def final_state_ok():
+            rows = spark.sql(
+                "SELECT user_id, profile FROM typeprofile_test "
+                "WHERE n_events = 6"
+            ).collect()
+            got = {r.user_id: r.profile for r in rows}
+            return got == {
+                0: "click:2,purchase:1,view:3",
+                1: "view:6",
+            }
+
+        assert wait_until(final_state_ok, timeout=60), (
+            "type profile never converged: "
+            + str(spark.sql("SELECT * FROM typeprofile_test").collect())
+        )
+    finally:
+        query.stop()
+        server.close()
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+
+
 def test_stream_static_enrich(spark, tmp_path, sf_dir):
     """Streaming events joined to the static customer dim stay a broadcast
     join per micro-batch and carry the right dimension attributes."""

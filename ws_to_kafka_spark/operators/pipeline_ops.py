@@ -925,6 +925,106 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP_K)
 
 
+#: Misra-Gries counter budget: guarantees every token with global
+#: frequency > n/_MG_K survives candidate generation (pigeonhole over
+#: per-partition summaries — see q_vocab_heavyhitters).
+_MG_K = 50
+
+
+@register(
+    "q_vocab_heavyhitters",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) * {_MG_K} >
+           (SELECT COUNT(*)
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents))
+    """,
+)
+def q_vocab_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with frequency > n/{_MG_K}) without ever
+    shuffling the full vocabulary: per-partition Misra-Gries summaries
+    (Misra & Gries 1982; merged batch-at-a-time per Agarwal et al.'s
+    mergeable-summaries formulation) nominate ≤ {_MG_K} candidates per
+    partition, then ONE aggregation counts only candidate tokens
+    exactly. q_agg_countmin answers the same question with a sketch
+    ESTIMATE; this is the deterministic-candidates + exact-verify form.
+
+    Soundness (the pigeonhole the plan rests on): an MG summary with
+    {_MG_K} counters undercounts any token by at most n_p/(k+1), so a
+    token with partition frequency > n_p/(k+1) survives partition p's
+    summary. If a token's GLOBAL frequency exceeds n/k = Σ n_p/k,
+    then on at least one partition its share exceeds n_p/k >
+    n_p/(k+1) — so every global heavy hitter is nominated somewhere,
+    and the exact verify discards every false candidate. Compaction
+    subtracts the (k+1)-th largest count and drops non-positives —
+    the mergeable form, exact over pre-counted batches.
+
+    Scale: this is the URL/IP-cardinality shape — a full groupBy ships
+    the entire per-partition vocabulary histogram into the exchange
+    (billions of distinct keys at 100 TB), while the summaries ship
+    ≤ {k}+1 rows per partition; the verify join broadcasts the tiny
+    candidate list and its aggregation shuffles only candidate rows.
+    Per-partition totals ride the same summary pass (one NULL-token row
+    each), so the threshold needs no extra scan. On the fixtures the
+    plain groupBy wins (27k-token vocab); the operator exists for the
+    regime where it doesn't.
+    """
+    import pandas as pd
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    k = _MG_K
+
+    def mg_partition(batches):
+        summary: dict = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            for tok, c in pdf["token"].value_counts().items():
+                summary[tok] = summary.get(tok, 0) + int(c)
+            if len(summary) > k:
+                kth = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    t: c - kth for t, c in summary.items() if c > kth
+                }
+        yield pd.DataFrame(
+            {
+                "token": list(summary.keys()) + [None],
+                "n_part": [0] * len(summary) + [n_part],
+            }
+        )
+
+    summaries = toks.mapInPandas(
+        mg_partition, schema="token string, n_part long"
+    )
+    # one summary pass feeds BOTH the candidate list and the total-count
+    # threshold; persist so the two consumers don't redo the scan
+    summaries = summaries.persist()
+    from .distributed import _track
+
+    _track(summaries)
+    cands = (
+        summaries.filter(F.col("token").isNotNull())
+        .select("token")
+        .distinct()
+    )
+    total = summaries.agg(F.sum("n_part").cast("long").alias("n_total"))
+    freq = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("n_total"))
+        .select("token", "freq")
+    )
+
+
+
 @register(
     "q_merge_upsert",
     oracle="""

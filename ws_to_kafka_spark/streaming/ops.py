@@ -479,6 +479,76 @@ def stateful_recent_values(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def stateful_type_profile(events: DataFrame) -> DataFrame:
+    """Per-user event-TYPE profile via transformWithState MapState: a
+    (event_type -> count) map maintained incrementally per key — the
+    online user-profile feature (what mix of views/clicks/purchases is
+    this user?) whose key set is data-driven, so neither a ValueState
+    tuple (fixed arity) nor a ListState (no keyed lookup) fits: the
+    textbook MapState case. Each batch bumps per-type counts with
+    getValue/updateValue and emits the current profile snapshot (type
+    counts serialized as a deterministic sorted "type:n" string so the
+    memory-sink assertion is order-stable).
+
+    API coverage: getMapState / containsKey / getValue / updateValue /
+    iterator — the MapState quarter of the arbitrary-state surface
+    (ValueState: :func:`stateful_user_totals`; timers:
+    :func:`stateful_session_timeout`; ListState:
+    :func:`stateful_recent_values`). Same environment notes: RocksDB
+    provider, protobuf or the vendored stub — the map iterator drives
+    the stub's KeyAndValuePair submessage parsing live.
+
+    Scale: one shuffle on the key; state is O(#distinct types) per key
+    (bounded by the event-type vocabulary, not the stream), and each
+    batch touches only the types it saw.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                for etype, n in pdf.groupby("event_type").size().items():
+                    prev = (
+                        int(self._counts.getValue((etype,))[0])
+                        if self._counts.containsKey((etype,))
+                        else 0
+                    )
+                    self._counts.updateValue((etype,), (prev + int(n),))
+            profile = sorted(
+                (k[0], int(v[0])) for k, v in self._counts.iterator()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_types": [len(profile)],
+                    "n_events": [sum(n for _, n in profile)],
+                    "profile": [
+                        ",".join(f"{t}:{n}" for t, n in profile)
+                    ],
+                }
+            )
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeProfile(),
+        outputStructType=(
+            "user_id long, n_types long, n_events long, profile string"
+        ),
+        outputMode="update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(
     purchases: DataFrame,
     signups: DataFrame,
