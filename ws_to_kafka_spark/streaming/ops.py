@@ -819,6 +819,144 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Recent-window size shared by stateful_recent_values and its twin.
+_RECENT_K = 3
+
+
+@register(
+    "q_stream_recent",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC NULLS FIRST,
+                                         event_id DESC) AS rdesc
+      FROM events WHERE value IS NOT NULL
+    ), recent AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_recent,
+             CAST(SUM(cents) AS BIGINT) AS recent_cents
+      FROM ranked WHERE rdesc <= {_RECENT_K} GROUP BY user_id
+    ), seen AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT seen.user_id, n_seen,
+           COALESCE(n_recent, 0) AS n_recent,
+           FLOOR(CAST(recent_cents AS DOUBLE) * 100
+                 / NULLIF(CAST(n_recent AS BIGINT), 0) + 0.5) / 10000
+             AS recent_mean
+    FROM seen LEFT JOIN recent USING (user_id)
+    """,
+)
+def q_stream_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`stateful_recent_values`: per-user mean of the
+    {_RECENT_K} NEWEST non-null values under the streaming op's exact
+    ordering rule — ascending (ts, event_id) with NULL ts LAST (pandas
+    ``na_position='last'``, i.e. NULL-ts values count as newest), keep
+    the list tail, count every row in n_seen. Selecting the newest k is
+    expressed as ROW_NUMBER over the REVERSED order (desc, NULLS FIRST)
+    — same rows, keyed window, no sort of the whole history per row.
+
+    Determinism: values are cent-quantized (exact 2dp in the fixtures,
+    lossless) so the recent sum is an exact long, and the mean is one
+    floor-scale division of exact integers — the registry's tie-safe
+    display form. The streaming op's float mean equals
+    recent_cents/(100·n_recent) on exact-representable inputs, which the
+    live ListState test uses.
+
+    Scale: one shuffle on user_id serves the window and both aggregates
+    (same key); per-key state in the streaming form is O(k), and this
+    twin's window is keyed — never a global sort.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_first(), F.col("event_id").desc()
+    )
+    ranked = events.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+        F.row_number().over(w).alias("rdesc"),
+    )
+    recent = (
+        ranked.filter(F.col("rdesc") <= _RECENT_K)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_recent"),
+            F.sum("cents").cast("long").alias("recent_cents"),
+        )
+    )
+    seen = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_seen")
+    )
+    return seen.join(recent, "user_id", "left").select(
+        "user_id",
+        "n_seen",
+        F.coalesce(F.col("n_recent"), F.lit(0).cast("long")).alias(
+            "n_recent"
+        ),
+        (
+            F.floor(
+                F.col("recent_cents").cast("double")
+                * 100
+                / F.nullif(F.col("n_recent").cast("long"), F.lit(0))
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("recent_mean"),
+    )
+
+
+@register(
+    "q_stream_profile",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           string_agg(event_type || ':' || n, ',' ORDER BY event_type)
+             AS profile
+    FROM per_type GROUP BY user_id
+    """,
+)
+def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`stateful_type_profile`: the per-user
+    (event_type -> count) map over the whole stream, serialized exactly
+    as the streaming op emits it — "type:n" entries joined by commas in
+    ascending type order — so the final MapState per key must equal this
+    row (the live test asserts the same serialization).
+
+    Scale: one shuffle for the (user, type) count (map-side combined),
+    one for the per-user fold; the collect_list is bounded by the
+    event-type vocabulary, the same O(#types) bound as the MapState.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return per_type.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "n"))
+                ),
+                lambda x: F.concat(
+                    x["event_type"], F.lit(":"), x["n"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("profile"),
+    )
+
+
 @register(
     "q_stream_enrich",
     oracle="""
