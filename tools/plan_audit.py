@@ -68,6 +68,7 @@ EXPECTED_NESTED_LOOP = {
     "q_orders_abc",  # ranked customers × broadcast 1-row revenue total
     "q_graph_modularity",  # 1-row stats × broadcast 1-row E/n frames
     "q_sample_negative",  # orders × broadcast 1-row max-partkey frame
+    "q_vocab_heavyhitters",  # ≤k candidates × broadcast 1-row token total
 }
 
 # Queries whose plan contains a Window/Sort over Exchange SinglePartition
