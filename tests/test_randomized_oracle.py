@@ -1614,3 +1614,46 @@ def test_grid_overlap_join_matches_naive_all_pairs(spark, rows, width):
         ).fetchall()
     )
     assert got == want
+
+
+# token multisets over a tiny alphabet: heavy-hitter threshold ties
+# (freq * k == n exactly -> excluded by the strict >), single-token
+# floods, and empty inputs; k small enough that per-partition
+# Misra-Gries compaction actually fires.
+_tok_table = st.lists(
+    st.sampled_from(list("abcdef")), min_size=0, max_size=80
+)
+
+
+@given(_tok_table, st.integers(min_value=2, max_value=6))
+@_SETTINGS
+def test_mg_heavy_hitters_exact(spark, toks, k):
+    """mg_heavy_hitters (per-partition Misra-Gries candidates + exact
+    verify) must equal the plain GROUP BY ... HAVING count*k > n for
+    every multiset and every k — the pigeonhole nomination guarantee
+    plus the strict-inequality threshold, under forced multi-partition
+    summaries (repartition(4)) so compaction and summary merging are
+    actually exercised."""
+    from ws_to_kafka_spark.operators.pipeline_ops import mg_heavy_hitters
+
+    rows = [(t,) for t in toks]
+    df = spark.createDataFrame(rows or [("x",)], schema="token string")
+    if not rows:
+        df = df.limit(0)
+    got = _nullsafe(
+        tuple(r) for r in mg_heavy_hitters(df.repartition(4), k).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (token VARCHAR)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = _nullsafe(
+        con.execute(
+            f"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM t GROUP BY token
+            HAVING COUNT(*) * {k} > (SELECT COUNT(*) FROM t)
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -972,11 +972,19 @@ def q_vocab_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain groupBy wins (27k-token vocab); the operator exists for the
     regime where it doesn't.
     """
-    import pandas as pd
-
     docs = tables.load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    k = _MG_K
+    return mg_heavy_hitters(toks, _MG_K)
+
+
+def mg_heavy_hitters(toks: DataFrame, k: int) -> DataFrame:
+    """Exact tokens with frequency STRICTLY greater than n/k over a
+    one-column ``(token string)`` frame — the Misra-Gries candidate +
+    exact-verify plan :func:`q_vocab_heavyhitters` documents. Extracted
+    so the property suite can drive it with adversarial multisets
+    (threshold ties, single-token floods, tiny k with forced
+    compaction) the fixtures never produce."""
+    import pandas as pd
 
     def mg_partition(batches):
         summary: dict = {}
