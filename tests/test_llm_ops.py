@@ -695,3 +695,23 @@ def test_mm_video_matches_local_recompute(spark, sf_dir):
         # frames must actually differ (the rotation makes indexing bugs
         # visible as stat mismatches)
         assert len({r.mean_pixel for r in got}) > 1
+
+
+def test_graph_search_recall_vs_brute_force(spark, sf_dir):
+    """q_sim_graph_search is oracle-checked for exact replayability; this
+    pins its QUALITY: deterministic beam search over the symmetrized
+    fixture k-NN graph must recover a healthy share of the true top-5
+    (measured 0.8; asserted >= 0.6 to absorb fixture regeneration)."""
+    from ws_to_kafka_spark.operators import QUERIES
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["q_sim_topk"].fn(spark, sf_dir).collect()
+        if r.query_id < 3
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["q_sim_graph_search"].fn(spark, sf_dir).collect()
+    }
+    assert len(approx) == len(exact)  # full top-5 emitted per query
+    assert len(exact & approx) / len(exact) >= 0.6
