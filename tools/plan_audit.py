@@ -69,6 +69,7 @@ EXPECTED_NESTED_LOOP = {
     "q_graph_modularity",  # 1-row stats × broadcast 1-row E/n frames
     "q_sample_negative",  # orders × broadcast 1-row max-partkey frame
     "q_vocab_heavyhitters",  # ≤k candidates × broadcast 1-row token total
+    "q_sim_graph_search",  # ≤3-row query frame × broadcast seed stride
 }
 
 # Queries whose plan contains a Window/Sort over Exchange SinglePartition
