@@ -23,6 +23,7 @@ _QUERIES = [
     "q_sim_pairs",
     "q_sim_centroid",
     "q_embed_knn_graph",
+    "q_sim_graph_search",
 ]
 
 
