@@ -280,3 +280,31 @@ def test_crosscorr_hour_bucket_edges(spark, edge_sf_dir):
         (tuple(r[i] for i in order) for r in cur.fetchall()), key=str
     )
     assert got == want
+
+
+def test_stream_recent_dup_and_null_ts_ordering(spark, edge_sf_dir):
+    """q_stream_recent's newest-k rule under duplicate timestamps
+    (event_id tiebreak) and a NULL ts (sorts LAST ascending = counts as
+    newest, the stateful_recent_values pandas rule). Engines must agree
+    row-for-row, and user 3's recent window must include the NULL-ts
+    value."""
+    df = QUERIES["q_stream_recent"].fn(spark, edge_sf_dir)
+    got = {
+        r.user_id: (r.n_seen, r.n_recent, r.recent_mean)
+        for r in df.collect()
+    }
+    # user 3: NULL-ts value 5.0 is part of the newest-3 {5,6,7} -> 6.0
+    assert got[3] == (3, 3, 6.0)
+    want = {r[0]: (r[1], r[2], r[3]) for r in _oracle(edge_sf_dir, "q_stream_recent")}
+    assert got == want
+
+
+def test_stream_session_null_ts_and_dup_ts(spark, edge_sf_dir):
+    """q_stream_session on the edge corpus: same-ts events gap 0 (one
+    session), a NULL-ts row counts but never breaks (NULLS FIRST), and
+    the 26 h jump for user 3 is the only break -> 2 sessions."""
+    df = QUERIES["q_stream_session"].fn(spark, edge_sf_dir)
+    got = {r.user_id: (r.n_events, r.n_sessions) for r in df.collect()}
+    assert got == {1: (3, 1), 2: (3, 1), 3: (3, 2)}
+    want = {r[0]: (r[1], r[2]) for r in _oracle(edge_sf_dir, "q_stream_session")}
+    assert got == want
