@@ -78,6 +78,9 @@ HEAVY = {
     # the domain, not corpus size, per-cell work is constant and the
     # plan is linear in cells.
     "q_join_overlap_grid": 2.0,
+    # round-8: MG candidates ship <= k+1 rows/partition; the scan and
+    # the candidate-verify aggregation are both linear in tokens
+    "q_vocab_heavyhitters": 1.0,
 }
 ROUNDS = 3
 
