@@ -255,6 +255,46 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_frame(spark, sf_dir, "minhash_banded", build)
 
 
+def band_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy report — the q_skew_keys-style
+    pre-flight diagnosis for :func:`q_dedup_near`'s band self-join,
+    whose cost is Σ occupancy² per (band_idx, band_key) bucket: bucket
+    count, hottest-bucket occupancy, and how many buckets exceed
+    ``_NEAR_BAND_CAP`` (i.e. how much the hot-band cap is actually
+    dropping on this corpus — 0 on the driver fixtures, where max
+    occupancy is 2). Not a registry key (band keys are xxhash64 of
+    MinHash values, not DuckDB-computable); behavior is pinned in
+    tests/test_dedup_edges.py on both the fixture and a constructed
+    hot-band corpus.
+
+    Scale: one map-side-combined count over the persisted banded frame
+    plus a single-row aggregate — the same two-step as q_skew_keys
+    without the rank (occupancies need no global order)."""
+    occ = (
+        _minhash_banded(spark, sf_dir)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count("*").cast("long").alias("occ"))
+    )
+    return occ.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("occ").cast("long").alias("n_rows"),
+        F.max("occ").cast("long").alias("max_occ"),
+        F.sum((F.col("occ") * F.col("occ")).cast("long")).alias(
+            "join_work"
+        ),
+        F.count(F.when(F.col("occ") > _NEAR_BAND_CAP, 1))
+        .cast("long")
+        .alias("n_hot_buckets"),
+        F.sum(
+            F.when(F.col("occ") > _NEAR_BAND_CAP, F.col("occ")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rows_in_hot_buckets"),
+    )
+
+
 _NGRAM_ORACLE_TEMPLATE = """
     WITH sh AS (
       SELECT doc_id,
