@@ -377,3 +377,34 @@ def test_band_occupancy_stats(spark, hot_band_sf_dir, dup_sf_dir):
     benign = band_occupancy_stats(spark, dup_sf_dir).first()
     assert benign.max_occ <= 3        # twins only
     assert benign.n_hot_buckets == 0
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_gate_fixtures_have_no_hot_bands(spark, sf_dir):
+    """Guard for the _NEAR_BAND_CAP / exact-oracle trade-off (ADVICE r8):
+    q_dedup_near's registered oracle is exact Jaccard, so the cap MUST
+    drop nothing on the verify-gate fixtures — if a future fixture or
+    corpus regeneration crosses the cap, this assertion names the cause
+    instead of letting it surface as an opaque row mismatch in verify.
+    Also pins that the driver-cached hot list q_dedup_near now consumes
+    (`_hot_bands`) is empty here, i.e. the anti-join is skipped on the
+    gate path."""
+    import os
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    from ws_to_kafka_spark.operators.dedup import (
+        _hot_bands,
+        band_occupancy_stats,
+    )
+
+    stats = band_occupancy_stats(spark, sf_dir).first()
+    assert stats.n_hot_buckets == 0, (
+        f"{sf_dir}: {stats.n_hot_buckets} LSH band buckets exceed "
+        "_NEAR_BAND_CAP — q_dedup_near's exact-Jaccard oracle would "
+        "diverge via the hot-band cap (see dedup.py q_dedup_near "
+        "docstring for the trade-off)."
+    )
+    assert _hot_bands(spark, sf_dir) == []

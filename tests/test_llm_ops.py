@@ -715,3 +715,90 @@ def test_graph_search_recall_vs_brute_force(spark, sf_dir):
     }
     assert len(approx) == len(exact)  # full top-5 emitted per query
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_knn_ann_recall_and_exactness_on_fixture(spark, sf_dir):
+    """q_embed_knn_ann vs the exact build on the RANDOM-vector fixture —
+    the adversarial regime for any ANN build (uniform 64-d vectors put
+    the true top-5 ≈3σ from the cosine bulk; separating them without
+    near-exhaustive scoring is information-theoretically impossible, see
+    the operator docstring). Floor pinned at the measured 0.77 minus
+    regeneration slack. Every edge BOTH builds emit must carry a
+    bit-identical cosine (shared quantized-integer arithmetic) — the
+    precision-1.0-by-construction claim."""
+    exact = {
+        (r.vec_id, r.nbr): r.cosine
+        for r in QUERIES["q_embed_knn_graph"].fn(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.vec_id, r.nbr): r.cosine
+        for r in QUERIES["q_embed_knn_ann"].fn(spark, sf_dir).collect()
+    }
+    assert len(ann) == len(exact)  # full degree-5 graph on both sides
+    common = set(exact) & set(ann)
+    recall = len(common) / len(exact)
+    assert recall >= 0.65, f"ANN graph recall {recall:.0%} too low"
+    assert all(exact[e] == ann[e] for e in common)
+
+
+def test_knn_ann_recall_clustered_corpus(spark, tmp_path_factory):
+    """The regime the approximate build exists for: clustered embeddings
+    (25 centers × 20 members, the shape of real model embeddings). LSH
+    buckets isolate clusters and NN-descent completes them — recall ≥0.9
+    (the round-8 VERDICT bar) at a candidate volume far under all-pairs."""
+    import numpy as np
+
+    rng_state = 0xC1A55
+    def nxt():
+        nonlocal rng_state
+        rng_state = (
+            rng_state * 6364136223846793005 + 1442695040888963407
+        ) % (1 << 64)
+        return (rng_state >> 33) / float(1 << 31) - 1.0
+
+    rows = []
+    vid = 0
+    for _c in range(25):
+        center = [nxt() for _ in range(64)]
+        for _m in range(20):
+            vec = [center[d] + 0.15 * nxt() for d in range(64)]
+            rows.append((vid, [float(x) for x in vec], 0))
+            vid += 1
+    dst = str(tmp_path_factory.mktemp("sf_clustered"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{dst}/embeddings.parquet")
+
+    exact = {
+        (r.vec_id, r.nbr)
+        for r in QUERIES["q_embed_knn_graph"].fn(spark, dst).collect()
+    }
+    ann = {
+        (r.vec_id, r.nbr)
+        for r in QUERIES["q_embed_knn_ann"].fn(spark, dst).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus recall {recall:.0%} < 0.9"
+
+
+def test_graph_search_over_ann_index(spark, sf_dir, monkeypatch):
+    """The 100 TB combination: q_sim_graph_search navigating the
+    APPROXIMATE build's graph (_GRAPH_INDEX_ANN flag). No oracle — the
+    registered one replays the exact graph — so pin shape (full top-5
+    per query) and quality vs brute force."""
+    from ws_to_kafka_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_GRAPH_INDEX_ANN", True)
+    got = QUERIES["q_sim_graph_search"].fn(spark, sf_dir).collect()
+    per_query: dict = {}
+    for r in got:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert len(per_query) == 3  # _BEAM_QUERIES
+    assert all(len(v) == 5 for v in per_query.values())
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["q_sim_topk"].fn(spark, sf_dir).collect()
+        if r.query_id < 3
+    }
+    approx = {(r.query_id, r.vec_id) for r in got}
+    assert len(brute & approx) / len(brute) >= 0.4

@@ -311,3 +311,32 @@ def test_persist_scope_isolates_interleaved_queries(spark):
     # images over the same 200 unique ids
     assert sorted(a_rows.values()) == list(range(1, 201))
     assert all(a_rows[i] + b_rows[i] == 201 for i in a_rows)
+
+
+def test_persist_scope_nested_empty_scopes_exit_by_identity(spark):
+    """ADVICE r8: two EMPTY scope lists compare equal, so an
+    equality-based _SCOPES.remove() on the inner exit could detach the
+    OUTER scope's list — frames tracked afterward would land in the dead
+    inner list and the outer exit would raise ValueError. Exit must
+    remove by identity."""
+    from pyspark.sql import functions as F
+
+    from ws_to_kafka_spark.operators import distributed
+    from ws_to_kafka_spark.operators.distributed import (
+        global_row_number,
+        persist_scope,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(50)], schema="v long, id long"
+    )
+    with persist_scope():  # outer, empty at inner-exit time
+        with persist_scope():
+            pass  # inner exits while BOTH lists are empty and equal
+        # outer must still be the live innermost scope
+        ranked = global_row_number(df, [F.col("v").asc()], "rn")
+        rows = {r["id"]: r["rn"] for r in ranked.collect()}
+    # outer exit must not raise, and must have released its own frames
+    assert not distributed._SCOPES
+    assert not distributed._PERSISTED
+    assert sorted(rows.values()) == list(range(1, 51))

@@ -133,6 +133,34 @@ def test_packed_varint_parsing(mini):
     assert rt.xs == [1, 300]
 
 
+def test_packed_fixed_width_parsing(mini):
+    """Packed repeated double/float/fixed arrive as ONE multi-element
+    LEN payload; the parser must stride-decode it (and reject a payload
+    whose length isn't a multiple of the element width)."""
+    import struct
+
+    md = _msg_desc(
+        mini, "PD", [("ds", 1, mini.TYPE_DOUBLE, mini.LABEL_REPEATED)]
+    )
+    cls = mini._class_for(md)
+    payload = struct.pack("<2d", 1.5, -2.25)
+    rt = cls()
+    rt.ParseFromString(b"\x0a\x10" + payload)  # tag(1, LEN) + len 16
+    assert rt.ds == [1.5, -2.25]
+
+    md32 = _msg_desc(
+        mini, "PF", [("fs", 1, mini.TYPE_FIXED32, mini.LABEL_REPEATED)]
+    )
+    cls32 = mini._class_for(md32)
+    rt32 = cls32()
+    rt32.ParseFromString(b"\x0a\x08" + struct.pack("<2I", 7, 300))
+    assert rt32.fs == [7, 300]
+
+    bad = cls()
+    with pytest.raises(ValueError, match="not a multiple"):
+        bad.ParseFromString(b"\x0a\x07" + payload[:7])
+
+
 def test_real_pb2_module_roundtrip(mini):
     """End-to-end through Spark's actual generated module: the stub must
     build pyspark's StateMessage_pb2 and round-trip the handshake the

@@ -1230,3 +1230,201 @@ def test_max_records_per_batch_caps_microbatches(spark, tmp_path):
     finally:
         query.stop()
         server.close()
+
+
+# ---------------------------------------------------------------------------
+# Multi-connection source: N sockets -> N input partitions
+# ---------------------------------------------------------------------------
+
+def test_websocket_multi_two_feeds_land_in_order(spark, tmp_path):
+    """Two independent ws servers through one `websocket_multi` stream:
+    every frame from BOTH feeds must land tagged with its feed_id, each
+    feed's frames must arrive in per-feed connection order, and each
+    (batch, feed) slice must occupy its own input partition — the
+    N-sockets ⇒ N-partitions claim (round-8 VERDICT item 2)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ws_to_kafka_spark.sources.websocket import (
+        register_websocket_multi_source,
+    )
+
+    frames_a = [f"a-{i:02d}".encode() for i in range(8)]
+    frames_b = [f"b-{i:02d}".encode() for i in range(8)]
+    server_a = RecordingWsServer(frames_per_connection=frames_a)
+    server_b = RecordingWsServer(frames_per_connection=frames_b)
+    register_websocket_multi_source(spark)
+    stream = (
+        spark.readStream.format("websocket_multi")
+        .option("urls", _json.dumps([server_a.url, server_b.url]))
+        .load()
+    )
+    seen: list[tuple[int, int, bytes, int]] = []  # (batch, feed, value, part)
+
+    def sink(df, batch_id):
+        for r in df.select(
+            "feed_id", "value", F.spark_partition_id().alias("part")
+        ).collect():
+            seen.append((batch_id, r.feed_id, bytes(r.value), r.part))
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert wait_until(lambda: len(seen) >= 16, timeout=60)
+        time.sleep(1)  # allow any (wrong) extra rows to surface
+    finally:
+        query.stop()
+        server_a.close()
+        server_b.close()
+
+    # rows were appended in (batch asc, partition-iterator) order, which
+    # preserves each feed's slice order within and across batches
+    by_feed: dict[int, list[bytes]] = {0: [], 1: []}
+    for _batch, feed, value, _part in seen:
+        by_feed[feed].append(value)
+    assert by_feed[0] == frames_a, "feed 0 lost frames or broke order"
+    assert by_feed[1] == frames_b, "feed 1 lost frames or broke order"
+    # partition isolation: within any batch, the two feeds never share a
+    # spark partition, and at least one batch carried both feeds in
+    # parallel partitions
+    parts: dict[tuple[int, int], set[int]] = {}
+    for batch, feed, _value, part in seen:
+        parts.setdefault((batch, feed), set()).add(part)
+    assert all(len(p) == 1 for p in parts.values())
+    both = [
+        b
+        for b in {batch for batch, _ in parts}
+        if (b, 0) in parts and (b, 1) in parts
+    ]
+    assert any(parts[(b, 0)] != parts[(b, 1)] for b in both), (
+        "feeds never ran in distinct input partitions"
+    )
+
+
+def test_websocket_multi_fan_out_single_url(spark, tmp_path):
+    """`fan_out` N over one url: N independent connections to the same
+    endpoint (the subscription-sharding shape). The recording server
+    plays its frame script to EACH connection, so N=2 must deliver every
+    frame twice — once per feed_id."""
+    from ws_to_kafka_spark.sources.websocket import (
+        register_websocket_multi_source,
+    )
+
+    frames = [f"f-{i}".encode() for i in range(5)]
+    server = RecordingWsServer(frames_per_connection=frames)
+    register_websocket_multi_source(spark)
+    stream = (
+        spark.readStream.format("websocket_multi")
+        .option("url", server.url)
+        .option("fan_out", "2")
+        .load()
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("multi_fanout")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert wait_until(
+            lambda: spark.sql("SELECT COUNT(*) c FROM multi_fanout").first().c
+            >= 10,
+            timeout=60,
+        )
+        rows = spark.sql("SELECT feed_id, value FROM multi_fanout").collect()
+    finally:
+        query.stop()
+        server.close()
+    got: dict[int, list[bytes]] = {}
+    for r in rows:
+        got.setdefault(r.feed_id, []).append(bytes(r.value))
+    assert set(got) == {0, 1}
+    assert got[0] == frames and got[1] == frames
+
+
+def test_transform_with_state_checkpoint_restart(spark, tmp_path):
+    """State-store recovery — the untested half of O12's Spark upgrade
+    ("strictly stronger: resumable", SURVEY §2.1; round-8 VERDICT item 5):
+    a transformWithStateInPandas query is stopped mid-stream and
+    restarted from its checkpoint with the RocksDB provider; the
+    restarted query's ValueState must RESUME (second-phase events
+    accumulate onto first-phase totals), ending exactly at the batch-twin
+    totals over the union of both phases."""
+    from ws_to_kafka_spark.streaming.ops import stateful_user_totals
+
+    mk = lambda i, u, v: json.dumps(
+        {"event_id": i, "user_id": u, "value": v,
+         "ts_ms": 1704067200000 + i * 60000}
+    ).encode()
+    phase_a = [mk(0, 0, 1.0), mk(1, 1, 2.0), mk(2, 0, 3.0)]
+    phase_b = [mk(3, 0, 5.0), mk(4, 1, 7.0), mk(5, 1, 11.0)]
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    # no auto-replayed script: every frame is pushed explicitly so the
+    # restart cannot double-count (the recording server replays
+    # frames_per_connection to EACH connection)
+    server = RecordingWsServer(frames_per_connection=[])
+    ckpt = str(tmp_path / "ckpt")
+    # the memory sink refuses checkpoint recovery — accumulate update-mode
+    # snapshots via foreachBatch instead (latest emit per user wins)
+    latest: dict = {}
+
+    def sink(df, _batch_id):
+        for r in df.collect():
+            latest[r.user_id] = (r.n_events, r.total_value)
+
+    try:
+        stream = stateful_user_totals(_typed_stream(spark, server.url))
+        query = (
+            stream.writeStream.foreachBatch(sink)
+            .queryName("tws_restart_1")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            assert wait_until(lambda: server.connections >= 1, timeout=30)
+            for f in phase_a:
+                server.push_frame(f)
+            assert wait_until(
+                lambda: latest == {0: (2, 4.0), 1: (1, 2.0)}, timeout=60
+            ), f"phase A never landed: {latest}"
+        finally:
+            query.stop()
+
+        # restart from the same checkpoint: ValueState must come back
+        query2 = (
+            stateful_user_totals(_typed_stream(spark, server.url))
+            .writeStream.foreachBatch(sink)
+            .queryName("tws_restart_2")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            assert wait_until(lambda: server.connections >= 2, timeout=30)
+            for f in phase_b:
+                server.push_frame(f)
+            # batch-twin totals over phase_a + phase_b
+            assert wait_until(
+                lambda: latest == {0: (3, 9.0), 1: (3, 20.0)}, timeout=60
+            ), f"restarted query lost or reset its ValueState: {latest}"
+        finally:
+            query2.stop()
+    finally:
+        server.close()
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)

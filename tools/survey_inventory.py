@@ -26,6 +26,12 @@ def table() -> str:
         spec = QUERIES[name]
         mod = inspect.getmodule(spec.fn).__name__.split(".")[-1]
         first = (spec.doc or "").strip().split("\n")[0].rstrip(".").rstrip(":")
+        if not first:
+            # a blank summary cell undermines the inventory (round-8
+            # VERDICT item 6) — the usual cause is a would-be docstring
+            # that's actually an expression (e.g. '""" ... """.replace(...)'
+            # leaves __doc__ None). Fail loudly instead of emitting it.
+            raise SystemExit(f"{name}: empty docstring first line")
         oracle = "DuckDB oracle" if spec.oracle else "rows-only"
         rows.append(f"| `{name}` | {mod} | {oracle} | {first} |")
     return "\n".join(rows)

@@ -255,6 +255,40 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_frame(spark, sf_dir, "minhash_banded", build)
 
 
+#: Driver-cached hot-band lists per (app, sf_dir, cap). The list is
+#: BOUNDED metadata by construction (a bucket must hold > cap rows to be
+#: hot, so there are at most n_rows/cap entries ≈ 32·n_docs/256), which
+#: is the repo's standing criterion for an allowed collect(). Caching it
+#: on the driver removes the occupancy pre-pass from every subsequent
+#: q_dedup_near execution: the broadcast side becomes a LocalRelation
+#: (zero jobs), and when the list is empty — every gate fixture — the
+#: anti-join is skipped outright (VERDICT r8 item 3).
+_HOT_BANDS_CACHE: dict[tuple[str, str, int], list[tuple[int, int]]] = {}
+
+
+def _hot_bands(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+    """Over-occupied (band_idx, band_key) buckets of the MinHash-LSH
+    index, computed ONCE per (app, corpus, cap) from the persisted
+    banded frame and cached driver-side (see `_HOT_BANDS_CACHE`). Keyed
+    on the cap too so tests that lower `_NEAR_BAND_CAP` see a fresh
+    list."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _HOT_BANDS_CACHE if k[0] != app_id]:
+        del _HOT_BANDS_CACHE[k]
+    key = (app_id, sf_dir, _NEAR_BAND_CAP)
+    if key not in _HOT_BANDS_CACHE:
+        rows = (
+            _minhash_banded(spark, sf_dir)
+            .groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("occ"))
+            .filter(F.col("occ") > _NEAR_BAND_CAP)
+            .select("band_idx", "band_key")
+            .collect()
+        )
+        _HOT_BANDS_CACHE[key] = [(r.band_idx, r.band_key) for r in rows]
+    return _HOT_BANDS_CACHE[key]
+
+
 def band_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket occupancy report — the q_skew_keys-style
     pre-flight diagnosis for :func:`q_dedup_near`'s band self-join,
@@ -368,21 +402,23 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — i.e. the pair is boilerplate by construction, already
     surfaced (cheaper) by q_dedup_exact / q_text_fingerprint on the
     template. The hot-band list itself is tiny by construction
-    (≤ rows/cap entries) and is applied as a broadcast anti-join —
-    no extra shuffle of the banded frame. Hot-band behavior is pinned on
-    a constructed boilerplate corpus in tests/test_dedup_edges.py.
+    (≤ rows/cap entries, see `_hot_bands`) and is computed ONCE per
+    (app, corpus) then applied as a LocalRelation broadcast anti-join —
+    repeated executions pay no occupancy pre-pass, and the common case
+    (no hot bands, every gate fixture) skips the anti-join entirely.
+    Hot-band behavior is pinned on a constructed boilerplate corpus in
+    tests/test_dedup_edges.py.
     """
     sh = _shingled_docs(spark, sf_dir)
     banded = _minhash_banded(spark, sf_dir)
-    hot = (
-        banded.groupBy("band_idx", "band_key")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") > _NEAR_BAND_CAP)
-        .select("band_idx", "band_key")
-    )
-    banded = banded.join(
-        F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
-    )
+    hot = _hot_bands(spark, sf_dir)
+    if hot:
+        hot_df = spark.createDataFrame(
+            hot, schema="band_idx int, band_key long"
+        )
+        banded = banded.join(
+            F.broadcast(hot_df), ["band_idx", "band_key"], "left_anti"
+        )
     left = banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
     )

@@ -85,7 +85,12 @@ def persist_scope():
     try:
         yield
     finally:
-        _SCOPES.remove(frames)
+        # Remove by IDENTITY, not equality: two empty nested scope lists
+        # compare equal, so list.remove() could detach the OUTER scope.
+        for i in range(len(_SCOPES) - 1, -1, -1):
+            if _SCOPES[i] is frames:
+                del _SCOPES[i]
+                break
         _release(frames)
 
 

@@ -555,7 +555,7 @@ def _truss_oracle() -> str:
 
 @register("q_graph_truss", oracle=_truss_oracle())
 def q_graph_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truss-style community-core peeling ({p} fixed rounds): each round
+    """Truss-style community-core peeling (_TRUSS_PEELS fixed rounds): each round
     recomputes per-edge triangle support on the SURVIVING subgraph and
     drops the weak half — edges below the round's median support — so
     the result is the dense co-purchase core at any data scale (a fixed
@@ -563,7 +563,7 @@ def q_graph_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     their support medians differ 4x). Fixed round count so the DuckDB
     oracle unrolls (the PageRank pattern); classic k-truss iterates the
     same plan to fixpoint with an absolute threshold. The graph is the
-    SMALL-PARTS family (p_size <= {s}, a broadcast dimension filter):
+    SMALL-PARTS family (p_size <= _TRUSS_PSIZE, a broadcast dimension filter):
     the Spark side would happily peel the full graph, but the oracle's
     id-ordered triangle enumeration has no degree orientation and goes
     quadratic-ish on the full co-purchase graph — bounding the family
@@ -580,7 +580,7 @@ def q_graph_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     across peels is the classic truss bug — and `localCheckpoint`
     truncates the doubling lineage, same as the iterative CC in
     q_dedup_clusters.
-    """.replace("{p}", str(_TRUSS_PEELS)).replace("{s}", str(_TRUSS_PSIZE))
+    """
 
     def support_of(edges: DataFrame) -> DataFrame:
         deg = (

@@ -987,17 +987,34 @@ def mg_heavy_hitters(toks: DataFrame, k: int) -> DataFrame:
     import pandas as pd
 
     def mg_partition(batches):
+        # Peak memory must stay O(k), not O(distinct tokens per batch):
+        # at the billion-key regime one Arrow batch's vocabulary can blow
+        # the executor-Python heap if merged wholesale. So fold each
+        # batch's value_counts in chunks and compact whenever the summary
+        # exceeds a small multiple of k. Soundness is unchanged — each
+        # chunk is an exact sub-multiset count, and compaction of a
+        # merged summary is the Agarwal et al. mergeable-summary step;
+        # total decrement per token stays <= n_part/(k+1) (every
+        # compaction removes >= (k+1)x its subtraction in total weight).
         summary: dict = {}
         n_part = 0
-        for pdf in batches:
-            n_part += len(pdf)
-            for tok, c in pdf["token"].value_counts().items():
-                summary[tok] = summary.get(tok, 0) + int(c)
+
+        def compact():
+            nonlocal summary
             if len(summary) > k:
                 kth = sorted(summary.values(), reverse=True)[k]
                 summary = {
                     t: c - kth for t, c in summary.items() if c > kth
                 }
+
+        chunk_cap = 4 * k
+        for pdf in batches:
+            n_part += len(pdf)
+            for tok, c in pdf["token"].value_counts().items():
+                summary[tok] = summary.get(tok, 0) + int(c)
+                if len(summary) > chunk_cap:
+                    compact()
+            compact()
         yield pd.DataFrame(
             {
                 "token": list(summary.keys()) + [None],
@@ -1362,7 +1379,7 @@ def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup, Wenzek et al. 2020): every repeated sentence keeps only its
     FIRST occurrence (min (doc_id, position) — deterministic), and each
     document is reassembled from its surviving sentences. Fixtures have
-    no newline structure, so 'sentences' are fixed {w}-word segments —
+    no newline structure, so 'sentences' are fixed _SENT_WORDS-word segments —
     real corpora swap the segmenter, the dataflow is identical.
 
     Scale: segmentation is the q_doc_chunks explode (map-only). The
@@ -1373,7 +1390,7 @@ def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE co-partitions. Reassembly is a grouped ordered collect per doc.
     The owner key packs (doc_id, sidx) into one long for a single-column
     MIN; at web scale it becomes struct MIN or a 128-bit pack.
-    """.replace("{w}", str(_SENT_WORDS))
+    """
     docs = tables.load(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",

@@ -226,7 +226,7 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python user-defined TABLE function (new API in Spark 4): a class
     whose ``eval`` yields zero-or-more rows per input row, invoked with
     ``LATERAL`` in SQL — the generator shape (one doc -> many chunks)
-    that scalar UDFs cannot express. The chunker emits {w}-word segments
+    that scalar UDFs cannot express. The chunker emits _CHUNK_WORDS-word segments
     with position and length, mirroring q_dedup_sentences' segmentation
     so the DuckDB oracle is the same slicing algebra.
 
@@ -241,7 +241,7 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan itself is scale-clean: map-only (Generate over the scan, no
     shuffle), so throughput is bounded by the Python workers, not by
     data movement.
-    """.replace("{w}", str(_CHUNK_WORDS))
+    """
     from pyspark.sql.functions import udtf
 
     @udtf(returnType=(

@@ -30,7 +30,10 @@ Scale note: one WebSocket connection is inherently ONE input partition
 parallelism comes from running one source per stream/topic and from
 everything downstream of the source exchange. The simple-reader variant
 buffers on the driver, which is exactly where a single ordered socket
-must serialize anyway.
+must serialize anyway. For sharded feeds, ``websocket_multi`` (below)
+runs N connections and plans N input partitions per microbatch —
+per-feed frame order is preserved within its partition and downstream
+map work runs N-wide with no exchange.
 """
 
 from __future__ import annotations
@@ -42,7 +45,12 @@ from collections import deque
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from .ws_client import RECONNECT_DELAY_S, WsClient, WsError
@@ -300,3 +308,202 @@ class WebSocketDataSource(DataSource):
 def register_websocket_source(spark) -> None:
     """Register the source under the name ``websocket`` (idempotent)."""
     spark.dataSource.register(WebSocketDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Multi-connection source: N sockets -> N input partitions per microbatch.
+# ---------------------------------------------------------------------------
+
+_MULTI_SCHEMA_DDL = "value binary, ws_timestamp timestamp, feed_id int"
+
+
+class _FeedSlice(InputPartition):
+    """One feed's share of a microbatch. InputPartitions are pickled to
+    executors, so the record slice rides inside — the same driver→executor
+    volume the simple reader ships, but landing as N PARALLEL map tasks
+    with no exchange: downstream stateless work (projection, key
+    assignment, sink write) runs N-wide straight off the source."""
+
+    def __init__(self, feed_id: int, rows: list):
+        self.feed_id = feed_id
+        self.rows = rows
+
+
+class MultiWebSocketStreamReader(DataSourceStreamReader):
+    """N-connection stream reader: each configured url/subscription gets
+    its own `_FeedWorker` (connection + redial loop + retention buffer)
+    and its own entry in the offset vector, and `partitions()` plans one
+    input partition per feed per microbatch.
+
+    Why this shape: the reference — and round ≤8's `websocket` source —
+    is one socket ⇒ one input partition (SURVEY §4.2), which makes the
+    SOURCE the streaming path's scale ceiling (measured 32.9k frames/s).
+    Real feeds shard (per-symbol subscriptions, per-shard endpoints);
+    this source turns that sharding into genuine input parallelism.
+
+    Where the work runs: offset planning and the socket-owning threads
+    are driver-side (latestOffset/partitions/commit run on the driver;
+    only read(partition) runs on executors — the Python DataSource API
+    gives executors no durable state between batches, and a WebSocket
+    cannot be re-dialed per batch without dropping frames). The driver
+    is thus a fan-in for FRAME BYTES but not for downstream compute; at
+    the point the driver NIC saturates, the production answer is one
+    source per shard feeding a replayable log (the reference's Kafka),
+    which is exactly the pipeline this repo's sink side implements.
+
+    Offsets: ``{"feeds": [i0, i1, ...]}`` — per-feed next-index vector.
+    Restart semantics are the single-connection source's "continue from
+    now" (at-most-once, SURVEY §2.1): sockets cannot replay, so a resume
+    from offset N baselines fresh connections at N (first `partitions()`
+    call observes start > the new worker's index and jumps it forward);
+    frames that arrived while down are lost on both systems.
+    """
+
+    def __init__(self, options: dict):
+        self._options = dict(options)
+        self._specs = self._parse_specs(self._options)
+        self._workers: list[_FeedWorker] | None = None
+
+    @staticmethod
+    def _parse_specs(opts: dict) -> list[dict]:
+        """Feed specs from options: ``urls`` (JSON array of url strings),
+        optionally paired with ``subscribes`` (JSON array, same length);
+        or ``url`` (+ ``subscribe``) with ``fan_out`` N identical
+        connections (subscription-sharding servers)."""
+        urls_raw = opts.get("urls")
+        if urls_raw:
+            urls = json.loads(urls_raw)
+            subs_raw = opts.get("subscribes")
+            subs = json.loads(subs_raw) if subs_raw else [None] * len(urls)
+            if len(subs) != len(urls):
+                raise ValueError(
+                    "websocket_multi: 'subscribes' must pair 1:1 with "
+                    f"'urls' ({len(subs)} vs {len(urls)})"
+                )
+            single_sub = opts.get("subscribe")
+            return [
+                {"url": u, "subscribe": s if s is not None else single_sub}
+                for u, s in zip(urls, subs)
+            ]
+        if opts.get("url"):
+            n = int(opts.get("fan_out", 1) or 1)
+            return [
+                {"url": opts["url"], "subscribe": opts.get("subscribe")}
+                for _ in range(n)
+            ]
+        raise ValueError(
+            "websocket_multi source requires 'urls' (JSON array) or "
+            "'url' [+ 'fan_out']"
+        )
+
+    # live threads/sockets never pickle (executor copies plan nothing)
+    def __getstate__(self) -> dict:
+        return {"_options": self._options, "_specs": self._specs}
+
+    def __setstate__(self, state: dict) -> None:
+        self._options = state["_options"]
+        self._specs = state["_specs"]
+        self._workers = None
+
+    def _ensure_workers(self) -> list[_FeedWorker]:
+        if self._workers is None:
+            opts = self._options
+            parsed = json.loads(opts.get("interval_messages") or "[]")
+            msgs = tuple(
+                m if isinstance(m, str) else json.dumps(m) for m in parsed
+            )
+            self._workers = []
+            for spec in self._specs:
+                w = _FeedWorker(
+                    url=spec["url"],
+                    subscribe=spec["subscribe"],
+                    interval_seconds=float(opts.get("interval", 0) or 0),
+                    interval_messages=msgs,
+                    reconnect_delay=float(
+                        opts.get("reconnect_delay", RECONNECT_DELAY_S)
+                    ),
+                    retention=int(opts.get("retention", 100_000)),
+                )
+                w.start()
+                self._workers.append(w)
+        return self._workers
+
+    def initialOffset(self) -> dict:
+        return {"feeds": [0] * len(self._specs)}
+
+    def latestOffset(self) -> dict:
+        workers = self._ensure_workers()
+        # per-feed admission control (the kafka maxOffsetsPerTrigger
+        # analog, same rationale as the single-connection reader)
+        cap = int(self._options.get("max_records_per_batch", 0) or 0)
+        out = []
+        for w in workers:
+            with w._lock:
+                nxt = w._next_index
+                # oldest unpruned record = next unconsumed (commit prunes
+                # consumed ones), so a cap bounds this batch's share to
+                # the cap-sized window just past the committed frontier.
+                lo = w._buffer[0].index if w._buffer else nxt
+            if cap > 0:
+                nxt = min(nxt, lo + cap)
+            out.append(nxt)
+        return {"feeds": out}
+
+    def partitions(self, start: dict, end: dict) -> list[_FeedSlice]:
+        workers = self._ensure_workers()
+        parts = []
+        for i, w in enumerate(workers):
+            s, e = start["feeds"][i], end["feeds"][i]
+            if s > w._next_index:
+                # checkpoint restart: a fresh socket numbers from 0 but
+                # the engine resumes from committed offset s — baseline
+                # the connection there ("continue from now"); see class
+                # docstring. Guarded under the worker's lock.
+                with w._lock:
+                    if s > w._next_index:
+                        w._next_index = s
+                e = max(e, s)
+            rows = [
+                (r.value, r.ts, i) for r in w.between(s, e)
+            ] if e > s else []
+            parts.append(_FeedSlice(i, rows))
+        return parts
+
+    def read(self, partition: _FeedSlice):
+        return iter(partition.rows)
+
+    def commit(self, end: dict) -> None:
+        if self._workers is None:
+            return
+        for i, w in enumerate(self._workers):
+            w.prune(end["feeds"][i])
+
+    def stop(self) -> None:
+        if self._workers is not None:
+            for w in self._workers:
+                w.stop()
+
+
+class MultiWebSocketDataSource(DataSource):
+    """``spark.readStream.format("websocket_multi")`` after registration.
+
+    Options: ``urls`` (JSON array) [+ ``subscribes`` JSON array], or
+    ``url`` + ``fan_out``; plus the single-connection source's
+    ``subscribe``, ``interval``, ``interval_messages``,
+    ``reconnect_delay``, ``retention``, ``max_records_per_batch``
+    (applied per feed). Output schema adds ``feed_id int``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "websocket_multi"
+
+    def schema(self) -> str:
+        return _MULTI_SCHEMA_DDL
+
+    def streamReader(self, schema: StructType) -> MultiWebSocketStreamReader:
+        return MultiWebSocketStreamReader(dict(self.options))
+
+
+def register_websocket_multi_source(spark) -> None:
+    """Register the N-connection source as ``websocket_multi``."""
+    spark.dataSource.register(MultiWebSocketDataSource)

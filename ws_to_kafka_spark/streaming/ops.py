@@ -20,6 +20,8 @@ stores one small tuple per key.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -459,7 +461,15 @@ def stateful_recent_values(events: DataFrame, k: int = 3) -> DataFrame:
             vals = vals[-k:]
             self._recent.put([(v,) for v in vals])
             self._seen.update((seen,))
-            mean = round(sum(vals) / len(vals), 4) if vals else None
+            # floor-scale half-up, NOT round(): the batch twin
+            # q_stream_recent and its DuckDB oracle use
+            # floor(x*1e4+0.5)/1e4, and exact-halfway means (cent sums /
+            # small n) are routine — banker's rounding would diverge.
+            mean = (
+                math.floor(sum(vals) / len(vals) * 10000.0 + 0.5) / 10000.0
+                if vals
+                else None
+            )
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
