@@ -214,6 +214,31 @@ def main() -> None:
             "n_frames": s["n_frames"],
             "elapsed_sec": s["elapsed_sec"],
         }
+        # Multi-connection source (websocket_multi, round-9): same total
+        # volume over 1 vs 4 sockets through IDENTICAL machinery
+        # (subprocess feed servers, per-feed admission) — the ratio is
+        # the source-scaling figure. Decode shares the driver GIL, so
+        # expect sub-linear; the 4 partitions' real win is N-wide
+        # downstream parallelism (stream_bench.measure_multi documents
+        # the split).
+        from tools.stream_bench import measure_multi as stream_measure_multi
+
+        m1 = stream_measure_multi(
+            spark, n=50000, n_feeds=1, queryName="bench_stream_multi1"
+        )
+        m4 = stream_measure_multi(
+            spark, n=50000, n_feeds=4, queryName="bench_stream_multi4"
+        )
+        payload["streaming"]["multi_1conn_fps"] = m1["value"]
+        payload["streaming"]["multi_4conn_fps"] = m4["value"]
+        payload["streaming"]["multi_4conn_steady_fps"] = m4["steady_state_fps"]
+        payload["streaming"]["multi_scaling_vs_1conn"] = round(
+            m4["value"] / m1["value"], 2
+        )
+        if m4["steady_state_fps"] and m1["steady_state_fps"]:
+            payload["streaming"]["multi_steady_scaling_vs_1conn"] = round(
+                m4["steady_state_fps"] / m1["steady_state_fps"], 2
+            )
     except Exception as exc:  # noqa: BLE001 - bench must still emit batch numbers
         payload["streaming"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     # Emit the one machine-readable line ONLY after the JVM is down:

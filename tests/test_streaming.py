@@ -1347,6 +1347,62 @@ def test_websocket_multi_fan_out_single_url(spark, tmp_path):
     assert got[0] == frames and got[1] == frames
 
 
+def test_websocket_multi_admission_cap_drains(spark, tmp_path):
+    """Regression pin for the round-9 admission-cap deadlock: the engine
+    only delivers commit(end_N) while planning batch N+2, so a per-feed
+    cap anchored at the COMMITTED (pruned) frontier froze latestOffset at
+    one cap window — after the first capped batch, latestOffset == last
+    end ⇒ no new batch ⇒ no commit ⇒ no progress, measured live as
+    2500/20000 frames then a 300 s stall (tools/stream_bench.
+    measure_multi). The fix anchors the window at the PLANNED frontier
+    (maxOffsetsPerTrigger semantics). This test drains 6+ cap windows per
+    feed: it deadlocks at 40 rows on the broken anchoring."""
+    import json as _json
+
+    from ws_to_kafka_spark.sources.websocket import (
+        register_websocket_multi_source,
+    )
+
+    per = 120
+    frames_a = [f"a-{i:03d}".encode() for i in range(per)]
+    frames_b = [f"b-{i:03d}".encode() for i in range(per)]
+    server_a = RecordingWsServer(frames_per_connection=frames_a)
+    server_b = RecordingWsServer(frames_per_connection=frames_b)
+    register_websocket_multi_source(spark)
+    stream = (
+        spark.readStream.format("websocket_multi")
+        .option("urls", _json.dumps([server_a.url, server_b.url]))
+        .option("max_records_per_batch", "20")
+        .load()
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("multi_capped")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert wait_until(
+            lambda: spark.sql("SELECT COUNT(*) c FROM multi_capped").first().c
+            >= 2 * per,
+            timeout=90,
+        ), "capped multi stream stalled before draining all frames"
+        # the cap actually bounded every batch (no drain-in-one-batch):
+        # every non-empty progress entry admitted <= cap rows per feed
+        for p in query.recentProgress:
+            assert p["numInputRows"] <= 2 * 20
+        rows = spark.sql("SELECT feed_id, value FROM multi_capped").collect()
+    finally:
+        query.stop()
+        server_a.close()
+        server_b.close()
+    got: dict[int, list[bytes]] = {}
+    for r in rows:
+        got.setdefault(r.feed_id, []).append(bytes(r.value))
+    assert got[0] == frames_a and got[1] == frames_b
+
+
 def test_transform_with_state_checkpoint_restart(spark, tmp_path):
     """State-store recovery — the untested half of O12's Spark upgrade
     ("strictly stronger: resumable", SURVEY §2.1; round-8 VERDICT item 5):

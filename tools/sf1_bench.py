@@ -81,6 +81,12 @@ HEAVY = {
     # round-8: MG candidates ship <= k+1 rows/partition; the scan and
     # the candidate-verify aggregation are both linear in tokens
     "q_vocab_heavyhitters": 1.0,
+    # round-9: the APPROXIMATE k-NN build — candidate volume is
+    # tables*n*bucket/2 with n-adaptive key width (constant expected
+    # occupancy), plus n*k'^2 per NN-descent round: linear in rows,
+    # the scale-safe twin of q_embed_knn_graph's declared-quadratic
+    # matmul measured right above it.
+    "q_embed_knn_ann": 1.0,
 }
 ROUNDS = 3
 
@@ -98,6 +104,52 @@ def _time_all(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return {n: round(statistics.median(v), 3) for n, v in samples.items()}
 
 
+def _graph_ann_split(spark, sf_dir: str) -> dict:
+    """q_sim_graph_search build/search split (round-8 VERDICT item 4):
+    time the index BUILD (exact matmul vs the approximate LSH+NN-descent
+    build) separately from the beam SEARCH over a pre-checkpointed index,
+    so the artifact shows which half carries the quadratic and whether
+    the per-round search cost is corpus-size-independent as claimed.
+    Build is a single measured materialization (offline/one-time in
+    production); search is warmup + median-of-3 (the query path).
+    Also records recall@k of the approximate build against the exact
+    one (edge-set overlap — both builds share bit-identical scoring, so
+    recall is pure candidate-coverage)."""
+    from ws_to_kafka_spark.operators.similarity import (
+        graph_beam_search,
+        q_embed_knn_ann,
+        q_embed_knn_graph,
+    )
+
+    out: dict = {}
+    edge_sets = {}
+    for name, builder in (
+        ("exact", q_embed_knn_graph),
+        ("ann", q_embed_knn_ann),
+    ):
+        t0 = time.monotonic()
+        edges = builder(spark, sf_dir).select("vec_id", "nbr").localCheckpoint()
+        n_edges = edges.count()
+        build_s = time.monotonic() - t0
+        edge_sets[name] = edges
+        graph_beam_search(spark, sf_dir, edges).collect()  # warmup
+        ts = []
+        for _ in range(ROUNDS):
+            t0 = time.monotonic()
+            graph_beam_search(spark, sf_dir, edges).collect()
+            ts.append(time.monotonic() - t0)
+        out[name] = {
+            "build_sec": round(build_s, 3),
+            "search_sec": round(statistics.median(ts), 3),
+            "n_edges": n_edges,
+        }
+    hit = edge_sets["ann"].join(edge_sets["exact"], ["vec_id", "nbr"]).count()
+    out["ann"]["recall_vs_exact"] = round(hit / max(out["exact"]["n_edges"], 1), 4)
+    for e in edge_sets.values():
+        e.unpersist()
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf1_dir = args[0] if args else "_scale/sf1"
@@ -112,10 +164,14 @@ def main() -> None:
     # any extra positional args after the dir are query names
     names = [a for a in args[1:] if a in HEAVY] or list(HEAVY)
     t01 = _time_all(spark, SF01, names)
+    split01 = _graph_ann_split(spark, SF01) if "--split" in sys.argv else None
     # clear per-corpus caches between scales so sf1 builds its own indexes
     spark.catalog.clearCache()
     t1 = _time_all(spark, sf1_dir, names)
+    split1 = _graph_ann_split(spark, sf1_dir) if "--split" in sys.argv else None
     result = {"sf0.1": t01, "sf1": t1, "scale_factor": factor, "queries": {}}
+    if split01 is not None:
+        result["graph_ann_split"] = {"sf0.1": split01, "sf1": split1}
     for n in names:
         pred_exp = HEAVY[n]
         ratio = round(t1[n] / t01[n], 2) if t01[n] else None

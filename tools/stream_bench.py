@@ -122,15 +122,171 @@ def measure(spark, n: int = 20000, queryName: str = "stream_bench") -> dict:
         server.close()
 
 
+_FEED_SERVER_SCRIPT = """
+import json, sys
+sys.path.insert(0, {root!r})
+from tests.ws_server import RecordingWsServer
+per, feed = int(sys.argv[1]), int(sys.argv[2])
+frames = [
+    json.dumps(
+        {{
+            "event_id": feed * per + i,
+            "user_id": i % 100,
+            "value": float(i),
+            "ts_ms": 1704067200000 + i,
+        }}
+    ).encode()
+    for i in range(per)
+]
+server = RecordingWsServer(frames_per_connection=frames)
+print(server.url, flush=True)
+sys.stdin.read()  # parent closes stdin to shut us down
+server.close()
+"""
+
+
+def _spawn_feed_servers(n_feeds: int, per: int) -> tuple[list, list[str]]:
+    """One ws server SUBPROCESS per feed. In-process servers share the
+    driver's GIL, so at 4 feeds the measurement had 8 Python byte-pushing
+    threads (4 server + 4 client) against the single-connection run's 2 —
+    the recorded 'scaling' was dominated by server-side contention that a
+    real deployment (remote feed) never pays. Subprocess servers leave
+    only the client decode threads in the measured process, which is the
+    production shape."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs, urls = [], []
+    for feed in range(n_feeds):
+        p = subprocess.Popen(
+            [sys.executable, "-c", _FEED_SERVER_SCRIPT.format(root=root),
+             str(per), str(feed)],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        urls.append(p.stdout.readline().strip())
+        procs.append(p)
+    return procs, urls
+
+
+def _close_feed_servers(procs: list) -> None:
+    for p in procs:
+        try:
+            p.stdin.close()
+            p.wait(timeout=10)
+        except Exception:
+            p.kill()
+
+
+def measure_multi(
+    spark, n: int = 20000, n_feeds: int = 4, queryName: str = "stream_bench_multi"
+) -> dict:
+    """Multi-connection ingest (round-8 VERDICT item 2's measurement):
+    ``n`` total frames split evenly across ``n_feeds`` independent ws
+    servers, drained through ONE ``websocket_multi`` stream — each feed
+    is its own socket thread AND its own input partition per microbatch.
+
+    What scales and what doesn't, stated plainly: the per-feed decode
+    threads share the driver's GIL (frame DECODE is Python), so the
+    frames/sec ceiling grows sub-linearly with sockets on one driver;
+    what the N partitions buy is N-wide DOWNSTREAM parallelism (the
+    projection/sink work leaves the driver as N map tasks with no
+    exchange) and per-feed isolation (a stalled feed can't head-of-line
+    block the others' admission). Feed servers run as SUBPROCESSES (see
+    `_spawn_feed_servers`) so the measured process pays only what a real
+    deployment pays — the client decode threads. For a like-for-like
+    scaling ratio, run this with n_feeds=1 and n_feeds=N and divide:
+    identical machinery, only the socket count varies.
+    """
+    from ws_to_kafka_spark.sources.websocket import (
+        register_websocket_multi_source,
+    )
+
+    per = n // n_feeds
+    n = per * n_feeds
+    procs, urls = _spawn_feed_servers(n_feeds, per)
+    register_websocket_multi_source(spark)
+    raw = (
+        spark.readStream.format("websocket_multi")
+        .option("urls", json.dumps(urls))
+        .option("max_records_per_batch", str(max(1, per // 8)))
+        .load()
+    )
+    start = time.perf_counter()
+    query = (
+        raw.writeStream.format("memory")
+        .queryName(queryName)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        count = 0
+        while time.time() < deadline:
+            count = spark.sql(f"SELECT COUNT(*) c FROM {queryName}").first().c
+            if count >= n:
+                break
+            time.sleep(0.2)
+        elapsed = time.perf_counter() - start
+        if count < n:
+            raise RuntimeError(
+                f"multi: only {count}/{n} frames in {elapsed:.1f}s"
+            )
+        per_feed = {
+            int(r.feed_id): int(r.c)
+            for r in spark.sql(
+                f"SELECT feed_id, COUNT(*) c FROM {queryName} GROUP BY feed_id"
+            ).collect()
+        }
+        if sorted(per_feed) != list(range(n_feeds)) or any(
+            v != per for v in per_feed.values()
+        ):
+            raise RuntimeError(f"multi: uneven per-feed landing {per_feed}")
+        # same steady-state extraction as `measure` (skip batch 0's
+        # codegen/sink-init) so the multi/single ratio compares like with
+        # like instead of being dominated by the fixed warmup batch
+        steady_rows = steady_ms = 0
+        for p in query.recentProgress:
+            if p["batchId"] == 0 or p["numInputRows"] == 0:
+                continue
+            steady_rows += p["numInputRows"]
+            steady_ms += p["durationMs"].get("triggerExecution", 0)
+        return {
+            "metric": "stream_ingest_multi_fps",
+            "value": round(n / elapsed, 1),
+            "steady_state_fps": (
+                round(steady_rows / (steady_ms / 1000.0), 1)
+                if steady_ms
+                else None
+            ),
+            "n_feeds": n_feeds,
+            "unit": "frames/sec",
+            "n_frames": n,
+            "elapsed_sec": round(elapsed, 2),
+        }
+    finally:
+        query.stop()
+        _close_feed_servers(procs)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_feeds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     spark = get_spark("stream-bench")
     try:
         result = measure(spark, n)
+        base = measure_multi(spark, n, 1, queryName="stream_bench_multi1")
+        multi = measure_multi(spark, n, n_feeds)
     except RuntimeError as exc:
         print(json.dumps({"metric": "stream_ingest_fps", "error": str(exc)}))
         raise SystemExit(1)
+    multi["scaling_vs_1conn"] = (
+        round(multi["value"] / base["value"], 2) if base["value"] else None
+    )
+    multi["baseline_1conn_fps"] = base["value"]
     print(json.dumps(result))
+    print(json.dumps(multi))
 
 
 if __name__ == "__main__":

@@ -363,6 +363,14 @@ class MultiWebSocketStreamReader(DataSourceStreamReader):
         self._options = dict(options)
         self._specs = self._parse_specs(self._options)
         self._workers: list[_FeedWorker] | None = None
+        # last offsets this reader PLANNED (returned from latestOffset or
+        # seen as an end in partitions). The admission cap must window
+        # from here, not from the committed/pruned frontier: the engine
+        # only delivers commit(end_N) while planning batch N+2, so a cap
+        # anchored at the committed frontier deadlocks after one batch —
+        # latestOffset == last end ⇒ no new batch ⇒ no commit ⇒ no
+        # progress (hit live in tools/stream_bench.measure_multi).
+        self._planned: list[int] | None = None
 
     @staticmethod
     def _parse_specs(opts: dict) -> list[dict]:
@@ -404,6 +412,7 @@ class MultiWebSocketStreamReader(DataSourceStreamReader):
         self._options = state["_options"]
         self._specs = state["_specs"]
         self._workers = None
+        self._planned = None
 
     def _ensure_workers(self) -> list[_FeedWorker]:
         if self._workers is None:
@@ -436,21 +445,35 @@ class MultiWebSocketStreamReader(DataSourceStreamReader):
         # per-feed admission control (the kafka maxOffsetsPerTrigger
         # analog, same rationale as the single-connection reader)
         cap = int(self._options.get("max_records_per_batch", 0) or 0)
+        if self._planned is None:
+            self._planned = [0] * len(workers)
         out = []
-        for w in workers:
+        for i, w in enumerate(workers):
             with w._lock:
                 nxt = w._next_index
-                # oldest unpruned record = next unconsumed (commit prunes
-                # consumed ones), so a cap bounds this batch's share to
-                # the cap-sized window just past the committed frontier.
+                # oldest unpruned record: on a fresh start this is the
+                # connection baseline; past it, the planned frontier (see
+                # __init__) is the cap anchor — each trigger admits at
+                # most `cap` rows per feed beyond what the engine has
+                # already planned, regardless of commit-callback timing.
                 lo = w._buffer[0].index if w._buffer else nxt
+            base = max(self._planned[i], lo)
             if cap > 0:
-                nxt = min(nxt, lo + cap)
-            out.append(nxt)
+                nxt = min(nxt, base + cap)
+            out.append(max(nxt, self._planned[i]))
+        self._planned = list(out)
         return {"feeds": out}
 
     def partitions(self, start: dict, end: dict) -> list[_FeedSlice]:
         workers = self._ensure_workers()
+        # checkpoint restart replays the last planned batch with offsets
+        # this fresh reader never returned — fold them into the planned
+        # frontier so the admission window resumes from the checkpoint,
+        # not from zero.
+        ends = list(end["feeds"])
+        if self._planned is None:
+            self._planned = [0] * len(workers)
+        self._planned = [max(p, e) for p, e in zip(self._planned, ends)]
         parts = []
         for i, w in enumerate(workers):
             s, e = start["feeds"][i], end["feeds"][i]
