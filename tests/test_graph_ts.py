@@ -166,6 +166,52 @@ def test_triangles_constructed_graph_exact(spark, tmp_path):
     assert got == want
 
 
+def test_scc_constructed_graph_exact(spark, tmp_path):
+    """Exact pin on a constructed DIRECTED transition graph with KNOWN
+    SCC structure (the fixtures give a near-random bow-tie): a 3-cycle
+    {10,11,12}, a 2-cycle {20,21}, a bridge 12->20 (must NOT merge the
+    cycles — reachability is one-way), a chain 30->31->32 (three
+    singleton SCCs; exercises multi-round trim), and a lone edge 40->41.
+    Expected: scc 10 (size 3), scc 20 (size 2), five singletons. Runs
+    the registered Spark query AND its DuckDB closure oracle."""
+    edges = [
+        (10, 11), (11, 12), (12, 10),  # 3-cycle
+        (20, 21), (21, 20),            # 2-cycle
+        (12, 20),                      # one-way bridge between SCCs
+        (30, 31), (31, 32),            # chain -> singletons via trim
+        (40, 41),                      # lone edge
+    ]
+    rows = []
+    for k, (src, dst_part) in enumerate(edges):
+        rows.append((k, 1, src, "R"))
+        rows.append((k, 2, dst_part, "R"))
+    dst = str(tmp_path / "sf_scc")
+    spark.createDataFrame(
+        rows,
+        schema="l_orderkey long, l_linenumber int, l_partkey long, "
+        "l_returnflag string",
+    ).coalesce(1).write.parquet(f"{dst}/lineitem.parquet")
+
+    got = {
+        r.scc_id: r.n_nodes
+        for r in QUERIES["q_graph_scc"].fn(spark, dst).collect()
+    }
+    assert got == {10: 3, 20: 2, 30: 1, 31: 1, 32: 1, 40: 1, 41: 1}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{dst}/lineitem.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(QUERIES["q_graph_scc"].oracle).fetchall()
+    }
+    assert got == want
+
+
 def test_salted_sum_equals_unsalted_on_hub_corpus(spark):
     """The module docstring's 100 TB hub-salting promise, exercised: a
     power-law corpus (one hub key owning 40k of 50k rows — exactly the

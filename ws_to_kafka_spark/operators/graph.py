@@ -1629,3 +1629,235 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("modularity"),
         )
     )
+
+
+# Strongly connected components: bounds on the three nested loops.
+# Measured fixpoint depths on the fixtures (trim / fwd / bwd rounds):
+# sf0.001 = 6/17/14, sf0.01 = 11/23/21, sf0.1 = 15/30/32, outer <= 2 —
+# the caps below carry ~2x headroom; an unconverged exit RAISES (the
+# q_graph_components rule: convergence is checked, never assumed).
+_SCC_MAX_OUTER = 8
+_SCC_MAX_INNER = 72
+
+_SCC_EDGE_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey
+     AND b.l_linenumber = a.l_linenumber + 1
+    WHERE a.l_partkey <> b.l_partkey
+      AND a.l_returnflag = 'R' AND b.l_returnflag = 'R'
+"""
+
+
+@register(
+    "q_graph_scc",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      {_SCC_EDGE_SQL}
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), reach(a, b) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ), scc AS (
+      SELECT f.a AS node_id, MIN(f.b) AS scc
+      FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a
+      GROUP BY f.a
+    )
+    SELECT CAST(scc AS BIGINT) AS scc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM scc GROUP BY scc
+    """,
+)
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED part-transition
+    graph (part A -> part B when B is the next line item after A within
+    an order, restricted to returned items so the graph keeps the
+    classic bow-tie shape: one giant SCC — 1007 of 1877 nodes at
+    sf0.01 — plus a DAG fringe of singletons). The directed-graph
+    primitive the graph family was missing: components/pagerank/BFS all
+    treat edges as symmetric or walk them one way; SCC is the
+    mutual-reachability quotient (cycle detection, dependency-knot
+    discovery, dead-code/dead-stock analysis).
+
+    Algorithm — trim + forward-backward coloring (the FW-BW-MS family,
+    Slota et al.; GraphX's SCC uses the same skeleton), all three loops
+    run to a CHECKED fixpoint:
+
+    1. TRIM: nodes with no in-edges or no out-edges in the live
+       subgraph are singleton SCCs — peel, repeat (chains peel one
+       layer per round).
+    2. FORWARD coloring: min-label propagation along edges to fixpoint;
+       F(v) = smallest live node with a directed path to v. F(v) <= v
+       and only decreases, so inside an SCC all members share F = the
+       SCC's minimum member (the canonical id — no tie-break needed).
+    3. BACKWARD confirm: from each root (F(v) = v), mark nodes that
+       reach their root through SAME-COLOR edges; the marked set of
+       color c is exactly SCC(c) (mutual reachability through c).
+       Peel marked nodes, drop their edges, repeat from 1 — each pass
+       peels at least the SCC of the smallest live node, and the
+       bow-tie resolves in <= 2 passes (measured).
+
+    The oracle is closure-based, not round-replaying: a DuckDB
+    recursive CTE materializes reachability and takes
+    scc(v) = MIN(u : u ->* v AND v ->* u) — SCC is a unique quotient,
+    so the two engines agree with no shared iteration schedule; the
+    driver verifies the RESULT of the whole iterative computation.
+
+    Scale: edges are built once (self-join keyed on (orderkey,
+    linenumber) — linear in line items), cached pre-partitioned on src
+    via the shared index cache; every propagation round is one small
+    shuffle moving only the O(|V|) label/mark side against the
+    stationary edge index, localCheckpoint()ed to keep lineage flat
+    (the iterative-op discipline). Round count is O(SCC diameter), the
+    known cost of exact distributed SCC; the closure oracle is the
+    verification tool, never the execution plan (reach is O(n^2) rows —
+    DuckDB-side only, at the sf0.01 gate scale).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def build_edges() -> DataFrame:
+        r = li.filter(F.col("l_returnflag") == "R").select(
+            "l_orderkey", "l_linenumber", "l_partkey"
+        )
+        a, b = r.alias("sa"), r.alias("sb")
+        return (
+            a.join(
+                b,
+                (F.col("sa.l_orderkey") == F.col("sb.l_orderkey"))
+                & (F.col("sb.l_linenumber") == F.col("sa.l_linenumber") + 1),
+            )
+            .filter(F.col("sa.l_partkey") != F.col("sb.l_partkey"))
+            .select(
+                F.col("sa.l_partkey").alias("src"),
+                F.col("sb.l_partkey").alias("dst"),
+            )
+            .distinct()
+            .repartition("src")
+        )
+
+    edges_all = _cached_frame(spark, sf_dir, "scc_transition_edges", build_edges)
+    active = (
+        edges_all.select(F.col("src").alias("v"))
+        .union(edges_all.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned: list[DataFrame] = []
+    live = edges_all
+    n_active = active.count()
+    for _outer in range(_SCC_MAX_OUTER):
+        if n_active == 0:
+            break
+        # --- 1. trim to fixpoint ------------------------------------
+        for _ in range(_SCC_MAX_INNER):
+            has_out = live.select(F.col("src").alias("v")).distinct()
+            has_in = live.select(F.col("dst").alias("v")).distinct()
+            keep = has_out.join(has_in, "v")
+            dead = active.join(keep, "v", "left_anti").localCheckpoint()
+            n_dead = dead.count()
+            if n_dead == 0:
+                break
+            assigned.append(dead.select("v", F.col("v").alias("scc_id")))
+            active = active.join(dead, "v", "left_anti").localCheckpoint()
+            live = (
+                live.join(dead.withColumnRenamed("v", "src"), "src", "left_anti")
+                .join(dead.withColumnRenamed("v", "dst"), "dst", "left_anti")
+                .repartition("src")
+                .localCheckpoint()
+            )
+            n_active -= n_dead
+        if n_active == 0:
+            break
+        # --- 2. forward min-label coloring to fixpoint ---------------
+        lab = active.select("v", F.col("v").alias("lbl")).localCheckpoint()
+        changed = -1
+        for _ in range(_SCC_MAX_INNER):
+            nbr = (
+                live.join(
+                    lab.select(
+                        F.col("v").alias("src"), F.col("lbl").alias("slbl")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min("slbl").alias("m"))
+            )
+            new_lbl = F.least("lbl", F.coalesce("m", F.col("lbl")))
+            new = (
+                lab.join(nbr, "v", "left")
+                .select(
+                    "v",
+                    new_lbl.alias("lbl"),
+                    (new_lbl < F.col("lbl")).alias("chg"),
+                )
+                .localCheckpoint()
+            )
+            changed = new.filter("chg").count()
+            lab = new.select("v", "lbl")
+            if changed == 0:
+                break
+        if changed != 0:
+            raise RuntimeError(
+                f"scc forward coloring did not converge in {_SCC_MAX_INNER} "
+                f"rounds ({changed} labels still changing)"
+            )
+        # --- 3. backward confirm within color, from roots ------------
+        same_color = (
+            live.join(
+                lab.select(F.col("v").alias("src"), F.col("lbl").alias("sl")),
+                "src",
+            )
+            .join(
+                lab.select(F.col("v").alias("dst"), F.col("lbl").alias("dl")),
+                "dst",
+            )
+            .filter(F.col("sl") == F.col("dl"))
+            .select("src", "dst")
+            .repartition("dst")
+            .localCheckpoint()
+        )
+        marked = lab.filter(F.col("v") == F.col("lbl")).select("v").localCheckpoint()
+        n_new = -1
+        for _ in range(_SCC_MAX_INNER):
+            new_marks = (
+                same_color.join(marked.withColumnRenamed("v", "dst"), "dst")
+                .select(F.col("src").alias("v"))
+                .distinct()
+                .join(marked, "v", "left_anti")
+                .localCheckpoint()
+            )
+            n_new = new_marks.count()
+            if n_new == 0:
+                break
+            marked = marked.union(new_marks).localCheckpoint()
+        if n_new != 0:
+            raise RuntimeError(
+                f"scc backward confirm did not converge in {_SCC_MAX_INNER} rounds"
+            )
+        peel = lab.join(marked, "v").select(
+            "v", F.col("lbl").alias("scc_id")
+        ).localCheckpoint()
+        n_peel = peel.count()
+        assigned.append(peel)
+        active = active.join(marked, "v", "left_anti").localCheckpoint()
+        live = (
+            live.join(marked.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(marked.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .repartition("src")
+            .localCheckpoint()
+        )
+        n_active -= n_peel
+    if n_active != 0:
+        raise RuntimeError(
+            f"scc did not assign all nodes in {_SCC_MAX_OUTER} passes "
+            f"({n_active} still live)"
+        )
+    if not assigned:  # empty input: no edges -> no nodes -> no SCCs
+        return spark.createDataFrame([], "scc_id long, n_nodes long")
+    out = assigned[0]
+    for frame in assigned[1:]:
+        out = out.unionAll(frame)
+    return out.groupBy("scc_id").agg(F.count("*").alias("n_nodes"))
