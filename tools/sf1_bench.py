@@ -115,6 +115,8 @@ def _graph_ann_split(spark, sf_dir: str) -> dict:
     Also records recall@k of the approximate build against the exact
     one (edge-set overlap — both builds share bit-identical scoring, so
     recall is pure candidate-coverage)."""
+    from pyspark.sql import functions as F
+
     from ws_to_kafka_spark.operators.similarity import (
         graph_beam_search,
         q_embed_knn_ann,
@@ -127,16 +129,30 @@ def _graph_ann_split(spark, sf_dir: str) -> dict:
         ("exact", q_embed_knn_graph),
         ("ann", q_embed_knn_ann),
     ):
+        # BUILD = k-NN edges + index prep the query path consumes
+        # (symmetrized adjacency; the shared quantized scoring corpus is
+        # prepped by the first warmup search and cached per corpus) —
+        # all one-time/offline work at 100 TB, so billed here, not to
+        # every query.
         t0 = time.monotonic()
         edges = builder(spark, sf_dir).select("vec_id", "nbr").localCheckpoint()
         n_edges = edges.count()
+        sym = (
+            edges.union(
+                edges.select(
+                    F.col("nbr").alias("vec_id"), F.col("vec_id").alias("nbr")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
         build_s = time.monotonic() - t0
         edge_sets[name] = edges
-        graph_beam_search(spark, sf_dir, edges).collect()  # warmup
+        graph_beam_search(spark, sf_dir, sym, symmetrized=True).collect()
         ts = []
         for _ in range(ROUNDS):
             t0 = time.monotonic()
-            graph_beam_search(spark, sf_dir, edges).collect()
+            graph_beam_search(spark, sf_dir, sym, symmetrized=True).collect()
             ts.append(time.monotonic() - t0)
         out[name] = {
             "build_sec": round(build_s, 3),
