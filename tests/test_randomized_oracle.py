@@ -1657,3 +1657,66 @@ def test_mg_heavy_hitters_exact(spark, toks, k):
         ).fetchall()
     )
     assert got == want
+
+
+# --- SCC: trim + FW-BW coloring vs the DuckDB closure oracle --------------
+#
+# q_graph_scc is pinned on the fixture bow-tie and a constructed topology;
+# random digraphs add what those lack: arbitrary cycle nests, self-loops
+# (the src<>dst filter must drop them in both engines), mixed returnflags
+# (only R->R transitions are edges), orders longer than two lines (chained
+# transitions), and graphs whose trim/coloring fixpoints land at odd
+# depths. The Spark side iterates to CHECKED fixpoints; the oracle is the
+# recursive-CTE closure — agreement means the iterative schedule found the
+# unique quotient.
+
+_scc_order = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),        # l_partkey
+        st.sampled_from(["R", "N"]),                  # l_returnflag
+    ),
+    min_size=1,
+    max_size=4,
+)
+_scc_orders = st.lists(_scc_order, min_size=0, max_size=10)
+
+_SCC_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(_scc_orders)
+@_SCC_SETTINGS
+def test_scc_matches_closure_oracle_on_random_digraphs(
+    spark, tmp_path_factory, orders
+):
+    from ws_to_kafka_spark.operators import QUERIES
+
+    rows = []
+    for k, lines in enumerate(orders):
+        for ln, (part, flag) in enumerate(lines, start=1):
+            rows.append((k, ln, part, flag))
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_scc"))
+    spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        schema="l_orderkey long, l_linenumber int, l_partkey long, "
+        "l_returnflag string",
+    ).filter("l_orderkey IS NOT NULL").coalesce(1).write.parquet(
+        f"{sf_dir}/lineitem.parquet"
+    )
+
+    spec = QUERIES["q_graph_scc"]
+    sdf = spec.fn(spark, sf_dir)
+    got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    order = [cols.index(c) for c in sorted(cols)]
+    want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+    assert got == want
