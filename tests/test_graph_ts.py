@@ -198,6 +198,18 @@ def test_scc_constructed_graph_exact(spark, tmp_path):
     }
     assert got == {10: 3, 20: 2, 30: 1, 31: 1, 32: 1, 40: 1, 41: 1}
 
+    # condensation DAG: 10->20 (via the bridge), 30->31->32, 40->41;
+    # longest-path levels: sources 10/30/40 at 0, 20/31/41 at 1, 32 at 2
+    got_lvl = {
+        r.scc_id: (r.n_nodes, r.level)
+        for r in QUERIES["q_graph_condensation"].fn(spark, dst).collect()
+    }
+    assert got_lvl == {
+        10: (3, 0), 20: (2, 1),
+        30: (1, 0), 31: (1, 1), 32: (1, 2),
+        40: (1, 0), 41: (1, 1),
+    }
+
     import duckdb
 
     con = duckdb.connect()
@@ -210,6 +222,13 @@ def test_scc_constructed_graph_exact(spark, tmp_path):
         for r in con.execute(QUERIES["q_graph_scc"].oracle).fetchall()
     }
     assert got == want
+    want_lvl = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            QUERIES["q_graph_condensation"].oracle
+        ).fetchall()
+    }
+    assert got_lvl == want_lvl
 
 
 def test_salted_sum_equals_unsalted_on_hub_corpus(spark):

@@ -1707,16 +1707,19 @@ def test_scc_matches_closure_oracle_on_random_digraphs(
         f"{sf_dir}/lineitem.parquet"
     )
 
-    spec = QUERIES["q_graph_scc"]
-    sdf = spec.fn(spark, sf_dir)
-    got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW lineitem AS SELECT * FROM "
         f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
     )
-    cur = con.execute(spec.oracle)
-    cols = [d[0] for d in cur.description]
-    order = [cols.index(c) for c in sorted(cols)]
-    want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
-    assert got == want
+    # condensation reruns the SCC assignment, so one random graph checks
+    # both quotient AND longest-path levels against their closure oracles
+    for key in ("q_graph_scc", "q_graph_condensation"):
+        spec = QUERIES[key]
+        sdf = spec.fn(spark, sf_dir)
+        got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
+        cur = con.execute(spec.oracle)
+        cols = [d[0] for d in cur.description]
+        order = [cols.index(c) for c in sorted(cols)]
+        want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+        assert got == want, key

@@ -1716,6 +1716,13 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification tool, never the execution plan (reach is O(n^2) rows —
     DuckDB-side only, at the sf0.01 gate scale).
     """
+    assigned = _scc_assignments(spark, sf_dir)
+    return assigned.groupBy("scc_id").agg(F.count("*").alias("n_nodes"))
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached directed transition edge index q_graph_scc and
+    q_graph_condensation share (one materialization per app+corpus)."""
     li = tables.load(spark, sf_dir, "lineitem")
 
     def build_edges() -> DataFrame:
@@ -1738,7 +1745,14 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition("src")
         )
 
-    edges_all = _cached_frame(spark, sf_dir, "scc_transition_edges", build_edges)
+    return _cached_frame(spark, sf_dir, "scc_transition_edges", build_edges)
+
+
+def _scc_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, scc_id) for every node of the transition graph — the trim +
+    FW-BW coloring loops from q_graph_scc's docstring, shared with
+    q_graph_condensation."""
+    edges_all = _scc_edges(spark, sf_dir)
     active = (
         edges_all.select(F.col("src").alias("v"))
         .union(edges_all.select(F.col("dst").alias("v")))
@@ -1856,8 +1870,124 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({n_active} still live)"
         )
     if not assigned:  # empty input: no edges -> no nodes -> no SCCs
-        return spark.createDataFrame([], "scc_id long, n_nodes long")
+        return spark.createDataFrame([], "v long, scc_id long")
     out = assigned[0]
     for frame in assigned[1:]:
         out = out.unionAll(frame)
-    return out.groupBy("scc_id").agg(F.count("*").alias("n_nodes"))
+    return out
+
+
+@register(
+    "q_graph_condensation",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      {_SCC_EDGE_SQL}
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), reach(a, b) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ), scc AS (
+      SELECT f.a AS node_id, MIN(f.b) AS scc
+      FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a
+      GROUP BY f.a
+    ), cedge AS (
+      SELECT DISTINCT s1.scc AS u, s2.scc AS v
+      FROM e
+      JOIN scc s1 ON s1.node_id = e.src
+      JOIN scc s2 ON s2.node_id = e.dst
+      WHERE s1.scc <> s2.scc
+    ), lvl(v, l) AS (
+      SELECT DISTINCT scc AS v, 0 AS l FROM scc
+      UNION
+      SELECT c.v, lvl.l + 1 FROM lvl JOIN cedge c ON c.u = lvl.v
+    ), depth AS (
+      SELECT v, MAX(l) AS level FROM lvl GROUP BY v
+    )
+    SELECT CAST(s.scc AS BIGINT) AS scc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(d.level AS BIGINT) AS level
+    FROM scc s JOIN depth d ON d.v = s.scc
+    GROUP BY s.scc, d.level
+    """,
+)
+def q_graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation of the directed transition graph: contract each SCC
+    (q_graph_scc's assignment, shared machinery) to one node, then
+    compute every component's LONGEST-PATH LEVEL in the resulting DAG —
+    the dependency-layering analytic (build stages, pipeline scheduling,
+    data-lineage depth): level-0 components have no upstream, level k
+    depends on something at k-1, and components on the same level can
+    run concurrently.
+
+    The level loop is max-label propagation over the condensation edges
+    to a CHECKED fixpoint; a non-converging loop inside the cap would
+    mean a cycle in the condensation — impossible if the SCC quotient
+    is correct — so the convergence raise doubles as a structural
+    invariant check on the SCC stage. The oracle extends the closure
+    oracle with a recursive level CTE (UNION-deduped, so path
+    multiplicity can't blow up the recursion; levels strictly increase
+    along DAG edges, so it terminates at the longest path).
+
+    Scale: the condensation is tiny relative to the graph (one row per
+    SCC); the only corpus-scale work is the SCC assignment itself
+    (shared, cached) and the two label joins mapping node endpoints to
+    component ids. Level rounds move one (component, level) row per
+    component — broadcast-sized at any corpus scale.
+    """
+    assigned = _scc_assignments(spark, sf_dir).localCheckpoint()
+    edges = _scc_edges(spark, sf_dir)
+    cedge = (
+        edges.join(
+            assigned.select(F.col("v").alias("src"), F.col("scc_id").alias("u")),
+            "src",
+        )
+        .join(
+            assigned.select(F.col("v").alias("dst"), F.col("scc_id").alias("w")),
+            "dst",
+        )
+        .filter(F.col("u") != F.col("w"))
+        .select("u", "w")
+        .distinct()
+        .repartition("u")
+        .localCheckpoint()
+    )
+    lvl = (
+        assigned.select(F.col("scc_id").alias("c"))
+        .distinct()
+        .select("c", F.lit(0).cast("long").alias("l"))
+        .localCheckpoint()
+    )
+    changed = 0
+    for _ in range(_SCC_MAX_INNER):
+        nl = (
+            cedge.join(lvl.select(F.col("c").alias("u"), "l"), "u")
+            .groupBy(F.col("w").alias("c"))
+            .agg(F.max(F.col("l") + F.lit(1).cast("long")).alias("m"))
+        )
+        new = (
+            lvl.join(nl, "c", "left")
+            .select(
+                "c",
+                F.greatest("l", F.coalesce("m", F.col("l"))).alias("l"),
+                (F.coalesce("m", F.lit(-1).cast("long")) > F.col("l")).alias(
+                    "chg"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter("chg").count()
+        lvl = new.select("c", "l")
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"condensation levels did not converge in {_SCC_MAX_INNER} "
+            f"rounds — a cycle survived the SCC contraction"
+        )
+    sizes = assigned.groupBy("scc_id").agg(F.count("*").alias("n_nodes"))
+    return sizes.join(
+        lvl.select(F.col("c").alias("scc_id"), F.col("l").alias("level")),
+        "scc_id",
+    )
