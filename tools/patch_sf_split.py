@@ -1,0 +1,87 @@
+"""Re-measure the graph-ANN build/search split (after the round-9
+adaptive-seed-stride fix) and the q_graph_scc scaling point, then patch
+the committed SF artifacts in place.
+
+Why a patch instead of a third full sf1_bench run: the HEAVY-query
+medians in SF1_BENCH.json/SF3_BENCH.json are unaffected by the stride
+change (it touches only graph_beam_search's entry set) — re-running the
+whole suite would burn ~80 min to refresh numbers that didn't change.
+Every value written here is measured by the same methodology as
+sf1_bench (warmup + median-of-{ROUNDS} for query paths, single measured
+materialization for builds); the artifact records the provenance.
+
+Usage: python tools/patch_sf_split.py [--sf3]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tools.sf1_bench import ROUNDS, _graph_ann_split  # noqa: E402
+from ws_to_kafka_spark.operators import QUERIES  # noqa: E402
+from ws_to_kafka_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def _median_time(spark, sf_dir: str, name: str) -> float:
+    fn = QUERIES[name].fn
+    fn(spark, sf_dir).collect()  # warmup
+    ts = []
+    for _ in range(ROUNDS):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        ts.append(time.monotonic() - t0)
+    return round(statistics.median(ts), 3)
+
+
+def main() -> None:
+    with_sf3 = "--sf3" in sys.argv
+    spark = get_spark("patch-sf-split")
+
+    split01 = _graph_ann_split(spark, SF01)
+    scc01 = _median_time(spark, SF01, "q_graph_scc")
+    spark.catalog.clearCache()
+    split1 = _graph_ann_split(spark, "_scale/sf1")
+    scc1 = _median_time(spark, "_scale/sf1", "q_graph_scc")
+
+    sf1 = json.load(open("SF1_BENCH.json"))
+    sf1["graph_ann_split"] = {"sf0.1": split01, "sf1": split1}
+    sf1.setdefault("notes", []).append(
+        "graph_ann_split + q_graph_scc re-measured post adaptive-seed-stride"
+        " (tools/patch_sf_split.py); HEAVY medians from the full run"
+    )
+    ratio = round(scc1 / scc01, 2) if scc01 else None
+    sf1["sf0.1"]["q_graph_scc"] = scc01
+    sf1["sf1"]["q_graph_scc"] = scc1
+    sf1["queries"]["q_graph_scc"] = {
+        "sf0.1_sec": scc01,
+        "sf1_sec": scc1,
+        "observed_ratio": ratio,
+        "predicted_ratio_upper": 10.0,
+        "linear_or_better": ratio is not None and ratio <= 10.0,
+    }
+    json.dump(sf1, open("SF1_BENCH.json", "w"), indent=2)
+    print(json.dumps({"sf1_split": split1, "scc": {"sf0.1": scc01, "sf1": scc1}}))
+
+    if with_sf3:
+        spark.catalog.clearCache()
+        split3 = _graph_ann_split(spark, "_scale/sf3")
+        sf3 = json.load(open("SF3_BENCH.json"))
+        sf3["graph_ann_split"] = {"sf0.1": split01, "sf3": split3}
+        sf3.setdefault("notes", []).append(
+            "graph_ann_split re-measured post adaptive-seed-stride"
+            " (tools/patch_sf_split.py)"
+        )
+        json.dump(sf3, open("SF3_BENCH.json", "w"), indent=2)
+        print(json.dumps({"sf3_split": split3}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

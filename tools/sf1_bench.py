@@ -87,6 +87,12 @@ HEAVY = {
     # the scale-safe twin of q_embed_knn_graph's declared-quadratic
     # matmul measured right above it.
     "q_embed_knn_ann": 1.0,
+    # round-9: exact SCC is ROUND-dominated (O(diameter) fixpoint
+    # loops, each a small label shuffle + a driver job floor); the
+    # make_sf1 copies are disjoint isomorphic components, so rounds
+    # stay constant and per-round rows grow 10x — expected well under
+    # linear on this corpus.
+    "q_graph_scc": 1.0,
 }
 ROUNDS = 3
 
