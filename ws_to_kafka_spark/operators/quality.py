@@ -780,9 +780,9 @@ def q_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "random" inclusions are a pure integer LCG both engines compute
     identically (bounds: event_id*B*A < 2^63 far past 100 TB key
     ranges), and each replicate mean is quantized to 1e-4-cent units by
-    FLOOR division — DuckDB's `//` floors natively; Spark's `div`
-    truncates, so the negative-sum case carries an explicit remainder
-    adjustment (agreement holds for refund-valued data too, pinned in
+    integer division that TRUNCATES toward zero on both engines (Spark
+    `div`; DuckDB 1.0.0 integer `//` — which truncates, NOT Python-style
+    floor; agreement on refund-valued/negative sums is pinned in
     tests/test_randomized_oracle.py) — so the across-replicate moments
     are EXACT longs; the final sqrt/divides are one fixed IEEE tree,
     floor-6 rounded. Empty replicates nullif to NULL rather than
@@ -817,18 +817,17 @@ def q_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "b",
         "n_b",
-        # FLOOR division on exact longs: Spark's `div` truncates toward
-        # zero while DuckDB's `//` floors (-5 // 2 = -3), so a replicate
-        # with a NEGATIVE cents sum (refund-valued purchases) needs the
-        # truncate->floor adjustment: subtract 1 when the remainder is
-        # nonzero and the operands disagree in sign (n_b > 0 always, so
-        # that is simply _s < 0). Stays in exact integer arithmetic —
-        # no double roundtrip, valid past 2^53.
-        F.expr(
-            "_s div nullif(n_b, 0)"
-            " - (CASE WHEN _s % nullif(n_b, 0) != 0 AND _s < 0"
-            " THEN 1 ELSE 0 END)"
-        ).alias("m"),
+        # Integer division on exact longs: BOTH engines truncate toward
+        # zero — Spark `div` by definition, and DuckDB 1.0.0's integer
+        # `//` as well (-5 // 2 = -2; verified, and pinned by
+        # tests/test_randomized_oracle.py on refund-valued/negative
+        # sums). An earlier revision "corrected" Spark toward floor
+        # semantics DuckDB does not have, which diverged by 1 unit on
+        # any negative-sum replicate — caught by the hypothesis pin,
+        # never by fixtures (purchase values are non-negative there).
+        # Stays in exact integer arithmetic — no double roundtrip,
+        # valid past 2^53.
+        F.expr("_s div nullif(n_b, 0)").alias("m"),
     )
     mom = means.agg(
         F.count("*").cast("long").alias("n_reps"),
