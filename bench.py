@@ -220,24 +220,32 @@ def main() -> None:
         # the source-scaling figure. Decode shares the driver GIL, so
         # expect sub-linear; the 4 partitions' real win is N-wide
         # downstream parallelism (stream_bench.measure_multi documents
-        # the split).
-        from tools.stream_bench import measure_multi as stream_measure_multi
+        # the split). Its own try: a multi failure must not discard the
+        # single-connection numbers already captured above.
+        try:
+            from tools.stream_bench import measure_multi as stream_measure_multi
 
-        m1 = stream_measure_multi(
-            spark, n=50000, n_feeds=1, queryName="bench_stream_multi1"
-        )
-        m4 = stream_measure_multi(
-            spark, n=50000, n_feeds=4, queryName="bench_stream_multi4"
-        )
-        payload["streaming"]["multi_1conn_fps"] = m1["value"]
-        payload["streaming"]["multi_4conn_fps"] = m4["value"]
-        payload["streaming"]["multi_4conn_steady_fps"] = m4["steady_state_fps"]
-        payload["streaming"]["multi_scaling_vs_1conn"] = round(
-            m4["value"] / m1["value"], 2
-        )
-        if m4["steady_state_fps"] and m1["steady_state_fps"]:
-            payload["streaming"]["multi_steady_scaling_vs_1conn"] = round(
-                m4["steady_state_fps"] / m1["steady_state_fps"], 2
+            m1 = stream_measure_multi(
+                spark, n=50000, n_feeds=1, queryName="bench_stream_multi1"
+            )
+            m4 = stream_measure_multi(
+                spark, n=50000, n_feeds=4, queryName="bench_stream_multi4"
+            )
+            payload["streaming"]["multi_1conn_fps"] = m1["value"]
+            payload["streaming"]["multi_4conn_fps"] = m4["value"]
+            payload["streaming"]["multi_4conn_steady_fps"] = m4[
+                "steady_state_fps"
+            ]
+            payload["streaming"]["multi_scaling_vs_1conn"] = round(
+                m4["value"] / m1["value"], 2
+            )
+            if m4["steady_state_fps"] and m1["steady_state_fps"]:
+                payload["streaming"]["multi_steady_scaling_vs_1conn"] = round(
+                    m4["steady_state_fps"] / m1["steady_state_fps"], 2
+                )
+        except Exception as exc:  # noqa: BLE001 - keep the single-conn numbers
+            payload["streaming"]["multi_error"] = (
+                f"{type(exc).__name__}: {exc}"[:200]
             )
     except Exception as exc:  # noqa: BLE001 - bench must still emit batch numbers
         payload["streaming"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}

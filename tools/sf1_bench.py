@@ -120,15 +120,25 @@ def _graph_ann_split(spark, sf_dir: str) -> dict:
     production); search is warmup + median-of-3 (the query path).
     Also records recall@k of the approximate build against the exact
     one (edge-set overlap — both builds share bit-identical scoring, so
-    recall is pure candidate-coverage)."""
+    recall is pure candidate-coverage).
+
+    Caches are cleared at ENTRY so the build numbers are COLD-measured
+    regardless of caller — without this, sf1_bench's split (running
+    after _time_all warmed the per-corpus index caches) and
+    patch_sf_split's (fresh session) were not like-for-like, and
+    build_sec could shift across rounds from cache state rather than
+    code."""
     from pyspark.sql import functions as F
 
+    from ws_to_kafka_spark.operators.dedup import _SHINGLE_CACHE
     from ws_to_kafka_spark.operators.similarity import (
         graph_beam_search,
         q_embed_knn_ann,
         q_embed_knn_graph,
     )
 
+    spark.catalog.clearCache()
+    _SHINGLE_CACHE.clear()
     out: dict = {}
     edge_sets = {}
     for name, builder in (
@@ -167,8 +177,10 @@ def _graph_ann_split(spark, sf_dir: str) -> dict:
         }
     hit = edge_sets["ann"].join(edge_sets["exact"], ["vec_id", "nbr"]).count()
     out["ann"]["recall_vs_exact"] = round(hit / max(out["exact"]["n_edges"], 1), 4)
-    for e in edge_sets.values():
-        e.unpersist()
+    # the edge/sym frames are localCheckpoint()ed (RDD blocks, not
+    # catalog cache) — DataFrame.unpersist() would be a no-op on them;
+    # dropping the references here lets the ContextCleaner reap the
+    # blocks, and the next split's entry clearCache resets the rest
     return out
 
 

@@ -206,21 +206,26 @@ def measure_multi(
     per = n // n_feeds
     n = per * n_feeds
     procs, urls = _spawn_feed_servers(n_feeds, per)
-    register_websocket_multi_source(spark)
-    raw = (
-        spark.readStream.format("websocket_multi")
-        .option("urls", json.dumps(urls))
-        .option("max_records_per_batch", str(max(1, per // 8)))
-        .load()
-    )
-    start = time.perf_counter()
-    query = (
-        raw.writeStream.format("memory")
-        .queryName(queryName)
-        .trigger(processingTime="500 milliseconds")
-        .start()
-    )
+    query = None
     try:
+        # everything after the spawn sits inside this try: a failure in
+        # source registration, .load() option parsing, or .start() must
+        # still close the server subprocesses (they block on stdin and
+        # would otherwise hold ports/threads for the process lifetime)
+        register_websocket_multi_source(spark)
+        raw = (
+            spark.readStream.format("websocket_multi")
+            .option("urls", json.dumps(urls))
+            .option("max_records_per_batch", str(max(1, per // 8)))
+            .load()
+        )
+        start = time.perf_counter()
+        query = (
+            raw.writeStream.format("memory")
+            .queryName(queryName)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
         deadline = time.time() + 300
         count = 0
         while time.time() < deadline:
@@ -266,7 +271,8 @@ def measure_multi(
             "elapsed_sec": round(elapsed, 2),
         }
     finally:
-        query.stop()
+        if query is not None:
+            query.stop()
         _close_feed_servers(procs)
 
 

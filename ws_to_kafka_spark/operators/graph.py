@@ -1750,8 +1750,17 @@ def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scc_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(v, scc_id) for every node of the transition graph — the trim +
-    FW-BW coloring loops from q_graph_scc's docstring, shared with
-    q_graph_condensation."""
+    FW-BW coloring loops from q_graph_scc's docstring. CACHED per
+    (app, corpus) like the edge index: q_graph_scc and
+    q_graph_condensation both consume it, and the fixpoint loops are
+    the expensive half (measured 22 s at sf0.1) — one materialization,
+    not one per consumer."""
+    return _cached_frame(
+        spark, sf_dir, "scc_assignments", lambda: _scc_assign_build(spark, sf_dir)
+    )
+
+
+def _scc_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_all = _scc_edges(spark, sf_dir)
     active = (
         edges_all.select(F.col("src").alias("v"))
