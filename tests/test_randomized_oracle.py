@@ -1715,12 +1715,20 @@ def test_scc_matches_closure_oracle_on_random_digraphs(
     )
     # condensation reruns the SCC assignment, so one random graph checks
     # both quotient AND longest-path levels against their closure oracles
-    for key in ("q_graph_scc", "q_graph_condensation"):
-        spec = QUERIES[key]
-        sdf = spec.fn(spark, sf_dir)
-        got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
-        cur = con.execute(spec.oracle)
-        cols = [d[0] for d in cur.description]
-        order = [cols.index(c) for c in sorted(cols)]
-        want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
-        assert got == want, key
+    try:
+        for key in ("q_graph_scc", "q_graph_condensation"):
+            spec = QUERIES[key]
+            sdf = spec.fn(spark, sf_dir)
+            got = _nullsafe(sdf.select(sorted(sdf.columns)).collect())
+            cur = con.execute(spec.oracle)
+            cols = [d[0] for d in cur.description]
+            order = [cols.index(c) for c in sorted(cols)]
+            want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+            assert got == want, key
+    finally:
+        # every example writes a fresh tmp sf_dir, so its cached
+        # scc_transition_edges / scc_assignments frames would stay
+        # persisted for the whole session without this (round-9 ADVICE)
+        from ws_to_kafka_spark.operators.dedup import evict_sf_dir
+
+        evict_sf_dir(sf_dir)

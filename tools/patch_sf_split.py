@@ -16,13 +16,14 @@ Usage: python tools/patch_sf_split.py [--sf3]
 from __future__ import annotations
 
 import json
+import math
 import statistics
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-from tools.sf1_bench import ROUNDS, _graph_ann_split  # noqa: E402
+from tools.sf1_bench import ROUNDS, _evict_cold, _graph_ann_split  # noqa: E402
 from ws_to_kafka_spark.operators import QUERIES  # noqa: E402
 from ws_to_kafka_spark.session import get_spark  # noqa: E402
 
@@ -30,10 +31,17 @@ SF01 = "/root/testdata/sf0.1"
 
 
 def _median_time(spark, sf_dir: str, name: str) -> float:
+    # _evict_cold: queries whose RESULT is _cached_frame-served must be
+    # evicted before every run, or post-warmup rounds time the persisted
+    # read-back instead of the build (round-9 ADVICE — the committed
+    # 22.3s/40.6s scc numbers were pre-cache and the tool as then merged
+    # no longer reproduced them).
     fn = QUERIES[name].fn
+    _evict_cold(name, sf_dir)
     fn(spark, sf_dir).collect()  # warmup
     ts = []
     for _ in range(ROUNDS):
+        _evict_cold(name, sf_dir)
         t0 = time.monotonic()
         fn(spark, sf_dir).collect()
         ts.append(time.monotonic() - t0)
@@ -63,9 +71,12 @@ def main() -> None:
         "sf0.1_sec": scc01,
         "sf1_sec": scc1,
         "observed_ratio": ratio,
-        "predicted_ratio_upper": 10.0,
-        "linear_or_better": ratio is not None and ratio <= 10.0,
+        "predicted_exponent": 1.0,
+        "note": "size-gated single-task Tarjan kernel at these scales "
+        "(edges < 2M); the distributed FW-BW path is round-count-pinned "
+        "in tests/test_graph_ts.py",
     }
+    _exponent_pass(sf1, 10.0)
     json.dump(sf1, open("SF1_BENCH.json", "w"), indent=2)
     print(json.dumps({"sf1_split": split1, "scc": {"sf0.1": scc01, "sf1": scc1}}))
 
@@ -78,9 +89,35 @@ def main() -> None:
             "graph_ann_split re-measured post adaptive-seed-stride"
             " (tools/patch_sf_split.py)"
         )
+        _exponent_pass(sf3, 30.0)
         json.dump(sf3, open("SF3_BENCH.json", "w"), indent=2)
         print(json.dumps({"sf3_split": split3}))
     spark.stop()
+
+
+def _exponent_pass(artifact: dict, factor: float) -> None:
+    """Round-9 VERDICT item 4: replace the generous factor^2
+    'linear_or_better' flag with the observed scaling exponent
+    (log ratio / log factor), flag >1.2 as superlinear, and annotate
+    quadratic-OUTPUT ops so algorithm and corpus construction read
+    apart."""
+    for entry in artifact.get("queries", {}).values():
+        ratio = entry.get("observed_ratio")
+        pred = entry.get(
+            "predicted_exponent",
+            2.0 if entry.get("predicted_ratio_upper", 0) >= factor**2 else 1.0,
+        )
+        obs = (
+            round(math.log(ratio) / math.log(factor), 2)
+            if ratio and ratio > 0
+            else None
+        )
+        entry.pop("predicted_ratio_upper", None)
+        entry.pop("linear_or_better", None)
+        entry["predicted_exponent"] = pred
+        entry["observed_exponent"] = obs
+        entry["superlinear"] = obs is not None and obs > 1.2
+        entry["quadratic_output_on_this_corpus"] = pred >= 2.0
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ Usage: python tools/sf1_bench.py [sf1_dir] [--out SF1_BENCH.json]
 from __future__ import annotations
 
 import json
+import math
 import statistics
 import sys
 import time
@@ -97,13 +98,31 @@ HEAVY = {
 ROUNDS = 3
 
 
+# Queries whose RESULT (not just an index) is served from _cached_frame:
+# evict before EVERY invocation (warmup and timed) so the medians measure
+# the cold build, not a persisted read-back — round-9 ADVICE: after the
+# warmup populated scc_assignments, the timed q_graph_scc rounds re-read
+# the persisted frame and the tool no longer reproduced its own artifact.
+_COLD_KINDS = {"q_graph_scc": "scc_"}
+
+
+def _evict_cold(name: str, sf_dir: str) -> None:
+    prefix = _COLD_KINDS.get(name)
+    if prefix is not None:
+        from ws_to_kafka_spark.operators.dedup import evict_sf_dir
+
+        evict_sf_dir(sf_dir, kind_prefix=prefix)
+
+
 def _time_all(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     # warmup (unmeasured): codegen compile + page-cache warm
     for n in names:
+        _evict_cold(n, sf_dir)
         QUERIES[n].fn(spark, sf_dir).collect()
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(ROUNDS):
         for n in names:
+            _evict_cold(n, sf_dir)
             t0 = time.monotonic()
             QUERIES[n].fn(spark, sf_dir).collect()
             samples[n].append(time.monotonic() - t0)
@@ -145,6 +164,13 @@ def _graph_ann_split(spark, sf_dir: str) -> dict:
         ("exact", q_embed_knn_graph),
         ("ann", q_embed_knn_ann),
     ):
+        # like-for-like quantization prep (round-9 ADVICE): the exact
+        # build quantizes inline; without this evict the ann build ran
+        # against the _quantized_corpus cache the exact warmup search
+        # had already populated, excluding that cost from its build_sec
+        from ws_to_kafka_spark.operators.dedup import evict_sf_dir
+
+        evict_sf_dir(sf_dir, kind_prefix="knn_quantized")
         # BUILD = k-NN edges + index prep the query path consumes
         # (symmetrized adjacency; the shared quantized scoring corpus is
         # prepped by the first warmup search and cached per corpus) —
@@ -207,15 +233,27 @@ def main() -> None:
     if split01 is not None:
         result["graph_ann_split"] = {"sf0.1": split01, "sf1": split1}
     for n in names:
+        # Round-9 VERDICT item 4: report the observed SCALING EXPONENT
+        # (log ratio / log factor), not a pass flag against a generous
+        # factor^2 bound — "linear_or_better: true" on a 209x/30x entry
+        # misled.  superlinear flags exponent > 1.2; ops whose OUTPUT is
+        # quadratic on this copy-constructed corpus are annotated so the
+        # reader separates algorithm from corpus construction.
         pred_exp = HEAVY[n]
         ratio = round(t1[n] / t01[n], 2) if t01[n] else None
-        predicted = round(float(factor) ** pred_exp, 1)
+        obs_exp = (
+            round(math.log(ratio) / math.log(factor), 2)
+            if ratio and ratio > 0
+            else None
+        )
         result["queries"][n] = {
             "sf0.1_sec": t01[n],
             "sf1_sec": t1[n],
             "observed_ratio": ratio,
-            "predicted_ratio_upper": predicted,
-            "linear_or_better": ratio is not None and ratio <= predicted,
+            "observed_exponent": obs_exp,
+            "predicted_exponent": pred_exp,
+            "superlinear": obs_exp is not None and obs_exp > 1.2,
+            "quadratic_output_on_this_corpus": pred_exp >= 2.0,
         }
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=2)

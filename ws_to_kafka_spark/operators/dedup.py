@@ -121,6 +121,24 @@ def _with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
 _SHINGLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def evict_sf_dir(sf_dir: str, kind_prefix: str = "") -> None:
+    """Drop (and unpersist) every cached frame bound to ``sf_dir``
+    (optionally only ``kind`` keys with the given prefix).  Hygiene for
+    constructed per-example corpora — hypothesis tmp dirs otherwise
+    accumulate persisted frames for the whole test session — and for
+    benches that must re-measure a COLD build instead of the cached
+    read-back (round-9 ADVICE on tools/patch_sf_split.py)."""
+    for k in [
+        k
+        for k in _SHINGLE_CACHE
+        if k[1] == sf_dir and k[2].startswith(kind_prefix)
+    ]:
+        try:
+            _SHINGLE_CACHE.pop(k).unpersist()
+        except Exception:
+            pass  # the owning context may already be gone
+
+
 def _cached_frame(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     # Keyed by applicationId (stable and unique per SparkContext), NOT
     # id(spark): ids are reusable after GC, so a new session could be served

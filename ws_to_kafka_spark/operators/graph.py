@@ -24,6 +24,8 @@ distinct — the same shuffle shape as q_dedup_exact.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1631,13 +1633,70 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Strongly connected components: bounds on the three nested loops.
-# Measured fixpoint depths on the fixtures (trim / fwd / bwd rounds):
-# sf0.001 = 6/17/14, sf0.01 = 11/23/21, sf0.1 = 15/30/32, outer <= 2 —
-# the caps below carry ~2x headroom; an unconverged exit RAISES (the
-# q_graph_components rule: convergence is checked, never assumed).
-_SCC_MAX_OUTER = 8
+# Strongly connected components — round-count engineering (round 10).
+#
+# The round-9 implementation ran three LAYER-AT-A-TIME fixpoint loops
+# (trim peeled one fringe layer per materialization; forward coloring
+# and backward confirm moved labels one hop per round): measured
+# 15/30/32 inner rounds and 22 s at sf0.1, with ROUND COUNT — not data
+# volume — as the scale hazard (each round is a full scheduling
+# round-trip on a real cluster, and a deep DAG fringe made the count
+# O(depth)).  Round 10 rebuilds all three loops:
+#
+#   * TRIM is BATCHED: one materialization kills every node whose
+#     longest in-path OR out-path in the live graph is < _SCC_TRIM_DEPTH
+#     hops (computed with chained semi-joins — linear plan growth, one
+#     job).  Sound because a node with a bounded out-path (or in-path)
+#     cannot lie on a cycle, hence is a singleton SCC.  The sf0.1
+#     fringe (depth 15) dies in 2 batches instead of 15 rounds.
+#   * COLORING and CONFIRM use PATH-DOUBLING SHORTCUTS: every round
+#     contributes (lab(v).id -> v) pairs — certified original-graph
+#     reachability edges — to the propagation set, so label information
+#     travels ~2^k hops after k rounds: O(log diameter) rounds instead
+#     of O(diameter).  Shortcut pairs accumulate in a pool that
+#     persists across outer passes (reach pairs between still-live
+#     nodes stay valid: an SCC's internal paths never route through
+#     peeled nodes — a peeled node on such a path would be mutually
+#     reachable and hence already inside the SCC).
+#   * The pivot order is HASHED: labels are min-propagated
+#     (xxhash64(id), id) structs, so an adversarial id layout (e.g. an
+#     increasing-id chain, which made the round-9 code peel exactly one
+#     root per outer pass) behaves like a random permutation —
+#     expected O(log n) outer passes, the randomized-pivot FW-BW
+#     analysis of Blelloch–Gu–Shun–Sun (SPAA'16 family).  The emitted
+#     scc_id stays MIN(original id) per component (the oracle's
+#     quotient), computed after membership is known.
+#   * The OUTER loop is bounded by the live-node count, not a fixed
+#     structural cap: every pass confirms at least the SCC of the
+#     global min-hash live node (nothing can recolor it), so the loop
+#     strictly shrinks and a chain of k non-trivial SCCs needs no cap
+#     headroom (round-9 ADVICE: the old _SCC_MAX_OUTER=8 raised on >8
+#     chained cycles all reachable from the global minimum).
+#
+# _SCC_MAX_INNER now caps DOUBLING rounds (covers diameters up to
+# ~2^72) and longest-path rounds in q_graph_condensation; an
+# unconverged exit still RAISES (the q_graph_components rule:
+# convergence is checked, never assumed).
 _SCC_MAX_INNER = 72
+_SCC_TRIM_DEPTH = 8
+_SCC_TRIM_MAX_BATCHES = 4
+
+# Size-gated kernel dispatch (the AQE discipline: pick the physical
+# strategy from the MEASURED size, not the logical shape).  Below the
+# cap the whole edge list is a few tens of MB — one executor task runs
+# an iterative Tarjan over it (coalesce(1) + mapInPandas: executor-side
+# compute, NOT a driver collect) instead of paying ~30 cluster
+# round-trips of label propagation for a graph that fits in a single
+# shuffle block.  Above the cap — the 100 TB regime — the distributed
+# trim + doubling FW-BW path below runs; tests force it via
+# _SCC_FORCE_DISTRIBUTED to pin its round counts and equivalence.
+_SCC_LOCAL_EDGE_CAP = 2_000_000
+_SCC_FORCE_DISTRIBUTED = False
+
+# Materialization-round telemetry of the LAST _scc_assign_build in this
+# process — read by tests/test_graph_ts.py's deep-chain round-count pin
+# (the O(log depth) evidence the layer-at-a-time code could not give).
+_SCC_LAST_STATS: dict[str, int] = {}
 
 _SCC_EDGE_SQL = """
     SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -1684,21 +1743,22 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Algorithm — trim + forward-backward coloring (the FW-BW-MS family,
     Slota et al.; GraphX's SCC uses the same skeleton), all three loops
-    run to a CHECKED fixpoint:
+    run to a CHECKED fixpoint, round-count-engineered per the module
+    notes above _SCC_MAX_INNER:
 
-    1. TRIM: nodes with no in-edges or no out-edges in the live
-       subgraph are singleton SCCs — peel, repeat (chains peel one
-       layer per round).
-    2. FORWARD coloring: min-label propagation along edges to fixpoint;
-       F(v) = smallest live node with a directed path to v. F(v) <= v
-       and only decreases, so inside an SCC all members share F = the
-       SCC's minimum member (the canonical id — no tie-break needed).
-    3. BACKWARD confirm: from each root (F(v) = v), mark nodes that
-       reach their root through SAME-COLOR edges; the marked set of
-       color c is exactly SCC(c) (mutual reachability through c).
-       Peel marked nodes, drop their edges, repeat from 1 — each pass
-       peels at least the SCC of the smallest live node, and the
-       bow-tie resolves in <= 2 passes (measured).
+    1. TRIM, batched: nodes whose longest in-path or out-path is
+       bounded (< _SCC_TRIM_DEPTH) cannot lie on a cycle — singleton
+       SCCs, killed a full depth-window per materialization.
+    2. FORWARD coloring: min-propagation of HASHED pivot structs
+       (xxhash64, id tie-break) along edges PLUS path-doubling
+       shortcut pairs — O(log diameter) rounds; F is constant on an
+       SCC (mutual reachability), so each SCC sits inside one color.
+    3. BACKWARD confirm: min-propagate the same structs over
+       color-guarded reach pairs (with doubling); v is confirmed iff
+       it reaches its root — exactly membership in SCC(root).  Peel,
+       re-trim the exposed fringe, repeat; each pass provably peels
+       the global min-hash node's SCC, and hashed pivots make the
+       expected pass count O(log n) on any id layout.
 
     The oracle is closure-based, not round-replaying: a DuckDB
     recursive CTE materializes reachability and takes
@@ -1709,12 +1769,15 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edges are built once (self-join keyed on (orderkey,
     linenumber) — linear in line items), cached pre-partitioned on src
     via the shared index cache; every propagation round is one small
-    shuffle moving only the O(|V|) label/mark side against the
+    shuffle moving the O(|V|) label side plus the accumulated shortcut
+    pool (<= rounds * |V| pairs, deduped at each peel) against the
     stationary edge index, localCheckpoint()ed to keep lineage flat
-    (the iterative-op discipline). Round count is O(SCC diameter), the
-    known cost of exact distributed SCC; the closure oracle is the
-    verification tool, never the execution plan (reach is O(n^2) rows —
-    DuckDB-side only, at the sf0.01 gate scale).
+    (the iterative-op discipline). Round count is O(log diameter) per
+    pass and expected O(log n) passes (doubling + hashed pivots —
+    tests/test_graph_ts.py pins the deep-chain round growth); the
+    closure oracle is the verification tool, never the execution plan
+    (reach is O(n^2) rows — DuckDB-side only, at the sf0.01 gate
+    scale).
     """
     assigned = _scc_assignments(spark, sf_dir)
     return assigned.groupBy("scc_id").agg(F.count("*").alias("n_nodes"))
@@ -1760,76 +1823,340 @@ def _scc_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scc_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges_all = _scc_edges(spark, sf_dir)
-    active = (
-        edges_all.select(F.col("src").alias("v"))
-        .union(edges_all.select(F.col("dst").alias("v")))
-        .distinct()
-        .localCheckpoint()
+def _ckpt_nostats(df: DataFrame) -> DataFrame:
+    """localCheckpoint + STATS RESET for iterative loops.
+
+    Dataset.localCheckpoint snapshots the ESTIMATED stats of the
+    checkpointed plan into the resulting LogicalRDD leaf.  An iterative
+    loop whose round plan references the previous checkpoint twice in
+    join positions then SQUARES sizeInBytes every round: the BigInteger
+    bit length doubles per round and Catalyst's
+    SizeInBytesOnlyStatsPlanVisitor spends its time on million-digit
+    Karatsuba/Toom-Cook multiplications on the driver (measured on the
+    SCC loop at sf0.01: round time 0.3 s -> 134 s by round 5, executor
+    time flat at ~30 ms).  Rebuilding the frame from the checkpointed
+    RDD gives a fresh leaf with flat default stats — JVM-side only, no
+    Python serialization of the rows."""
+    c = df.localCheckpoint()
+    try:
+        jdf = c._jdf  # classic API only
+    except AttributeError:  # e.g. Spark Connect: keep the plain checkpoint
+        return c
+    spark = df.sparkSession
+    return DataFrame(
+        spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema()),
+        spark,
     )
-    assigned: list[DataFrame] = []
-    live = edges_all
+
+
+def _scc_hash_label(col: str):
+    """Orderable (xxhash64(id), id) pivot struct — hashed pivot order
+    with an exact id tie-break, so min-propagation is collision-free
+    AND free of adversarial id layouts (see the module notes above)."""
+    return F.struct(F.xxhash64(F.col(col)).alias("h"), F.col(col).alias("i"))
+
+
+def _scc_trim_batch(active: DataFrame, live: DataFrame) -> DataFrame:
+    """One batched trim materialization: the live nodes whose longest
+    in-path OR longest out-path in `live` is < _SCC_TRIM_DEPTH hops.
+    Such a node cannot lie on a cycle (a cycle yields arbitrarily long
+    paths in both directions), so every returned node is a singleton
+    SCC regardless of peel interleaving.  Built with chained leftsemi
+    joins, ONE job, linear plan growth — instead of one scheduling
+    round-trip per fringe layer.  Deliberately NO per-step distinct:
+    semi-joins tolerate duplicate probe rows, step outputs stay <= |E|
+    (semi output <= left side), and skipping the dedup shuffle lets
+    Catalyst/AQE keep every step a broadcast join — the whole chain
+    runs in a handful of stages (the distinct version paid ~32 shuffle
+    stages per batch, measured 4.6 s at sf0.01)."""
+    out_k = live.select(F.col("src").alias("v"))
+    in_k = live.select(F.col("dst").alias("v"))
+    for _ in range(_SCC_TRIM_DEPTH - 1):
+        out_k = live.join(
+            out_k.withColumnRenamed("v", "dst"), "dst", "leftsemi"
+        ).select(F.col("src").alias("v"))
+        in_k = live.join(
+            in_k.withColumnRenamed("v", "src"), "src", "leftsemi"
+        ).select(F.col("dst").alias("v"))
+    survivors = active.join(out_k, "v", "leftsemi").join(in_k, "v", "leftsemi")
+    return active.join(survivors, "v", "left_anti")
+
+
+def _scc_assign_local(edges: DataFrame) -> DataFrame:
+    """Single-task exact SCC: iterative Tarjan over the full edge list
+    inside one mapInPandas partition.  Sound only under
+    _SCC_LOCAL_EDGE_CAP (the caller gates); emits the same
+    (v, scc_id = min original member id) contract as the distributed
+    path, so the two are interchangeable and cross-checked in tests."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        srcs, dsts = [], []
+        for b in batches:
+            srcs.append(b["src"].to_numpy(dtype=np.int64))
+            dsts.append(b["dst"].to_numpy(dtype=np.int64))
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        if len(src) == 0:
+            return
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        s = np.searchsorted(nodes, src)
+        d = np.searchsorted(nodes, dst)
+        order = np.argsort(s, kind="stable")
+        s_sorted, d_sorted = s[order], d[order]
+        starts = np.searchsorted(s_sorted, np.arange(n + 1))
+        # Tarjan, explicit stack (recursion depth would be O(n)).
+        UNSET = -1
+        index = np.full(n, UNSET, dtype=np.int64)
+        low = np.zeros(n, dtype=np.int64)
+        on_stack = np.zeros(n, dtype=bool)
+        comp = np.full(n, UNSET, dtype=np.int64)
+        stack: list[int] = []
+        next_index = 0
+        n_comp = 0
+        for root in range(n):
+            if index[root] != UNSET:
+                continue
+            work = [(root, starts[root])]
+            index[root] = low[root] = next_index
+            next_index += 1
+            stack.append(root)
+            on_stack[root] = True
+            while work:
+                v, ptr = work[-1]
+                if ptr < starts[v + 1]:
+                    work[-1] = (v, ptr + 1)
+                    w = int(d_sorted[ptr])
+                    if index[w] == UNSET:
+                        index[w] = low[w] = next_index
+                        next_index += 1
+                        stack.append(w)
+                        on_stack[w] = True
+                        work.append((w, int(starts[w])))
+                    elif on_stack[w]:
+                        if index[w] < low[v]:
+                            low[v] = index[w]
+                else:
+                    work.pop()
+                    if work:
+                        u = work[-1][0]
+                        if low[v] < low[u]:
+                            low[u] = low[v]
+                    if low[v] == index[v]:
+                        while True:
+                            w = stack.pop()
+                            on_stack[w] = False
+                            comp[w] = n_comp
+                            if w == v:
+                                break
+                        n_comp += 1
+        # scc_id = min ORIGINAL node id per component (oracle contract)
+        comp_min = np.full(n_comp, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(comp_min, comp, nodes)
+        yield pd.DataFrame({"v": nodes, "scc_id": comp_min[comp]})
+
+    return edges.select("src", "dst").coalesce(1).mapInPandas(
+        run, "v long, scc_id long"
+    )
+
+
+def _scc_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The label/mark frames this build shuffles are O(|V|) rows; at the
+    # session's full shuffle-partition count every propagation round
+    # pays parts-many near-empty tasks per stage (measured 2x wall at
+    # sf0.01 with 32 vs 4).  Scale the conf DOWN for small graphs only
+    # (~8k edges per partition, floor 4) — big graphs keep the session
+    # setting, so the knob is scale-neutral — and restore it on exit.
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        edges_all = _scc_edges(spark, sf_dir)
+        n_edges = edges_all.count()
+        if n_edges <= _SCC_LOCAL_EDGE_CAP and not _SCC_FORCE_DISTRIBUTED:
+            _SCC_LAST_STATS.clear()
+            _SCC_LAST_STATS.update({"local_kernel": 1})
+            return _scc_assign_local(edges_all)
+        try:
+            parts = max(4, min(int(sess_parts), n_edges // 8192))
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        except (TypeError, ValueError):  # non-numeric (e.g. "auto"): skip
+            pass
+        return _scc_assign_build_inner(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+
+
+def _scc_assign_build_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_setup = time.monotonic()
+    edges_all = _scc_edges(spark, sf_dir)
+    live = edges_all.select("src", "dst").transform(_ckpt_nostats)
+    active = (
+        live.select(F.col("src").alias("v"))
+        .union(live.select(F.col("dst").alias("v")))
+        .distinct()
+        .transform(_ckpt_nostats)
+    )
     n_active = active.count()
-    for _outer in range(_SCC_MAX_OUTER):
-        if n_active == 0:
-            break
-        # --- 1. trim to fixpoint ------------------------------------
-        for _ in range(_SCC_MAX_INNER):
-            has_out = live.select(F.col("src").alias("v")).distinct()
-            has_in = live.select(F.col("dst").alias("v")).distinct()
-            keep = has_out.join(has_in, "v")
-            dead = active.join(keep, "v", "left_anti").localCheckpoint()
-            n_dead = dead.count()
-            if n_dead == 0:
-                break
-            assigned.append(dead.select("v", F.col("v").alias("scc_id")))
-            active = active.join(dead, "v", "left_anti").localCheckpoint()
-            live = (
-                live.join(dead.withColumnRenamed("v", "src"), "src", "left_anti")
-                .join(dead.withColumnRenamed("v", "dst"), "dst", "left_anti")
-                .repartition("src")
-                .localCheckpoint()
+    n_initial = n_active
+    stats: dict[str, float] = {
+        "trim_batches": 0,
+        "fwd_rounds": 0,
+        "bwd_rounds": 0,
+        "outer_passes": 0,
+        "trim_sec": 0.0,
+        "fwd_sec": 0.0,
+        "bwd_sec": 0.0,
+        "peel_sec": 0.0,
+        "pool_sec": 0.0,
+        "setup_sec": 0.0,
+        "prep_sec": 0.0,
+        "confirm_sec": 0.0,
+    }
+    assigned: list[DataFrame] = []
+    stats["setup_sec"] = time.monotonic() - t_setup
+    # Certified original-graph reachability pairs among live nodes.
+    # Per-round DOUBLING only needs the CURRENT round's shortcuts
+    # (lab(lab(v)) -> v composes through one union — pointer jumping);
+    # the pool exists so LATER PASSES inherit long-range pairs whose
+    # anchors (intermediate windowed minima) survive the peel.  Each
+    # phase folds its per-round shortcut frames into `pool` ONCE
+    # (dedup + checkpoint) so per-round plans stay constant-size —
+    # unioning the history every round made Catalyst replanning the
+    # dominant cost (measured 0.5-0.9 s/round at sf0.01).
+    pool: DataFrame | None = None
+
+    def prop_edges() -> DataFrame:
+        return live if pool is None else live.unionByName(pool)
+
+    def fold_pool(parts: list[DataFrame]) -> None:
+        nonlocal pool
+        if not parts:
+            return
+        t0 = time.monotonic()
+        out = pool if pool is not None else parts[0]
+        for p in parts if pool is not None else parts[1:]:
+            out = out.unionByName(p)
+        pool = out.distinct().transform(_ckpt_nostats)
+        stats["pool_sec"] += time.monotonic() - t0
+
+    def peel(dead_nodes: DataFrame) -> None:
+        nonlocal active, live, pool
+        t0 = time.monotonic()
+        active = active.join(dead_nodes, "v", "left_anti").transform(_ckpt_nostats)
+        live = (
+            live.join(dead_nodes.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(dead_nodes.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .repartition("src")
+            .transform(_ckpt_nostats)
+        )
+        if pool is not None:
+            pool = (
+                pool.join(
+                    dead_nodes.withColumnRenamed("v", "src"), "src", "left_anti"
+                )
+                .join(dead_nodes.withColumnRenamed("v", "dst"), "dst", "left_anti")
+                .transform(_ckpt_nostats)
             )
-            n_active -= n_dead
+        stats["peel_sec"] += time.monotonic() - t0
+
+    def trim_once() -> None:
+        nonlocal n_active
         if n_active == 0:
+            return
+        t0 = time.monotonic()
+        dead = _scc_trim_batch(active, live).transform(_ckpt_nostats)
+        stats["trim_batches"] += 1
+        n_dead = dead.count()
+        stats["trim_sec"] += time.monotonic() - t0
+        if n_dead:
+            assigned.append(dead.select("v", F.col("v").alias("scc_id")))
+            peel(dead)
+            n_active -= n_dead
+
+    # --- initial batched trim: clear the DAG fringe -----------------
+    for _ in range(_SCC_TRIM_MAX_BATCHES):
+        before = n_active
+        trim_once()
+        if n_active in (0, before):
             break
-        # --- 2. forward min-label coloring to fixpoint ---------------
-        lab = active.select("v", F.col("v").alias("lbl")).localCheckpoint()
+
+    while n_active > 0:
+        stats["outer_passes"] += 1
+        if stats["outer_passes"] > n_initial:
+            raise RuntimeError(
+                "scc outer loop exceeded the live-node bound "
+                f"({n_initial}) — a pass failed to peel"
+            )
+        # --- forward min-hash coloring with shortcut doubling --------
+        lab = active.select("v", _scc_hash_label("v").alias("lbl")).transform(_ckpt_nostats)
+        fwd_parts: list[DataFrame] = []
         changed = -1
         for _ in range(_SCC_MAX_INNER):
-            nbr = (
-                live.join(
-                    lab.select(
-                        F.col("v").alias("src"), F.col("lbl").alias("slbl")
-                    ),
+            t0 = time.monotonic()
+            stats["fwd_rounds"] += 1
+            cur_sc = lab.select(
+                F.col("lbl.i").alias("src"), F.col("v").alias("dst")
+            ).filter(F.col("src") != F.col("dst"))
+            # One union + one grouped agg per round (2 exchanges): the
+            # self row carries the previous label, so the new label AND
+            # the change flag fall out of the same aggregation — no
+            # separate left-join back onto lab (stage-count discipline:
+            # round cost here is scheduling floors, not rows).
+            contrib = (
+                prop_edges()
+                .unionByName(cur_sc)
+                .join(
+                    lab.select(F.col("v").alias("src"), F.col("lbl").alias("slbl")),
                     "src",
                 )
-                .groupBy(F.col("dst").alias("v"))
-                .agg(F.min("slbl").alias("m"))
-            )
-            new_lbl = F.least("lbl", F.coalesce("m", F.col("lbl")))
-            new = (
-                lab.join(nbr, "v", "left")
                 .select(
-                    "v",
-                    new_lbl.alias("lbl"),
-                    (new_lbl < F.col("lbl")).alias("chg"),
+                    F.col("dst").alias("v"),
+                    F.col("slbl").alias("lbl"),
+                    F.lit(False).alias("own"),
                 )
-                .localCheckpoint()
             )
+            merged = (
+                lab.withColumn("own", F.lit(True))
+                .unionByName(contrib)
+                .groupBy("v")
+                .agg(
+                    F.min("lbl").alias("lbl"),
+                    F.min(F.when(F.col("own"), F.col("lbl"))).alias("old"),
+                )
+            )
+            new = merged.select(
+                "v", "lbl", (F.col("lbl") < F.col("old")).alias("chg")
+            ).transform(_ckpt_nostats)
             changed = new.filter("chg").count()
             lab = new.select("v", "lbl")
+            fwd_parts.append(cur_sc)
+            stats["fwd_sec"] += time.monotonic() - t0
             if changed == 0:
                 break
         if changed != 0:
             raise RuntimeError(
                 f"scc forward coloring did not converge in {_SCC_MAX_INNER} "
-                f"rounds ({changed} labels still changing)"
+                f"doubling rounds ({changed} labels still changing)"
             )
-        # --- 3. backward confirm within color, from roots ------------
+        fold_pool(fwd_parts)
+        t_prep = time.monotonic()
+        # --- backward confirm: min-propagate (hash, id) structs over
+        # color-guarded reach pairs, with the same shortcut doubling.
+        # m(v) = min struct among same-class nodes v reaches; v is
+        # confirmed iff m(v) == lbl(v): "f(v)=c and v ->* c" is exactly
+        # membership in SCC(c) (c ->* v by coloring, v ->* c by m —
+        # mutual, and any such path's intermediates are inside the SCC).
         same_color = (
-            live.join(
+            prop_edges()
+            .unionByName(
+                lab.select(F.col("lbl.i").alias("src"), F.col("v").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .join(
                 lab.select(F.col("v").alias("src"), F.col("lbl").alias("sl")),
                 "src",
             )
@@ -1839,45 +2166,83 @@ def _scc_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("sl") == F.col("dl"))
             .select("src", "dst")
+            .distinct()
             .repartition("dst")
-            .localCheckpoint()
+            .transform(_ckpt_nostats)
         )
-        marked = lab.filter(F.col("v") == F.col("lbl")).select("v").localCheckpoint()
-        n_new = -1
+        mfr = active.select("v", _scc_hash_label("v").alias("m")).transform(_ckpt_nostats)
+        stats["prep_sec"] += time.monotonic() - t_prep
+        bwd_parts: list[DataFrame] = []
+        changed = -1
         for _ in range(_SCC_MAX_INNER):
-            new_marks = (
-                same_color.join(marked.withColumnRenamed("v", "dst"), "dst")
-                .select(F.col("src").alias("v"))
-                .distinct()
-                .join(marked, "v", "left_anti")
-                .localCheckpoint()
+            t0 = time.monotonic()
+            stats["bwd_rounds"] += 1
+            m_sc = mfr.select(
+                F.col("v").alias("src"), F.col("m.i").alias("dst")
+            ).filter(F.col("src") != F.col("dst"))
+            contrib = (
+                same_color.unionByName(m_sc)
+                .join(
+                    mfr.select(F.col("v").alias("dst"), F.col("m").alias("dm")),
+                    "dst",
+                )
+                .select(
+                    F.col("src").alias("v"),
+                    F.col("dm").alias("m"),
+                    F.lit(False).alias("own"),
+                )
             )
-            n_new = new_marks.count()
-            if n_new == 0:
+            merged = (
+                mfr.withColumn("own", F.lit(True))
+                .unionByName(contrib)
+                .groupBy("v")
+                .agg(
+                    F.min("m").alias("m"),
+                    F.min(F.when(F.col("own"), F.col("m"))).alias("old"),
+                )
+            )
+            new = merged.select(
+                "v", "m", (F.col("m") < F.col("old")).alias("chg")
+            ).transform(_ckpt_nostats)
+            changed = new.filter("chg").count()
+            mfr = new.select("v", "m")
+            bwd_parts.append(m_sc)
+            stats["bwd_sec"] += time.monotonic() - t0
+            if changed == 0:
                 break
-            marked = marked.union(new_marks).localCheckpoint()
-        if n_new != 0:
+        if changed != 0:
             raise RuntimeError(
-                f"scc backward confirm did not converge in {_SCC_MAX_INNER} rounds"
+                f"scc backward confirm did not converge in {_SCC_MAX_INNER} "
+                f"doubling rounds"
             )
-        peel = lab.join(marked, "v").select(
-            "v", F.col("lbl").alias("scc_id")
-        ).localCheckpoint()
-        n_peel = peel.count()
-        assigned.append(peel)
-        active = active.join(marked, "v", "left_anti").localCheckpoint()
-        live = (
-            live.join(marked.withColumnRenamed("v", "src"), "src", "left_anti")
-            .join(marked.withColumnRenamed("v", "dst"), "dst", "left_anti")
-            .repartition("src")
-            .localCheckpoint()
+        # m-shortcuts are color-matched reach pairs — pool them too.
+        fold_pool(bwd_parts)
+        t_confirm = time.monotonic()
+        confirmed = (
+            lab.join(mfr, "v")
+            .filter(F.col("m") == F.col("lbl"))
+            .select("v", F.col("lbl.i").alias("root"))
+            .transform(_ckpt_nostats)
         )
+        n_peel = confirmed.count()
+        if n_peel == 0:
+            raise RuntimeError(
+                "scc pass confirmed nothing — the global min-hash node "
+                "must always confirm"
+            )
+        # scc_id = MIN ORIGINAL id per component (hash order is the
+        # pivot order, never the output id — the oracle takes MIN(id)).
+        groups = confirmed.groupBy("root").agg(F.min("v").alias("scc_id"))
+        assigned.append(confirmed.join(groups, "root").select("v", "scc_id"))
+        stats["confirm_sec"] += time.monotonic() - t_confirm
+        peel(confirmed.select("v"))
         n_active -= n_peel
-    if n_active != 0:
-        raise RuntimeError(
-            f"scc did not assign all nodes in {_SCC_MAX_OUTER} passes "
-            f"({n_active} still live)"
-        )
+        # one cheap batched trim per pass: peeling SCCs exposes fresh
+        # DAG fringe (the nodes that pointed into / out of them).
+        trim_once()
+
+    _SCC_LAST_STATS.clear()
+    _SCC_LAST_STATS.update(stats)
     if not assigned:  # empty input: no edges -> no nodes -> no SCCs
         return spark.createDataFrame([], "v long, scc_id long")
     out = assigned[0]
