@@ -323,12 +323,14 @@ def hot_band_sf_dir(spark, tmp_path_factory) -> str:
 
 
 def test_dedup_near_hot_band_cap(spark, hot_band_sf_dir, monkeypatch):
-    """The _NEAR_BAND_CAP occupancy bound: with the cap lowered below the
-    boilerplate cluster size, every band bucket the 12 identical docs
-    share is hot and their 66 internal pairs are dropped from candidate
-    generation, while the genuine near-dup pair (bucket occupancy 2)
-    survives untouched. With the default cap the query must still match
-    its exact oracle on this corpus (cap as pure safety valve)."""
+    """The IDENTICAL-text boilerplate clique vs the exact-dup collapse
+    (round 10): the 12 copies collapse to one representative BEFORE
+    banding, so no band bucket is ever hot on this corpus and even a
+    cap far below the clique size drops NOTHING — the 66 internal
+    pairs come back through the J=1 intra-group expansion.  (Round 9
+    pinned the opposite: the lowered cap silently lost the clique —
+    strictly worse.  The cap path itself is now exercised on the
+    DISTINCT-text variant below.)"""
     from ws_to_kafka_spark.operators import dedup
 
     spec = QUERIES["q_dedup_near"]
@@ -351,14 +353,74 @@ def test_dedup_near_hot_band_cap(spark, hot_band_sf_dir, monkeypatch):
     assert len(want) == 66 + 1  # 12-clique + the genuine pair
     assert got == want
 
-    # cap below the cluster size: boilerplate-internal pairs dropped,
-    # genuine pair kept, nothing else appears
+    # cap below the clique size: the collapse already removed the copy
+    # mass from banding, so the oracle agreement SURVIVES the tiny cap
     monkeypatch.setattr(dedup, "_NEAR_BAND_CAP", 8)
     capped = {
         (r.doc_a, r.doc_b)
         for r in spec.fn(spark, hot_band_sf_dir).collect()
     }
-    assert capped == {(200, 201)}
+    assert capped == want
+
+
+@pytest.fixture(scope="module")
+def hot_band_distinct_sf_dir(spark, tmp_path_factory) -> str:
+    """12 DISTINCT near-identical docs (template + unique suffix word):
+    distinct digests, so the exact-dup collapse cannot absorb them and
+    the hot-band cap is the only quadratic-bucket defense."""
+    docs = (
+        [(100 + i, f"{_TEMPLATE} variant{i}") for i in range(12)]
+        + [(200, _LONG_A), (201, _LONG_B)]
+        + [(300, "completely unrelated vocabulary occupying its own band"
+                 " space with zero shingle overlap anywhere")]
+    )
+    rows = [(i, t, "en", "web", len(t)) for (i, t) in docs]
+    dst = str(tmp_path_factory.mktemp("sf_hotband_distinct"))
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    return dst
+
+
+def test_dedup_near_hot_band_cap_distinct_texts(
+    spark, hot_band_distinct_sf_dir, monkeypatch
+):
+    """The cap path on a corpus the collapse CANNOT shrink: 12 distinct
+    near-identical docs still share most band buckets.  Default cap:
+    exact oracle agreement.  Cap lowered below the cluster size: hot
+    buckets appear (band_occupancy_stats must report them), dropped
+    candidates only ever REMOVE pairs (subset of the oracle set), and
+    the genuine low-occupancy pair (200, 201) always survives."""
+    from ws_to_kafka_spark.operators import dedup
+    from ws_to_kafka_spark.operators.dedup import band_occupancy_stats
+
+    spec = QUERIES["q_dedup_near"]
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spec.fn(spark, hot_band_distinct_sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hot_band_distinct_sf_dir}/documents.parquet/"
+        "*.parquet')"
+    )
+    want = {
+        (a, b) for (a, b, _j) in con.execute(spec.oracle).fetchall()
+    }
+    assert (200, 201) in want
+    assert len(want) >= 66  # the 12 variants stay mutually near-dup
+    assert got == want
+
+    monkeypatch.setattr(dedup, "_NEAR_BAND_CAP", 4)
+    stats = band_occupancy_stats(spark, hot_band_distinct_sf_dir).first()
+    assert stats.n_hot_buckets > 0  # the cluster's buckets now trip the cap
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in spec.fn(spark, hot_band_distinct_sf_dir).collect()
+    }
+    assert capped <= want  # the cap only removes, never invents
+    assert (200, 201) in capped  # occupancy-2 buckets are untouched
 
 
 def test_band_occupancy_stats(spark, hot_band_sf_dir, dup_sf_dir):
@@ -373,10 +435,14 @@ def test_band_occupancy_stats(spark, hot_band_sf_dir, dup_sf_dir):
     assert hot.max_occ >= 12          # the boilerplate clique's bucket
     assert hot.n_hot_buckets == 0     # but under the 256 default cap
     assert hot.join_work >= 12 * 12   # quadratic bucket cost is visible
+    # the exact-dup collapse removes the identical clique from banding:
+    # rep-filtered join work drops to near the per-doc floor (round 10)
+    assert hot.join_work_rep < hot.join_work / 4
 
     benign = band_occupancy_stats(spark, dup_sf_dir).first()
     assert benign.max_occ <= 3        # twins only
     assert benign.n_hot_buckets == 0
+    assert benign.join_work_rep <= benign.join_work
 
 
 @pytest.mark.parametrize(

@@ -273,6 +273,50 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_frame(spark, sf_dir, "minhash_banded", build)
 
 
+def _digest_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (digest, doc_id, rep) exact-dup group index —
+    q_dedup_near's collapse table (rep = min doc_id per content
+    digest).  Cached like the other shared dedup indexes: at 100 TB
+    this is the digest table a production ingest maintains anyway
+    (q_dedup_exact's output, joined back to members)."""
+
+    def build() -> DataFrame:
+        docs = tables.load(spark, sf_dir, "documents")
+        return (
+            docs.select(F.sha2("text", 256).alias("digest"), "doc_id")
+            .withColumn(
+                "rep", F.min("doc_id").over(W.partitionBy("digest"))
+            )
+        )
+
+    return _cached_frame(spark, sf_dir, "digest_members", build)
+
+
+#: Driver-cached "corpus has >= 2 docs sharing a digest" flags — the
+#: dispatch bit for q_dedup_near's exact-dup collapse. Bounded metadata
+#: (one boolean per (app, corpus)); on a clean corpus the collapse is
+#: the identity, so the operator skips the member semi-join/expansion
+#: entirely (adaptive-dispatch discipline: decide from the measured
+#: corpus, keep the clean path at its round-9 cost).
+_DIGEST_DUP_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _has_exact_dups(spark: SparkSession, sf_dir: str) -> bool:
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _DIGEST_DUP_CACHE if k[0] != app_id]:
+        del _DIGEST_DUP_CACHE[k]
+    key = (app_id, sf_dir)
+    if key not in _DIGEST_DUP_CACHE:
+        row = (
+            _digest_members(spark, sf_dir)
+            .filter(F.col("doc_id") != F.col("rep"))
+            .limit(1)
+            .count()
+        )
+        _DIGEST_DUP_CACHE[key] = row > 0
+    return _DIGEST_DUP_CACHE[key]
+
+
 #: Driver-cached hot-band lists per (app, sf_dir, cap). The list is
 #: BOUNDED metadata by construction (a bucket must hold > cap rows to be
 #: hot, so there are at most n_rows/cap entries ≈ 32·n_docs/256), which
@@ -321,9 +365,31 @@ def band_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combined count over the persisted banded frame
     plus a single-row aggregate — the same two-step as q_skew_keys
-    without the rank (occupancies need no global order)."""
+    without the rank (occupancies need no global order).
+
+    ``join_work_rep`` is the same Σ occupancy² AFTER q_dedup_near's
+    exact-dup collapse (one representative per content digest) — the
+    verify-volume evidence for VERDICT r9 item 3: on a copy-built
+    corpus (make_sf1/sf3: 10 copies per doc) join_work_rep is ~100x
+    under join_work."""
+    reps = (
+        _digest_members(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id")
+    )
+    banded = _minhash_banded(spark, sf_dir)
+    occ_rep = (
+        banded.join(reps, "doc_id", "leftsemi")
+        .groupBy("band_idx", "band_key")
+        .agg(F.count("*").cast("long").alias("occ"))
+    )
+    rep_work = occ_rep.agg(
+        F.sum((F.col("occ") * F.col("occ")).cast("long")).alias(
+            "join_work_rep"
+        )
+    )
     occ = (
-        _minhash_banded(spark, sf_dir)
+        banded
         .groupBy("band_idx", "band_key")
         .agg(F.count("*").cast("long").alias("occ"))
     )
@@ -344,7 +410,7 @@ def band_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("rows_in_hot_buckets"),
-    )
+    ).crossJoin(F.broadcast(rep_work))  # 1-row x 1-row
 
 
 _NGRAM_ORACLE_TEMPLATE = """
@@ -426,9 +492,34 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no hot bands, every gate fixture) skips the anti-join entirely.
     Hot-band behavior is pinned on a constructed boilerplate corpus in
     tests/test_dedup_edges.py.
+
+    EXACT-DUP COLLAPSE FIRST (round-10, VERDICT item 3): the module
+    header prescribes exact-dedup-before-near-dedup as the 100 TB
+    discipline, and this operator now runs it itself. Documents are
+    grouped by content digest; banding, candidate generation and
+    Jaccard verify run over one REPRESENTATIVE per digest group (the
+    min doc_id — the shared MinHash index is reused, just semi-join
+    filtered), and the verified rep pairs re-expand: members of two
+    rep-paired groups inherit the pair's jaccard (identical text ⇒
+    identical shingles), and intra-group pairs are J = 1 by identity
+    (emitted only when the group shingles at all — the oracle requires
+    a shared shingle, so empty-shingle twins stay out on both sides).
+    Semantics-preserving by construction — the oracle is unchanged —
+    while candidate AND verify volume now scale with DISTINCT texts:
+    the SF3 corpus builds 10 exact copies per doc, so collapse divides
+    its candidate volume ~100x (`band_occupancy_stats` reports
+    join_work vs join_work_rep; the round-9 38.3x-at-30x super-linear
+    measurement was exactly this copy mass).
     """
     sh = _shingled_docs(spark, sf_dir)
+    collapse = _has_exact_dups(spark, sf_dir)
     banded = _minhash_banded(spark, sf_dir)
+    if collapse:
+        member = _digest_members(spark, sf_dir)
+        reps = member.filter(F.col("doc_id") == F.col("rep")).select("rep")
+        banded = banded.join(
+            reps.withColumnRenamed("rep", "doc_id"), "doc_id", "leftsemi"
+        )
     hot = _hot_bands(spark, sf_dir)
     if hot:
         hot_df = spark.createDataFrame(
@@ -449,7 +540,37 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _exact_jaccard_pairs(cands, sh, _NEAR_DUP_THRESHOLD)
+    rep_pairs = _exact_jaccard_pairs(cands, sh, _NEAR_DUP_THRESHOLD)
+    if not collapse:  # no duplicate digests: the collapse is identity
+        return rep_pairs
+
+    # --- re-expansion: rep pair -> all member pairs -------------------
+    ga = member.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a"))
+    gb = member.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b"))
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    shingled_reps = sh.filter(F.col("n_sh") > 0).select(
+        F.col("doc_id").alias("rep")
+    )
+    dup_members = member.join(shingled_reps, "rep", "leftsemi")
+    intra = (
+        dup_members.select("rep", F.col("doc_id").alias("a"))
+        .join(dup_members.select("rep", F.col("doc_id").alias("b")), "rep")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 @register(
