@@ -120,11 +120,22 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     return elapsed
 
 
-def compare_to_baseline(per_query: dict[str, float], sf: float):
+def compare_to_baseline(
+    per_query: dict[str, float],
+    sf: float,
+    samples: dict[str, list[float]] | None = None,
+):
     """Per-query deltas vs the pinned baseline (details on stderr —
     the stdout contract stays one JSON line; the intersection ratio is also
     returned for the JSON so a grown headline set stays comparable). Flags
     any query >2x its baseline time (the >2x regression bar set in round 2).
+
+    When per-round ``samples`` are given, also reports the PER-ROUND
+    common-subset ratio (each interleaved pass summed independently) as
+    median + [min, max] spread — the round-9 VERDICT de-noising ask:
+    0.73 vs 0.85 on identical code across runs made single-number
+    cross-round comparisons unreliable; the spread makes the noise band
+    part of the artifact instead of folklore.
     """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_BASELINE.json")
@@ -161,12 +172,24 @@ def compare_to_baseline(per_query: dict[str, float], sf: float):
           f"baseline {ref_total:.3f}s ({total / ref_total:.2f}x); "
           f"{len(flagged)} queries over 2x {flagged if flagged else ''}",
           file=sys.stderr)
-    return {
+    out = {
         "baseline_common_sec": round(total, 3),
         "baseline_common_ref_sec": round(ref_total, 3),
         "baseline_common_ratio": round(total / ref_total, 3),
         "regressed_over_2x": flagged,
     }
+    if samples:
+        n_rounds = min(len(v) for v in samples.values())
+        per_round = [
+            round(
+                sum(samples[n][r] for n in both) / ref_total, 3
+            )
+            for r in range(n_rounds)
+        ]
+        out["baseline_ratio_rounds"] = per_round
+        out["baseline_ratio_median"] = sorted(per_round)[len(per_round) // 2]
+        out["baseline_ratio_spread"] = [min(per_round), max(per_round)]
+    return out
 
 
 def main() -> None:
@@ -194,7 +217,7 @@ def main() -> None:
         name: round(sorted(ts)[1], 3) for name, ts in samples.items()
     }
     total = round(sum(per_query.values()), 3)
-    comparison = compare_to_baseline(per_query, sf)
+    comparison = compare_to_baseline(per_query, sf, samples)
     payload = {
         "metric": "headline_suite_sec",
         "value": total,
@@ -254,6 +277,31 @@ def main() -> None:
                 payload["streaming"]["multi_steady_scaling_vs_1conn"] = round(
                     m4["steady_state_fps"] / m1["steady_state_fps"], 2
                 )
+            # decode-path scaling (round-9 VERDICT item 6): raw
+            # source-side ingest fps 1 vs 4 sockets, no microbatch
+            # pacing — the per-socket retention figure. Ratio of
+            # median fps over 3 interleaved trials (single-trial
+            # ratios swing ~0.87-1.08 on this host).
+            from tools.stream_bench import measure_raw_ingest
+
+            fps1s, fps4s, rets = [], [], []
+            for _ in range(3):
+                r1 = measure_raw_ingest(300000, 1)
+                r4 = measure_raw_ingest(300000, 4)
+                fps1s.append(r1["fps"])
+                fps4s.append(r4["fps"])
+                rets.append(round(r4["fps"] / 4 / r1["fps"], 3))
+            f1, f4 = sorted(fps1s)[1], sorted(fps4s)[1]
+            rets.sort()
+            payload["streaming"]["raw_ingest_1conn_fps"] = f1
+            payload["streaming"]["raw_ingest_4conn_fps"] = f4
+            payload["streaming"]["per_socket_retention"] = round(
+                f4 / 4 / f1, 3
+            )
+            payload["streaming"]["per_socket_retention_spread"] = [
+                rets[0],
+                rets[-1],
+            ]
         except Exception as exc:  # noqa: BLE001 - keep the single-conn numbers
             payload["streaming"]["multi_error"] = (
                 f"{type(exc).__name__}: {exc}"[:200]

@@ -153,3 +153,51 @@ def test_restart_resumes_from_checkpoint_against_live_broker(
     # duplicates only from the (rare) uncommitted-batch replay window, not
     # a wholesale re-send of the stream
     assert len(values) < 2 * len(frames), "checkpoint resume re-published everything"
+
+
+def test_streaming_consume_wrapper_round_trip(kafka_spark, tmp_path):
+    """The CONSUME wrapper (sources/kafka.read_kafka_stream) against a
+    live broker: publish via the pipeline, then stream the topic back
+    through the wrapper and assert the repo's (value, ws_timestamp)
+    contract — the §2.3 consume cell executed end-to-end wherever a
+    broker exists (its offline halves are tests/test_kafka_source.py)."""
+    from tests.ws_server import RecordingWsServer
+    from ws_to_kafka_spark.config import PipelineConfig
+    from ws_to_kafka_spark.sources.kafka import read_kafka_stream
+    from ws_to_kafka_spark.streaming.pipeline import start_pipeline
+
+    topic = f"ws_to_kafka_it_{uuid.uuid4().hex[:8]}"
+    frames = [f"consume-{i}".encode() for i in range(_N_FRAMES)]
+    server = RecordingWsServer(frames_per_connection=frames)
+    config = PipelineConfig(
+        url=server.url, brokers=BOOTSTRAP, topic=topic, key="k"
+    )
+    producer = start_pipeline(
+        kafka_spark,
+        config,
+        str(tmp_path / "ckpt3"),
+        trigger_interval="200 milliseconds",
+    )
+    consumer = (
+        read_kafka_stream(kafka_spark, BOOTSTRAP, topic)
+        .writeStream.format("memory")
+        .queryName("kafka_consume_it")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            got = kafka_spark.sql(
+                "SELECT value, ws_timestamp FROM kafka_consume_it"
+            ).collect()
+            if len(got) >= _N_FRAMES:
+                break
+            time.sleep(0.5)
+    finally:
+        consumer.stop()
+        producer.stop()
+        server.close()
+    assert {bytes(r.value) for r in got} == set(frames)
+    assert all(r.ws_timestamp is not None for r in got)

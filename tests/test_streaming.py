@@ -1236,12 +1236,16 @@ def test_max_records_per_batch_caps_microbatches(spark, tmp_path):
 # Multi-connection source: N sockets -> N input partitions
 # ---------------------------------------------------------------------------
 
-def test_websocket_multi_two_feeds_land_in_order(spark, tmp_path):
+@pytest.mark.parametrize("reader_mode", ["process", "thread"])
+def test_websocket_multi_two_feeds_land_in_order(spark, tmp_path, reader_mode):
     """Two independent ws servers through one `websocket_multi` stream:
     every frame from BOTH feeds must land tagged with its feed_id, each
     feed's frames must arrive in per-feed connection order, and each
     (batch, feed) slice must occupy its own input partition — the
-    N-sockets ⇒ N-partitions claim (round-8 VERDICT item 2)."""
+    N-sockets ⇒ N-partitions claim (round-8 VERDICT item 2).  Runs in
+    BOTH reader modes: the round-10 default (subprocess decode, blob
+    slices unpacked executor-side) and the in-process thread fallback —
+    identical observable contract."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1258,6 +1262,7 @@ def test_websocket_multi_two_feeds_land_in_order(spark, tmp_path):
     stream = (
         spark.readStream.format("websocket_multi")
         .option("urls", _json.dumps([server_a.url, server_b.url]))
+        .option("reader_mode", reader_mode)
         .load()
     )
     seen: list[tuple[int, int, bytes, int]] = []  # (batch, feed, value, part)

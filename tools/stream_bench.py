@@ -179,6 +179,55 @@ def _close_feed_servers(procs: list) -> None:
             p.kill()
 
 
+def measure_raw_ingest(n: int = 60000, n_feeds: int = 1) -> dict:
+    """SOURCE-side decode throughput, isolated from the microbatch
+    drain: spin the reader's feed workers directly (no Spark query) and
+    time frame arrival in the buffers.  This is the number that scales
+    with sockets — the end-to-end `value` above is admission-paced by
+    design (cap x trigger), so it cannot show ingest scaling.  The
+    timer starts once ~5% of frames have landed, so child-process
+    spawn/connect cost is excluded from the rate (it's a fixed startup
+    cost, not a per-frame one)."""
+    from ws_to_kafka_spark.sources.websocket import (
+        MultiWebSocketStreamReader,
+    )
+
+    per = n // n_feeds
+    n = per * n_feeds
+    procs, urls = _spawn_feed_servers(n_feeds, per)
+    reader = MultiWebSocketStreamReader(
+        {"urls": json.dumps(urls), "retention": str(n + 1000)}
+    )
+    try:
+        workers = reader._ensure_workers()
+        warm = max(1000, n // 20)
+        t_start = c0 = None
+        deadline = time.time() + 180
+        total = 0
+        while time.time() < deadline:
+            total = sum(w.peek()[0] for w in workers)
+            if t_start is None and total >= warm:
+                t_start, c0 = time.perf_counter(), total
+            if total >= n:
+                break
+            time.sleep(0.02)  # coarse poll: the counter thread must not
+            # steal meaningful GIL time from the pump threads it measures
+        if total < n or t_start is None:
+            raise RuntimeError(
+                f"raw ingest: only {total}/{n} frames buffered"
+            )
+        elapsed = time.perf_counter() - t_start
+        return {
+            "fps": round((total - c0) / elapsed, 1) if elapsed > 0 else None,
+            "n_feeds": n_feeds,
+            "n_frames": n,
+            "measured_frames": total - c0,
+        }
+    finally:
+        reader.stop()
+        _close_feed_servers(procs)
+
+
 def measure_multi(
     spark, n: int = 20000, n_feeds: int = 4, queryName: str = "stream_bench_multi"
 ) -> dict:
@@ -291,6 +340,31 @@ def main() -> None:
         round(multi["value"] / base["value"], 2) if base["value"] else None
     )
     multi["baseline_1conn_fps"] = base["value"]
+    # decode-path scaling (round-9 VERDICT item 6): raw source-side
+    # ingest fps, 1 vs N sockets, no microbatch pacing in the way.
+    # Median of 3 interleaved trials: single-trial retention swings
+    # ~0.79-0.93 on this host (the documented bimodal contention), so
+    # the artifact records the median plus the spread.
+    retentions = []
+    fps1s, fpsNs = [], []
+    for _ in range(3):
+        raw1 = measure_raw_ingest(max(n * 3, 300000), 1)
+        rawN = measure_raw_ingest(max(n * 3, 300000), n_feeds)
+        fps1s.append(raw1["fps"])
+        fpsNs.append(rawN["fps"])
+        retentions.append(round(rawN["fps"] / n_feeds / raw1["fps"], 3))
+    retentions.sort()
+    fps1_med, fpsN_med = sorted(fps1s)[1], sorted(fpsNs)[1]
+    multi["raw_ingest_1conn_fps"] = fps1_med
+    multi[f"raw_ingest_{n_feeds}conn_fps"] = fpsN_med
+    # ratio of MEDIANS, not median of ratios: each per-trial ratio
+    # divides two independently-noisy rates (observed single-trial
+    # swing 0.87-1.08 on this host), while the medians de-noise each
+    # side first; the per-trial spread is recorded alongside.
+    multi["per_socket_retention"] = round(
+        fpsN_med / n_feeds / fps1_med, 3
+    )
+    multi["per_socket_retention_spread"] = [retentions[0], retentions[-1]]
     print(json.dumps(result))
     print(json.dumps(multi))
 

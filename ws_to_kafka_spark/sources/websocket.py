@@ -180,6 +180,18 @@ class _FeedWorker:
             records = [r for r in self._buffer if r.index >= start_index]
             return records, self._next_index
 
+    def peek(self) -> tuple[int, int]:
+        """(next_index, oldest retained index) — the uniform surface
+        shared with `_ProcFeedWorker` for offset planning."""
+        with self._lock:
+            lo = self._buffer[0].index if self._buffer else self._next_index
+            return self._next_index, lo
+
+    def jump(self, start: int) -> None:
+        with self._lock:
+            if start > self._next_index:
+                self._next_index = start
+
     def between(self, start_index: int, end_index: int) -> list[_Record]:
         with self._lock:
             return [r for r in self._buffer if start_index <= r.index < end_index]
@@ -188,6 +200,153 @@ class _FeedWorker:
         with self._lock:
             while self._buffer and self._buffer[0].index < end_index:
                 self._buffer.popleft()
+
+
+class _BatchRec:
+    """One child-process flush: ``n`` frames packed in ``body`` (see
+    feed_proc wire format), numbered [index, index+n)."""
+
+    __slots__ = ("index", "n", "body")
+
+    def __init__(self, index: int, n: int, body: bytes):
+        self.index = index
+        self.n = n
+        self.body = body
+
+
+class _ProcFeedWorker:
+    """Process-isolated connection owner (round-10): the socket + frame
+    decode live in a `feed_proc` child process on its own core; this
+    driver-side shell pumps length-prefixed batches off the pipe —
+    O(1) Python work per BATCH — and serves the same peek/between/
+    prune/jump surface as the thread-mode `_FeedWorker`.  Four sockets
+    through the round-9 thread design totalled 0.93x ONE socket (GIL);
+    per-frame work now runs N-wide in children and executors."""
+
+    def __init__(self, cfg: dict, retention: int = 100_000):
+        self._cfg = dict(cfg)
+        self._retention = retention
+        self._buffer: deque[_BatchRec] = deque()
+        self._n_buffered = 0
+        self._lock = threading.Lock()
+        self._next_index = 0
+        self._stop = threading.Event()
+        self._proc = None
+        self._pump_thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._pump_thread = threading.Thread(
+            target=self._pump, name="ws-feed-pump", daemon=True
+        )
+        self._pump_thread.start()
+
+    def _spawn(self):
+        import os
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        env = os.environ.copy()
+        root = str(Path(__file__).resolve().parents[2])
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.Popen(
+            [
+                _sys.executable,
+                "-m",
+                "ws_to_kafka_spark.sources.feed_proc",
+                json.dumps(self._cfg),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env=env,
+        )
+        try:
+            # widen the kernel pipe (default 64 KB): a GIL-delayed pump
+            # thread must not backpressure the child's decode loop —
+            # measured per-socket retention at 4 feeds rides on this
+            import fcntl
+
+            fcntl.fcntl(
+                proc.stdout.fileno(),
+                getattr(fcntl, "F_SETPIPE_SZ", 1031),
+                1 << 20,
+            )
+        except (ImportError, OSError):
+            pass  # non-Linux or EPERM: the default pipe still works
+        return proc
+
+    def _pump(self) -> None:
+        import struct
+
+        while not self._stop.is_set():
+            try:
+                self._proc = self._spawn()
+            except Exception:
+                self._stop.wait(self._cfg.get("reconnect_delay", 5.0))
+                continue
+            out = self._proc.stdout
+            while not self._stop.is_set():
+                hdr = out.read(8)
+                if hdr is None or len(hdr) < 8:
+                    break  # child exited
+                nbytes, nframes = struct.unpack("<II", hdr)
+                body = out.read(nbytes)
+                if body is None or len(body) < nbytes:
+                    break
+                with self._lock:
+                    self._buffer.append(
+                        _BatchRec(self._next_index, nframes, body)
+                    )
+                    self._next_index += nframes
+                    self._n_buffered += nframes
+                    while (
+                        len(self._buffer) > 1
+                        and self._n_buffered > self._retention
+                    ):
+                        dropped = self._buffer.popleft()
+                        self._n_buffered -= dropped.n
+            # child died unexpectedly: the reference's persistent-feed
+            # contract says redial forever; frame numbering continues.
+            if not self._stop.is_set():
+                self._stop.wait(self._cfg.get("reconnect_delay", 5.0))
+
+    # -- the reader-facing surface (shared with _FeedWorker) ---------------
+
+    def peek(self) -> tuple[int, int]:
+        """(next_index, oldest retained index)."""
+        with self._lock:
+            lo = self._buffer[0].index if self._buffer else self._next_index
+            return self._next_index, lo
+
+    def batches_between(self, start: int, end: int) -> list[_BatchRec]:
+        with self._lock:
+            return [
+                r
+                for r in self._buffer
+                if r.index < end and r.index + r.n > start
+            ]
+
+    def prune(self, end_index: int) -> None:
+        with self._lock:
+            while self._buffer and (
+                self._buffer[0].index + self._buffer[0].n <= end_index
+            ):
+                dropped = self._buffer.popleft()
+                self._n_buffered -= dropped.n
+
+    def jump(self, start: int) -> None:
+        with self._lock:
+            if start > self._next_index:
+                self._next_index = start
+
+    def stop(self) -> None:
+        self._stop.set()
+        proc, self._proc = self._proc, None
+        if proc is not None:
+            try:
+                proc.terminate()
+            except Exception:
+                pass
 
 
 class WebSocketStreamReader(SimpleDataSourceStreamReader):
@@ -329,6 +488,41 @@ class _FeedSlice(InputPartition):
         self.rows = rows
 
 
+class _FeedBlobSlice(InputPartition):
+    """One feed's share of a microbatch in PROCESS reader mode: the
+    child's packed batches ride to the executor as opaque bytes and the
+    per-frame unpack (struct walk + timestamp decode) runs THERE — the
+    driver never touches individual frames."""
+
+    def __init__(
+        self, feed_id: int, start: int, end: int, batches: list[tuple]
+    ):
+        self.feed_id = feed_id
+        self.start = start
+        self.end = end
+        self.batches = batches  # [(first_index, n_frames, body), ...]
+
+    def rows_iter(self):
+        import struct
+
+        for first, n, body in self.batches:
+            off = 0
+            idx = first
+            for _ in range(n):
+                ts_us, ln = struct.unpack_from("<QI", body, off)
+                off += 12
+                if self.start <= idx < self.end:
+                    yield (
+                        body[off:off + ln],
+                        datetime.fromtimestamp(
+                            ts_us / 1_000_000, tz=timezone.utc
+                        ),
+                        self.feed_id,
+                    )
+                off += ln
+                idx += 1
+
+
 class MultiWebSocketStreamReader(DataSourceStreamReader):
     """N-connection stream reader: each configured url/subscription gets
     its own `_FeedWorker` (connection + redial loop + retention buffer)
@@ -341,12 +535,19 @@ class MultiWebSocketStreamReader(DataSourceStreamReader):
     Real feeds shard (per-symbol subscriptions, per-shard endpoints);
     this source turns that sharding into genuine input parallelism.
 
-    Where the work runs: offset planning and the socket-owning threads
-    are driver-side (latestOffset/partitions/commit run on the driver;
-    only read(partition) runs on executors — the Python DataSource API
-    gives executors no durable state between batches, and a WebSocket
-    cannot be re-dialed per batch without dropping frames). The driver
-    is thus a fan-in for FRAME BYTES but not for downstream compute; at
+    Where the work runs (round-10, ``reader_mode`` option): in the
+    default ``process`` mode each connection lives in a `feed_proc`
+    CHILD PROCESS that decodes frames on its own core and ships packed
+    batches up a pipe; the driver does O(1) work per batch and
+    executors unpack frames in parallel (`_FeedBlobSlice`), so N
+    sockets ingest ~N-wide instead of serializing on the driver's GIL
+    (the round-9 thread mode measured 0.93x ONE socket's rate at four
+    sockets; ``reader_mode=thread`` keeps that in-process variant for
+    spawn-restricted environments). Offset planning stays driver-side
+    (latestOffset/partitions/commit — the Python DataSource API gives
+    executors no durable state between batches, and a WebSocket cannot
+    be re-dialed per batch without dropping frames). The driver is thus
+    a fan-in for BATCHED FRAME BYTES but not for per-frame compute; at
     the point the driver NIC saturates, the production answer is one
     source per shard feeding a replayable log (the reference's Kafka),
     which is exactly the pipeline this repo's sink side implements.
@@ -414,25 +615,42 @@ class MultiWebSocketStreamReader(DataSourceStreamReader):
         self._workers = None
         self._planned = None
 
-    def _ensure_workers(self) -> list[_FeedWorker]:
+    def _ensure_workers(self) -> list:
         if self._workers is None:
             opts = self._options
             parsed = json.loads(opts.get("interval_messages") or "[]")
-            msgs = tuple(
+            msgs = [
                 m if isinstance(m, str) else json.dumps(m) for m in parsed
-            )
+            ]
+            mode = (opts.get("reader_mode") or "process").lower()
             self._workers = []
             for spec in self._specs:
-                w = _FeedWorker(
-                    url=spec["url"],
-                    subscribe=spec["subscribe"],
-                    interval_seconds=float(opts.get("interval", 0) or 0),
-                    interval_messages=msgs,
-                    reconnect_delay=float(
-                        opts.get("reconnect_delay", RECONNECT_DELAY_S)
-                    ),
-                    retention=int(opts.get("retention", 100_000)),
-                )
+                if mode == "thread":
+                    w = _FeedWorker(
+                        url=spec["url"],
+                        subscribe=spec["subscribe"],
+                        interval_seconds=float(opts.get("interval", 0) or 0),
+                        interval_messages=tuple(msgs),
+                        reconnect_delay=float(
+                            opts.get("reconnect_delay", RECONNECT_DELAY_S)
+                        ),
+                        retention=int(opts.get("retention", 100_000)),
+                    )
+                else:  # "process" (default): one decode core per socket
+                    w = _ProcFeedWorker(
+                        {
+                            "url": spec["url"],
+                            "subscribe": spec["subscribe"],
+                            "interval": float(opts.get("interval", 0) or 0),
+                            "interval_messages": msgs,
+                            "reconnect_delay": float(
+                                opts.get(
+                                    "reconnect_delay", RECONNECT_DELAY_S
+                                )
+                            ),
+                        },
+                        retention=int(opts.get("retention", 100_000)),
+                    )
                 w.start()
                 self._workers.append(w)
         return self._workers
@@ -449,14 +667,12 @@ class MultiWebSocketStreamReader(DataSourceStreamReader):
             self._planned = [0] * len(workers)
         out = []
         for i, w in enumerate(workers):
-            with w._lock:
-                nxt = w._next_index
-                # oldest unpruned record: on a fresh start this is the
-                # connection baseline; past it, the planned frontier (see
-                # __init__) is the cap anchor — each trigger admits at
-                # most `cap` rows per feed beyond what the engine has
-                # already planned, regardless of commit-callback timing.
-                lo = w._buffer[0].index if w._buffer else nxt
+            # oldest unpruned record: on a fresh start this is the
+            # connection baseline; past it, the planned frontier (see
+            # __init__) is the cap anchor — each trigger admits at
+            # most `cap` rows per feed beyond what the engine has
+            # already planned, regardless of commit-callback timing.
+            nxt, lo = w.peek()
             base = max(self._planned[i], lo)
             if cap > 0:
                 nxt = min(nxt, base + cap)
@@ -477,22 +693,33 @@ class MultiWebSocketStreamReader(DataSourceStreamReader):
         parts = []
         for i, w in enumerate(workers):
             s, e = start["feeds"][i], end["feeds"][i]
-            if s > w._next_index:
+            if s > w.peek()[0]:
                 # checkpoint restart: a fresh socket numbers from 0 but
                 # the engine resumes from committed offset s — baseline
                 # the connection there ("continue from now"); see class
-                # docstring. Guarded under the worker's lock.
-                with w._lock:
-                    if s > w._next_index:
-                        w._next_index = s
+                # docstring.
+                w.jump(s)
                 e = max(e, s)
-            rows = [
-                (r.value, r.ts, i) for r in w.between(s, e)
-            ] if e > s else []
-            parts.append(_FeedSlice(i, rows))
+            if isinstance(w, _ProcFeedWorker):
+                batches = (
+                    [
+                        (r.index, r.n, r.body)
+                        for r in w.batches_between(s, e)
+                    ]
+                    if e > s
+                    else []
+                )
+                parts.append(_FeedBlobSlice(i, s, e, batches))
+            else:
+                rows = [
+                    (r.value, r.ts, i) for r in w.between(s, e)
+                ] if e > s else []
+                parts.append(_FeedSlice(i, rows))
         return parts
 
-    def read(self, partition: _FeedSlice):
+    def read(self, partition):
+        if isinstance(partition, _FeedBlobSlice):
+            return partition.rows_iter()
         return iter(partition.rows)
 
     def commit(self, end: dict) -> None:
