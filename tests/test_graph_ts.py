@@ -277,6 +277,17 @@ def test_scc_distributed_path_matches_local_kernel(spark, tmp_path):
         }
         assert "fwd_rounds" in G._SCC_LAST_STATS  # distributed path ran
         assert dist == expected
+        # the DISTRIBUTED level loop too (the local Kahn kernel is
+        # covered by test_scc_constructed_graph_exact's default run)
+        got_lvl = {
+            r.scc_id: (r.n_nodes, r.level)
+            for r in QUERIES["q_graph_condensation"].fn(spark, dst).collect()
+        }
+        assert got_lvl == {
+            10: (3, 0), 20: (2, 1),
+            30: (1, 0), 31: (1, 1), 32: (1, 2),
+            40: (1, 0), 41: (1, 1),
+        }
     finally:
         G._SCC_FORCE_DISTRIBUTED = False
         evict_sf_dir(dst)

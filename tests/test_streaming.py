@@ -1263,6 +1263,13 @@ def test_websocket_multi_two_feeds_land_in_order(spark, tmp_path, reader_mode):
         spark.readStream.format("websocket_multi")
         .option("urls", _json.dumps([server_a.url, server_b.url]))
         .option("reader_mode", reader_mode)
+        # cap admission to 2 frames/feed/batch so each feed spans >=4
+        # batches: without it, process-mode child-spawn stagger under
+        # suite load can drain one feed entirely before the other's
+        # first frame, leaving NO batch with both feeds — and the
+        # partition-isolation assertion below needs one (full-suite
+        # flake, round 10)
+        .option("max_records_per_batch", "2")
         .load()
     )
     seen: list[tuple[int, int, bytes, int]] = []  # (batch, feed, value, part)

@@ -52,11 +52,18 @@ def main() -> None:
     with_sf3 = "--sf3" in sys.argv
     spark = get_spark("patch-sf-split")
 
+    # round-10 retunes whose SF entries must be re-measured (the stored
+    # medians describe code that no longer exists): the hub-subsampled
+    # ANN build and the digest-collapsed near-dup.
+    retuned = ["q_dedup_near", "q_embed_knn_ann"]
+
     split01 = _graph_ann_split(spark, SF01)
     scc01 = _median_time(spark, SF01, "q_graph_scc")
+    re01 = {n: _median_time(spark, SF01, n) for n in retuned}
     spark.catalog.clearCache()
     split1 = _graph_ann_split(spark, "_scale/sf1")
     scc1 = _median_time(spark, "_scale/sf1", "q_graph_scc")
+    re1 = {n: _median_time(spark, "_scale/sf1", n) for n in retuned}
 
     sf1 = json.load(open("SF1_BENCH.json"))
     sf1["graph_ann_split"] = {"sf0.1": split01, "sf1": split1}
@@ -76,6 +83,22 @@ def main() -> None:
         "(edges < 2M); the distributed FW-BW path is round-count-pinned "
         "in tests/test_graph_ts.py",
     }
+    for n in retuned:
+        sf1["sf0.1"][n] = re01[n]
+        sf1["sf1"][n] = re1[n]
+        rr = round(re1[n] / re01[n], 2) if re01[n] else None
+        entry = sf1["queries"].setdefault(n, {})
+        entry.update(
+            {
+                "sf0.1_sec": re01[n],
+                "sf1_sec": re1[n],
+                "observed_ratio": rr,
+                "note": "re-measured after the round-10 retune "
+                "(hub-subsampled ANN candidates / digest-collapsed "
+                "near-dup)",
+            }
+        )
+        entry.setdefault("predicted_exponent", 1.0)
     _exponent_pass(sf1, 10.0)
     json.dump(sf1, open("SF1_BENCH.json", "w"), indent=2)
     print(json.dumps({"sf1_split": split1, "scc": {"sf0.1": scc01, "sf1": scc1}}))

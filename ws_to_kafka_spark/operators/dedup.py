@@ -505,11 +505,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emitted only when the group shingles at all — the oracle requires
     a shared shingle, so empty-shingle twins stay out on both sides).
     Semantics-preserving by construction — the oracle is unchanged —
-    while candidate AND verify volume now scale with DISTINCT texts:
-    the SF3 corpus builds 10 exact copies per doc, so collapse divides
-    its candidate volume ~100x (`band_occupancy_stats` reports
-    join_work vs join_work_rep; the round-9 38.3x-at-30x super-linear
-    measurement was exactly this copy mass).
+    while candidate AND verify volume now scale with DISTINCT texts.
+    Where it pays: corpora with exact-copy mass (boilerplate, mirrored
+    pages — the dominant duplication mode at 100 TB, per the module
+    header). Where it deliberately does NOT: the make_sf1/sf3 copies
+    are prefix-EDITED ("c<i> " tokens), i.e. near-dups with distinct
+    digests by construction, so the SF scaling entries keep exercising
+    the LSH+verify path at full volume — `band_occupancy_stats`
+    reports join_work vs join_work_rep so a corpus's collapsible mass
+    is measurable, not assumed. A driver-cached any-dups flag keeps
+    duplicate-free corpora on the uncollapsed plan at zero extra cost.
     """
     sh = _shingled_docs(spark, sf_dir)
     collapse = _has_exact_dups(spark, sf_dir)

@@ -2251,6 +2251,56 @@ def _scc_assign_build_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _condensation_levels_local(comps: DataFrame, cedge: DataFrame) -> DataFrame:
+    """Single-task longest-path levels over the condensation DAG —
+    Kahn-order DP, gated by _SCC_LOCAL_EDGE_CAP like `_scc_assign_local`
+    (same contract as the distributed max-label loop; a cycle, which
+    the SCC quotient makes impossible, surfaces as a RuntimeError)."""
+    import pandas as pd
+
+    tagged = comps.select(
+        F.col("c").alias("u"), F.lit(None).cast("long").alias("w")
+    ).unionByName(cedge.select("u", "w"))
+
+    def run(batches):
+        from collections import defaultdict, deque as _dq
+
+        adj = defaultdict(list)
+        indeg = defaultdict(int)
+        nodes = set()
+        for b in batches:
+            for u, w in zip(b["u"], b["w"]):
+                u = int(u)
+                nodes.add(u)
+                if pd.isna(w):
+                    continue
+                w = int(w)
+                nodes.add(w)
+                adj[u].append(w)
+                indeg[w] += 1
+        level = {v: 0 for v in nodes}
+        ready = _dq(v for v in nodes if indeg[v] == 0)
+        seen = 0
+        while ready:
+            u = ready.popleft()
+            seen += 1
+            for w in adj[u]:
+                if level[u] + 1 > level[w]:
+                    level[w] = level[u] + 1
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    ready.append(w)
+        if seen != len(nodes):
+            raise RuntimeError(
+                "condensation contains a cycle — the SCC quotient is broken"
+            )
+        yield pd.DataFrame(
+            {"c": list(level), "l": [level[v] for v in level]}
+        ).astype({"c": "int64", "l": "int64"})
+
+    return tagged.coalesce(1).mapInPandas(run, "c long, l long")
+
+
 @register(
     "q_graph_condensation",
     oracle=f"""
@@ -2307,8 +2357,18 @@ def q_graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the condensation is tiny relative to the graph (one row per
     SCC); the only corpus-scale work is the SCC assignment itself
     (shared, cached) and the two label joins mapping node endpoints to
-    component ids. Level rounds move one (component, level) row per
-    component — broadcast-sized at any corpus scale.
+    component ids. The LEVEL computation dispatches like the SCC stage
+    (round 10): under _SCC_LOCAL_EDGE_CAP condensation edges, a single
+    mapInPandas task runs Kahn-order longest-path DP (O(V+E), zero
+    propagation rounds — a deep condensation chain would otherwise pay
+    one round per layer); above it, max-label propagation to a CHECKED
+    fixpoint with _ckpt_nostats per round (Dataset.localCheckpoint
+    snapshots estimated stats, and the round plan's double reference
+    to lvl would otherwise square sizeInBytes every round — the
+    BigInteger pathology documented on _ckpt_nostats). A
+    non-converging distributed loop inside the cap would mean a cycle
+    in the condensation — impossible if the SCC quotient is correct —
+    so the convergence raise doubles as a structural invariant check.
     """
     assigned = _scc_assignments(spark, sf_dir).localCheckpoint()
     edges = _scc_edges(spark, sf_dir)
@@ -2327,39 +2387,42 @@ def q_graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("u")
         .localCheckpoint()
     )
-    lvl = (
-        assigned.select(F.col("scc_id").alias("c"))
-        .distinct()
-        .select("c", F.lit(0).cast("long").alias("l"))
-        .localCheckpoint()
-    )
-    changed = 0
-    for _ in range(_SCC_MAX_INNER):
-        nl = (
-            cedge.join(lvl.select(F.col("c").alias("u"), "l"), "u")
-            .groupBy(F.col("w").alias("c"))
-            .agg(F.max(F.col("l") + F.lit(1).cast("long")).alias("m"))
+    comps = assigned.select(F.col("scc_id").alias("c")).distinct()
+    n_cedge = cedge.count()
+    if n_cedge <= _SCC_LOCAL_EDGE_CAP and not _SCC_FORCE_DISTRIBUTED:
+        lvl = _condensation_levels_local(comps, cedge)
+    else:
+        lvl = (
+            comps.select("c", F.lit(0).cast("long").alias("l"))
+            .transform(_ckpt_nostats)
         )
-        new = (
-            lvl.join(nl, "c", "left")
-            .select(
-                "c",
-                F.greatest("l", F.coalesce("m", F.col("l"))).alias("l"),
-                (F.coalesce("m", F.lit(-1).cast("long")) > F.col("l")).alias(
-                    "chg"
-                ),
+        changed = 0
+        for _ in range(_SCC_MAX_INNER):
+            nl = (
+                cedge.join(lvl.select(F.col("c").alias("u"), "l"), "u")
+                .groupBy(F.col("w").alias("c"))
+                .agg(F.max(F.col("l") + F.lit(1).cast("long")).alias("m"))
             )
-            .localCheckpoint()
-        )
-        changed = new.filter("chg").count()
-        lvl = new.select("c", "l")
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            f"condensation levels did not converge in {_SCC_MAX_INNER} "
-            f"rounds — a cycle survived the SCC contraction"
-        )
+            new = (
+                lvl.join(nl, "c", "left")
+                .select(
+                    "c",
+                    F.greatest("l", F.coalesce("m", F.col("l"))).alias("l"),
+                    (
+                        F.coalesce("m", F.lit(-1).cast("long")) > F.col("l")
+                    ).alias("chg"),
+                )
+                .transform(_ckpt_nostats)
+            )
+            changed = new.filter("chg").count()
+            lvl = new.select("c", "l")
+            if changed == 0:
+                break
+        if changed != 0:
+            raise RuntimeError(
+                f"condensation levels did not converge in {_SCC_MAX_INNER} "
+                f"rounds — a cycle survived the SCC contraction"
+            )
     sizes = assigned.groupBy("scc_id").agg(F.count("*").alias("n_nodes"))
     return sizes.join(
         lvl.select(F.col("c").alias("scc_id"), F.col("l").alias("level")),
