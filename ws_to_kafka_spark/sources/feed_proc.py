@@ -29,7 +29,7 @@ import sys
 import threading
 import time
 
-_FLUSH_SECONDS = 0.005
+_FLUSH_SECONDS = 0.015
 
 
 def _reader_loop(cfg: dict, pending: list, lock: threading.Lock,
