@@ -474,3 +474,67 @@ def test_gate_fixtures_have_no_hot_bands(spark, sf_dir):
         "docstring for the trade-off)."
     )
     assert _hot_bands(spark, sf_dir) == []
+
+
+def test_dedup_near_all_identical_corpus(spark, tmp_path):
+    """Degenerate collapse input: FIVE byte-identical docs (one digest
+    group, banding sees a single representative) plus one unrelated
+    doc.  Output must be exactly the 10 intra-group J=1.0 pairs —
+    checked against the registered oracle, which reaches the same set
+    through all-pairs shared-shingle Jaccard."""
+    text = "the same boilerplate paragraph repeated verbatim in every copy"
+    rows = [(i, text, "en", "web", len(text)) for i in range(5)] + [
+        (9, "entirely different vocabulary with no overlap at all here",
+         "en", "web", 57)
+    ]
+    dst = str(tmp_path / "sf_allsame")
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    spec = QUERIES["q_dedup_near"]
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in spec.fn(spark, dst).collect()
+    }
+    expected_pairs = {
+        (a, b) for a in range(5) for b in range(5) if a < b
+    }
+    assert set(got) == expected_pairs
+    assert all(j == 1.0 for j in got.values())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dst}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (a, b): j for (a, b, j) in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want
+
+
+def test_dedup_near_empty_shingle_twins_not_emitted(spark, tmp_path):
+    """Two identical docs whose text yields ZERO shingles (a 2-word
+    text has no word-trigram shingles): identical digests, but the
+    oracle requires a SHARED SHINGLE, so the pair must NOT appear —
+    the intra-group expansion gates on the representative having
+    shingles (the ANSI/empty-group discipline: both engines agree by
+    construction, not by luck)."""
+    rows = [
+        (0, "too short", "en", "web", 9),
+        (1, "too short", "en", "web", 9),
+        (2, "a genuinely long sentence with plenty of words to shingle on",
+         "en", "web", 61),
+    ]
+    dst = str(tmp_path / "sf_emptytwins")
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    spec = QUERIES["q_dedup_near"]
+    got = {(r.doc_a, r.doc_b) for r in spec.fn(spark, dst).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dst}/documents.parquet/*.parquet')"
+    )
+    want = {(a, b) for (a, b, _j) in con.execute(spec.oracle).fetchall()}
+    assert got == want
