@@ -1732,3 +1732,63 @@ def test_scc_matches_closure_oracle_on_random_digraphs(
         from ws_to_kafka_spark.operators.dedup import evict_sf_dir
 
         evict_sf_dir(sf_dir)
+
+
+# --- q_dedup_near: digest collapse + expansion vs the exact oracle --------
+#
+# The round-10 exact-dup collapse runs only when a corpus HAS duplicate
+# digests, and its fixtures are duplicate-light; a tiny-vocabulary random
+# corpus produces exactly the shapes that stress both halves at once —
+# accidental byte-identical docs (collapse + J=1 intra expansion, with
+# empty-shingle twins that must stay OUT), high-Jaccard near-dups across
+# digest groups (rep-pair cross expansion), and sub-shingle-width docs.
+
+_near_doc = st.lists(
+    st.sampled_from(["alpha", "bravo", "charlie", "delta"]),
+    min_size=0,
+    max_size=6,
+).map(" ".join)
+_near_corpus = st.lists(_near_doc, min_size=0, max_size=10)
+
+
+@given(_near_corpus)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_near_collapse_matches_oracle_on_random_dup_corpora(
+    spark, tmp_path_factory, texts
+):
+    from ws_to_kafka_spark.operators import QUERIES
+    from ws_to_kafka_spark.operators.dedup import evict_sf_dir
+
+    sf_dir = str(tmp_path_factory.mktemp("sf_rand_near"))
+    rows = [
+        (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows or [(None, None, None, None, None)],
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).filter("doc_id IS NOT NULL").coalesce(1).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    try:
+        spec = QUERIES["q_dedup_near"]
+        sdf = spec.fn(spark, sf_dir)
+        got = _nullsafe(
+            tuple(r) for r in sdf.select(sorted(sdf.columns)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        cur = con.execute(spec.oracle)
+        cols = [d[0] for d in cur.description]
+        order = [cols.index(c) for c in sorted(cols)]
+        want = _nullsafe(tuple(r[i] for i in order) for r in cur.fetchall())
+        assert got == want
+    finally:
+        evict_sf_dir(sf_dir)
