@@ -1494,6 +1494,61 @@ def test_websocket_multi_child_process_crash_respawns(spark, tmp_path):
     assert vals[len(frames): 2 * len(frames)] == frames
 
 
+def test_websocket_multi_no_child_leak_after_stop(spark, tmp_path):
+    """Process-lifecycle pin (round 10): stopping the query must leave
+    ZERO feed_proc children behind — the first bench integration leaked
+    one child per run (the pump's pipe kept it alive and the redial
+    loop never exits on its own); stop() now reaps with a kill
+    fallback, the pump reaps its own last spawn, and PR_SET_PDEATHSIG
+    covers a crashed driver."""
+    import json as _json
+    import os
+
+    from ws_to_kafka_spark.sources.websocket import (
+        register_websocket_multi_source,
+    )
+
+    def feed_proc_pids() -> set[int]:
+        pids = set()
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/cmdline", "rb") as fh:
+                    argv = fh.read()
+            except OSError:
+                continue
+            if b"ws_to_kafka_spark.sources.feed_proc" in argv:
+                pids.add(int(entry))
+        return pids
+
+    frames = [f"l-{i}".encode() for i in range(4)]
+    server = RecordingWsServer(frames_per_connection=frames)
+    register_websocket_multi_source(spark)
+    query = (
+        spark.readStream.format("websocket_multi")
+        .option("urls", _json.dumps([server.url]))
+        .load()
+        .writeStream.format("memory")
+        .queryName("multi_leak")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert wait_until(
+            lambda: spark.sql("SELECT COUNT(*) c FROM multi_leak").first().c
+            >= len(frames),
+            timeout=60,
+        )
+        assert feed_proc_pids(), "process mode did not spawn a child"
+    finally:
+        query.stop()
+        server.close()
+    assert wait_until(lambda: not feed_proc_pids(), timeout=15), (
+        f"feed_proc children leaked after stop: {feed_proc_pids()}"
+    )
+
+
 def test_transform_with_state_checkpoint_restart(spark, tmp_path):
     """State-store recovery — the untested half of O12's Spark upgrade
     ("strictly stronger: resumable", SURVEY §2.1; round-8 VERDICT item 5):

@@ -249,6 +249,22 @@ class _ProcFeedWorker:
         env = os.environ.copy()
         root = str(Path(__file__).resolve().parents[2])
         env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+
+        def _die_with_parent():  # pragma: no cover - runs in the child
+            # PR_SET_PDEATHSIG: the kernel SIGKILLs the child the moment
+            # its parent dies, so a crashed/killed driver can never strand
+            # decode processes (observed: a child in its redial loop
+            # outliving the bench process by design of the pipe lifecycle)
+            try:
+                import ctypes
+                import signal as _signal
+
+                ctypes.CDLL("libc.so.6", use_errno=True).prctl(
+                    1, _signal.SIGKILL, 0, 0, 0
+                )
+            except Exception:
+                pass
+
         proc = subprocess.Popen(
             [
                 _sys.executable,
@@ -259,6 +275,7 @@ class _ProcFeedWorker:
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
             env=env,
+            preexec_fn=_die_with_parent,
         )
         try:
             # widen the kernel pipe (default 64 KB): a GIL-delayed pump
@@ -309,6 +326,22 @@ class _ProcFeedWorker:
             # contract says redial forever; frame numbering continues.
             if not self._stop.is_set():
                 self._stop.wait(self._cfg.get("reconnect_delay", 5.0))
+        # belt and braces for the stop()-vs-respawn race: whatever child
+        # this pump last spawned dies with the pump
+        self._reap(self._proc)
+
+    @staticmethod
+    def _reap(proc) -> None:
+        if proc is None:
+            return
+        try:
+            proc.terminate()
+            try:
+                proc.wait(timeout=2)
+            except Exception:
+                proc.kill()
+        except Exception:
+            pass
 
     # -- the reader-facing surface (shared with _FeedWorker) ---------------
 
@@ -342,11 +375,7 @@ class _ProcFeedWorker:
     def stop(self) -> None:
         self._stop.set()
         proc, self._proc = self._proc, None
-        if proc is not None:
-            try:
-                proc.terminate()
-            except Exception:
-                pass
+        self._reap(proc)
 
 
 class WebSocketStreamReader(SimpleDataSourceStreamReader):
