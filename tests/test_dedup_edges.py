@@ -323,14 +323,20 @@ def hot_band_sf_dir(spark, tmp_path_factory) -> str:
 
 
 def test_dedup_near_hot_band_cap(spark, hot_band_sf_dir, monkeypatch):
-    """The IDENTICAL-text boilerplate clique vs the exact-dup collapse
-    (round 10): the 12 copies collapse to one representative BEFORE
-    banding, so no band bucket is ever hot on this corpus and even a
-    cap far below the clique size drops NOTHING — the 66 internal
-    pairs come back through the J=1 intra-group expansion.  (Round 9
-    pinned the opposite: the lowered cap silently lost the clique —
-    strictly worse.  The cap path itself is now exercised on the
-    DISTINCT-text variant below.)"""
+    """The IDENTICAL-text boilerplate clique vs the exact-dup collapse:
+    the 12 copies collapse to one representative BEFORE banding, and —
+    since round 11 (ADVICE r10 medium) — hot-band occupancy is measured
+    on that same rep-filtered frame, so no band bucket is hot on this
+    corpus and even a cap far below the clique size drops NOTHING; the
+    66 internal pairs come back through the J=1 intra-group expansion.
+    (Through round 10 the occupancy came from the FULL banded frame, so
+    the lowered cap anti-joined the representative away; this test still
+    passed only because the clique pairs returned via the intra-group
+    expansion — the real loss, a cross pair to a distinct-digest
+    neighbor, is pinned in
+    test_dedup_near_hot_band_cap_collapse_cross_pair.  The cap path on
+    a collapse-immune corpus is exercised by the DISTINCT-text variant
+    below.)"""
     from ws_to_kafka_spark.operators import dedup
 
     spec = QUERIES["q_dedup_near"]
@@ -361,6 +367,45 @@ def test_dedup_near_hot_band_cap(spark, hot_band_sf_dir, monkeypatch):
         for r in spec.fn(spark, hot_band_sf_dir).collect()
     }
     assert capped == want
+
+
+def test_dedup_near_hot_band_cap_collapse_cross_pair(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (medium) regression pin: when the exact-dup collapse
+    is active, hot-band occupancy MUST be measured on the rep-filtered
+    banded frame.  Corpus: 12 byte-identical copies of the template
+    plus ONE distinct-digest near-dup of it (one word substituted,
+    J = 14/16 = 0.875).  With the cap below the copy count, the old
+    full-frame occupancy marked every template band hot (occ >= 12) and
+    anti-joined the representative away — the (copy, near-dup) cross
+    pairs vanished while the intra-clique J=1 pairs survived via
+    re-expansion, i.e. a silent oracle divergence.  Rep-filtered
+    occupancy (2 per shared bucket) keeps every pair."""
+    from ws_to_kafka_spark.operators import dedup
+
+    near = _TEMPLATE.rsplit(" ", 1)[0] + " jobs"
+    rows = [
+        (100 + i, _TEMPLATE, "en", "web", len(_TEMPLATE)) for i in range(12)
+    ] + [(400, near, "en", "web", len(near))]
+    dst = str(tmp_path / "sf_collapse_cross")
+    spark.createDataFrame(rows, schema=_SCHEMA).coalesce(1).write.parquet(
+        f"{dst}/documents.parquet"
+    )
+    spec = QUERIES["q_dedup_near"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dst}/documents.parquet/*.parquet')"
+    )
+    want = {(a, b) for (a, b, _j) in con.execute(spec.oracle).fetchall()}
+    # corpus sanity: 66 intra-clique pairs + 12 cross pairs to the near-dup
+    assert len(want) == 66 + 12
+    assert (100, 400) in want
+
+    monkeypatch.setattr(dedup, "_NEAR_BAND_CAP", 8)
+    got = {(r.doc_a, r.doc_b) for r in spec.fn(spark, dst).collect()}
+    assert got == want  # pre-fix: the 12 cross pairs were missing
 
 
 @pytest.fixture(scope="module")

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from ws_to_kafka_spark.operators import QUERIES
@@ -243,7 +244,9 @@ def _write_transition_corpus(spark, dst: str, edges) -> None:
     ).coalesce(1).write.parquet(f"{dst}/lineitem.parquet")
 
 
-def test_scc_distributed_path_matches_local_kernel(spark, tmp_path):
+def test_scc_distributed_path_matches_local_kernel(
+    spark, tmp_path, monkeypatch
+):
     """Path-equivalence pin for the size-gated SCC dispatch: the
     distributed trim + doubling FW-BW build (forced via
     _SCC_FORCE_DISTRIBUTED) must emit exactly the local Tarjan
@@ -270,7 +273,7 @@ def test_scc_distributed_path_matches_local_kernel(spark, tmp_path):
         assert G._SCC_LAST_STATS.get("local_kernel") == 1
         assert local == expected
         evict_sf_dir(dst)  # the assignment is cached per (app, sf_dir)
-        G._SCC_FORCE_DISTRIBUTED = True
+        monkeypatch.setattr(G, "_SCC_FORCE_DISTRIBUTED", True)
         dist = {
             r.scc_id: r.n_nodes
             for r in QUERIES["q_graph_scc"].fn(spark, dst).collect()
@@ -289,11 +292,10 @@ def test_scc_distributed_path_matches_local_kernel(spark, tmp_path):
             40: (1, 0), 41: (1, 1),
         }
     finally:
-        G._SCC_FORCE_DISTRIBUTED = False
         evict_sf_dir(dst)
 
 
-def test_scc_chained_cycles_beyond_old_outer_cap(spark, tmp_path):
+def test_scc_chained_cycles_beyond_old_outer_cap(spark, tmp_path, monkeypatch):
     """Round-9 ADVICE regression: a chain of TWELVE 2-cycles (each
     bridged to the next, ids increasing so every cycle is reachable
     from the global minimum) needs one confirmed-SCC peel per chain
@@ -313,18 +315,18 @@ def test_scc_chained_cycles_beyond_old_outer_cap(spark, tmp_path):
     dst = str(tmp_path / "sf_scc_cycles")
     _write_transition_corpus(spark, dst, edges)
     try:
-        G._SCC_FORCE_DISTRIBUTED = True
+        monkeypatch.setattr(G, "_SCC_FORCE_DISTRIBUTED", True)
         got = {
             r.scc_id: r.n_nodes
             for r in QUERIES["q_graph_scc"].fn(spark, dst).collect()
         }
         assert got == {100 + 2 * i: 2 for i in range(12)}
     finally:
-        G._SCC_FORCE_DISTRIBUTED = False
         evict_sf_dir(dst)
 
 
-def test_scc_deep_chain_round_count_sublinear(spark, tmp_path):
+@pytest.mark.heavy
+def test_scc_deep_chain_round_count_sublinear(spark, tmp_path, monkeypatch):
     """The O(log depth)-per-pass evidence the VERDICT asked for: on a
     pure chain with INCREASING ids (the round-9 worst case — layer
     trim peeled one node per materialization, coloring moved labels
@@ -335,34 +337,60 @@ def test_scc_deep_chain_round_count_sublinear(spark, tmp_path):
     O(log^2 depth): measured 43 rounds at depth 256 vs 92 at depth
     1024 — a 2.1x round growth for a 4x depth growth (linear peeling
     would be ~4x and several hundred rounds).  HEAVY (~60 s): two
-    forced-distributed builds."""
+    forced-distributed builds — marked ``heavy``, excluded from the
+    `-m "not heavy"` fast lane (ADVICE r10)."""
     from ws_to_kafka_spark.operators import graph as G
     from ws_to_kafka_spark.operators.dedup import evict_sf_dir
 
     rounds = {}
-    try:
-        G._SCC_FORCE_DISTRIBUTED = True
-        for depth in (256, 1024):
-            dst = str(tmp_path / f"sf_chain_{depth}")
-            _write_transition_corpus(
-                spark,
-                dst,
-                [(1000 + i, 1000 + i + 1) for i in range(depth - 1)],
-            )
-            res = QUERIES["q_graph_scc"].fn(spark, dst).collect()
-            assert len(res) == depth
-            assert all(r.n_nodes == 1 for r in res)
-            st = G._SCC_LAST_STATS
-            rounds[depth] = (
-                st["trim_batches"] + st["fwd_rounds"] + st["bwd_rounds"]
-            )
-            evict_sf_dir(dst)
-    finally:
-        G._SCC_FORCE_DISTRIBUTED = False
+    monkeypatch.setattr(G, "_SCC_FORCE_DISTRIBUTED", True)
+    for depth in (256, 1024):
+        dst = str(tmp_path / f"sf_chain_{depth}")
+        _write_transition_corpus(
+            spark,
+            dst,
+            [(1000 + i, 1000 + i + 1) for i in range(depth - 1)],
+        )
+        res = QUERIES["q_graph_scc"].fn(spark, dst).collect()
+        assert len(res) == depth
+        assert all(r.n_nodes == 1 for r in res)
+        st = G._SCC_LAST_STATS
+        rounds[depth] = (
+            st["trim_batches"] + st["fwd_rounds"] + st["bwd_rounds"]
+        )
+        evict_sf_dir(dst)
     # 4x the depth must cost well under 4x the rounds (measured 2.1x),
     # and the absolute count stays two orders under the old O(depth).
     assert rounds[1024] <= 3 * rounds[256], rounds
     assert rounds[1024] <= 150, rounds
+
+
+def test_condensation_depth_cap_raises_depth_error(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a condensation DAG deeper than _SCC_MAX_INNER must
+    raise the DEPTH-specific error, not the misleading cycle-invariant
+    message — single-hop level propagation covers only `cap` levels,
+    unlike the doubling loops' ~2^cap. Chain of 8 singletons (7 levels),
+    cap monkeypatched to 4, distributed level path forced (the SCC
+    assignment itself is pre-cached via a normal local-kernel run so
+    the tightened cap only hits the level loop)."""
+    from ws_to_kafka_spark.operators import graph as G
+    from ws_to_kafka_spark.operators.dedup import evict_sf_dir
+
+    dst = str(tmp_path / "sf_cond_deep")
+    _write_transition_corpus(
+        spark, dst, [(500 + i, 500 + i + 1) for i in range(7)]
+    )
+    try:
+        res = QUERIES["q_graph_scc"].fn(spark, dst).collect()
+        assert len(res) == 8  # caches the SCC assignment (local kernel)
+        monkeypatch.setattr(G, "_SCC_FORCE_DISTRIBUTED", True)
+        monkeypatch.setattr(G, "_SCC_MAX_INNER", 4)
+        with pytest.raises(RuntimeError, match="deeper than 4 levels"):
+            QUERIES["q_graph_condensation"].fn(spark, dst)
+    finally:
+        evict_sf_dir(dst)
 
 
 def test_salted_sum_equals_unsalted_on_hub_corpus(spark):

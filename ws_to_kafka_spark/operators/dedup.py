@@ -325,22 +325,44 @@ def _has_exact_dups(spark: SparkSession, sf_dir: str) -> bool:
 #: q_dedup_near execution: the broadcast side becomes a LocalRelation
 #: (zero jobs), and when the list is empty — every gate fixture — the
 #: anti-join is skipped outright (VERDICT r8 item 3).
-_HOT_BANDS_CACHE: dict[tuple[str, str, int], list[tuple[int, int]]] = {}
+_HOT_BANDS_CACHE: dict[
+    tuple[str, str, int, bool], list[tuple[int, int]]
+] = {}
 
 
-def _hot_bands(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+def _hot_bands(
+    spark: SparkSession, sf_dir: str, collapse: bool = False
+) -> list[tuple[int, int]]:
     """Over-occupied (band_idx, band_key) buckets of the MinHash-LSH
-    index, computed ONCE per (app, corpus, cap) from the persisted
-    banded frame and cached driver-side (see `_HOT_BANDS_CACHE`). Keyed
-    on the cap too so tests that lower `_NEAR_BAND_CAP` see a fresh
-    list."""
+    index, computed ONCE per (app, corpus, cap, collapse) from the
+    persisted banded frame and cached driver-side (see
+    `_HOT_BANDS_CACHE`). Keyed on the cap too so tests that lower
+    `_NEAR_BAND_CAP` see a fresh list.
+
+    ``collapse=True`` measures occupancy over the REP-FILTERED banded
+    frame — the frame q_dedup_near actually self-joins when the
+    exact-dup collapse is active.  Measuring the full frame instead
+    (the pre-round-11 behavior, ADVICE r10) double-counted copy mass
+    the collapse had already removed: a bucket made hot purely by
+    >cap byte-identical copies of one template anti-joined away the
+    template's single representative row, silently dropping any true
+    near-dup pair between the template and a distinct-digest
+    neighbor."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _HOT_BANDS_CACHE if k[0] != app_id]:
         del _HOT_BANDS_CACHE[k]
-    key = (app_id, sf_dir, _NEAR_BAND_CAP)
+    key = (app_id, sf_dir, _NEAR_BAND_CAP, collapse)
     if key not in _HOT_BANDS_CACHE:
+        banded = _minhash_banded(spark, sf_dir)
+        if collapse:
+            reps = (
+                _digest_members(spark, sf_dir)
+                .filter(F.col("doc_id") == F.col("rep"))
+                .select("doc_id")
+            )
+            banded = banded.join(reps, "doc_id", "leftsemi")
         rows = (
-            _minhash_banded(spark, sf_dir)
+            banded
             .groupBy("band_idx", "band_key")
             .agg(F.count("*").alias("occ"))
             .filter(F.col("occ") > _NEAR_BAND_CAP)
@@ -525,7 +547,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded = banded.join(
             reps.withColumnRenamed("rep", "doc_id"), "doc_id", "leftsemi"
         )
-    hot = _hot_bands(spark, sf_dir)
+    hot = _hot_bands(spark, sf_dir, collapse)
     if hot:
         hot_df = spark.createDataFrame(
             hot, schema="band_idx int, band_key long"

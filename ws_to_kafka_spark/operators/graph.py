@@ -1673,10 +1673,12 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     headroom (round-9 ADVICE: the old _SCC_MAX_OUTER=8 raised on >8
 #     chained cycles all reachable from the global minimum).
 #
-# _SCC_MAX_INNER now caps DOUBLING rounds (covers diameters up to
-# ~2^72) and longest-path rounds in q_graph_condensation; an
-# unconverged exit still RAISES (the q_graph_components rule:
-# convergence is checked, never assumed).
+# _SCC_MAX_INNER caps DOUBLING rounds (those cover diameters up to
+# ~2^72) and the SINGLE-HOP longest-path rounds in q_graph_condensation
+# (where it bounds plain DEPTH at 72 — a deeper acyclic condensation
+# raises a depth-specific error, distinct from the cycle-invariant
+# raise; ADVICE r10). An unconverged exit still RAISES (the
+# q_graph_components rule: convergence is checked, never assumed).
 _SCC_MAX_INNER = 72
 _SCC_TRIM_DEPTH = 8
 _SCC_TRIM_MAX_BATCHES = 4
@@ -2396,6 +2398,14 @@ def q_graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             comps.select("c", F.lit(0).cast("long").alias("l"))
             .transform(_ckpt_nostats)
         )
+        # Cycle detection vs depth exhaustion (ADVICE r10): a level can
+        # only reach n_comps if some path repeats a component — i.e. a
+        # true cycle survived the SCC contraction.  An acyclic DAG merely
+        # DEEPER than the round cap must raise a depth-specific error,
+        # not the cycle-invariant message (single-hop propagation does
+        # one layer per round; the ~2^72 claim on _SCC_MAX_INNER holds
+        # only for the doubling loops).
+        n_comps = comps.count()
         changed = 0
         for _ in range(_SCC_MAX_INNER):
             nl = (
@@ -2414,14 +2424,27 @@ def q_graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .transform(_ckpt_nostats)
             )
-            changed = new.filter("chg").count()
+            stats = new.agg(
+                F.sum(F.col("chg").cast("long")).alias("n_chg"),
+                F.max("l").alias("max_l"),
+            ).first()
+            changed = stats.n_chg or 0
+            if stats.max_l is not None and stats.max_l >= n_comps:
+                raise RuntimeError(
+                    f"condensation level {stats.max_l} reached the component "
+                    f"count {n_comps} — a cycle survived the SCC contraction"
+                )
             lvl = new.select("c", "l")
             if changed == 0:
                 break
         if changed != 0:
             raise RuntimeError(
-                f"condensation levels did not converge in {_SCC_MAX_INNER} "
-                f"rounds — a cycle survived the SCC contraction"
+                f"condensation DAG is deeper than {_SCC_MAX_INNER} levels — "
+                "the distributed single-hop level loop exhausted its round "
+                "cap on a (so far) acyclic graph; raise "
+                "ws_to_kafka_spark.operators.graph._SCC_MAX_INNER or "
+                "_SCC_LOCAL_EDGE_CAP (the local Kahn kernel is "
+                "depth-independent)"
             )
     sizes = assigned.groupBy("scc_id").agg(F.count("*").alias("n_nodes"))
     return sizes.join(

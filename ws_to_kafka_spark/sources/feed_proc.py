@@ -54,6 +54,16 @@ def _reader_loop(cfg: dict, pending: list, lock: threading.Lock,
                     break
         except WsError:
             pass
+        except Exception:  # noqa: BLE001 — ADVICE r10: a non-WsError
+            # escape (decode bug, unwrapped OSError) must not kill the
+            # reader thread silently while the flush loop keeps the
+            # child alive — the parent pump would block on read()
+            # forever with no respawn. Log and fall through to the same
+            # backoff-redial the reference uses for connection loss.
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            sys.stderr.flush()
         finally:
             client_box["client"] = None
             client.close_socket()

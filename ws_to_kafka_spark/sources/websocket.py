@@ -43,7 +43,11 @@ import threading
 import time
 from collections import deque
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
+
+#: Epoch anchor for exact integer micros -> datetime conversion
+#: (_FeedBlobSlice.rows_iter; ADVICE r10).
+_EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -541,11 +545,14 @@ class _FeedBlobSlice(InputPartition):
                 ts_us, ln = struct.unpack_from("<QI", body, off)
                 off += 12
                 if self.start <= idx < self.end:
+                    # Exact integer micros (ADVICE r10): float division
+                    # at ~1.7e9 s has ~0.5 µs ulp, so fromtimestamp(
+                    # ts_us / 1e6) could land one microsecond off the
+                    # child-recorded wire value. timedelta(microseconds=)
+                    # is integer-exact.
                     yield (
                         body[off:off + ln],
-                        datetime.fromtimestamp(
-                            ts_us / 1_000_000, tz=timezone.utc
-                        ),
+                        _EPOCH_UTC + timedelta(microseconds=ts_us),
                         self.feed_id,
                     )
                 off += ln
