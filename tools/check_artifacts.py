@@ -78,7 +78,53 @@ def warn_unstaged_operators() -> None:
         )
 
 
+#: Round-close artifacts the driver/judge drops into the worktree.
+#: Rounds 9 AND 10 both ended with some of these untracked (VERDICT r10
+#: item 3) — the orphan check makes that state un-committable.
+_ROUND_ARTIFACT_PATTERNS = (
+    r"^BENCH_r\d+\.json$",
+    r"^CORRECTNESS_r\d+\.json$",
+    r"^VERIFY_r\d+\.json$",
+    r"^LEAKCHECK\.json$",
+    r"^COPYCHECK\.json$",
+)
+
+
+def orphan_artifacts() -> list[str]:
+    """r-numbered round artifacts that are UNTRACKED or modified but
+    unstaged — i.e. would be left dirty by the commit in progress."""
+    out = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    orphans = []
+    for ln in out.stdout.splitlines():
+        status, _, name = ln[:2], ln[2], ln[3:].strip()
+        if not any(re.match(p, name) for p in _ROUND_ARTIFACT_PATTERNS):
+            continue
+        # '??' untracked; a non-space second column = working-tree change
+        # not (fully) staged
+        if status == "??" or status[1] != " ":
+            orphans.append(name)
+    return sorted(orphans)
+
+
 def main() -> None:
+    if "--orphans" in sys.argv:
+        orphans = orphan_artifacts()
+        if orphans:
+            print(
+                "check_artifacts: round artifacts untracked/unstaged — "
+                "stage them in this commit (VERDICT r10 item 3):\n  "
+                + "\n  ".join(orphans)
+                + "\n  git add " + " ".join(orphans),
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        print("check_artifacts: no orphaned round artifacts")
+        return
     staged = "--staged" in sys.argv
     if staged:
         warn_unstaged_operators()

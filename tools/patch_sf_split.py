@@ -52,9 +52,9 @@ def main() -> None:
     with_sf3 = "--sf3" in sys.argv
     spark = get_spark("patch-sf-split")
 
-    # round-10 retunes whose SF entries must be re-measured (the stored
-    # medians describe code that no longer exists): the hub-subsampled
-    # ANN build and the digest-collapsed near-dup.
+    # Retunes whose SF entries must be re-measured (the stored medians
+    # describe code that no longer exists). Round 11: q_embed_knn_ann's
+    # broadcast-gather scoring + windowed top-k + convergence exit.
     retuned = ["q_dedup_near", "q_embed_knn_ann"]
 
     split01 = _graph_ann_split(spark, SF01)
