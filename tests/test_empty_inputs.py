@@ -26,6 +26,8 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
     return dst
 
 
+@pytest.mark.heavy  # ~95 s: one planned execution per registry key —
+# whole-surface robustness, fast-lane-excluded (VERDICT r10 item 8)
 def test_every_query_tolerates_empty_input(spark, empty_sf_dir):
     failures = []
     for qname, spec in sorted(QUERIES.items()):

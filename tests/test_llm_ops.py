@@ -741,6 +741,77 @@ def test_knn_ann_recall_and_exactness_on_fixture(spark, sf_dir):
     assert all(exact[e] == ann[e] for e in common)
 
 
+def test_semdedup_planted_duplicate_groups(spark, tmp_path, monkeypatch):
+    """q_dedup_semantic at the PRODUCTION operating point (τ=0.95 — the
+    registered gate runs a fixture-scaled τ, see _SEMDEDUP_TAU): plant
+    explicit semantic-duplicate groups (near-copies, cosine ≈0.9999)
+    among distinct cluster members (cosine ≈0.6 to each other) and pin
+    the paper's behavior — exactly one survivor per duplicate group,
+    every distinct vector kept, every dropped row naming the group's
+    kept maximum as keeper."""
+    from ws_to_kafka_spark.operators import similarity as S
+
+    # splitmix64 over a counter, output in [-1, 1). NOT the sibling
+    # tests' LCG-with->>33 helper: that one lands in [-1, 0) — every
+    # component negative puts all vectors in ONE orthant (baseline
+    # cosine 0.75 between independent vectors) and its consecutive
+    # draws are lattice-correlated, both fatal for tight cosine
+    # thresholds. Measured here: distinct members max cos 0.76,
+    # planted dups >= 0.9999 — clean margins on both sides of 0.95.
+    ctr = 0x5EED
+    def nxt():
+        nonlocal ctr
+        ctr = (ctr + 0x9E3779B97F4A7C15) % (1 << 64)
+        z = ctr
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        z = z ^ (z >> 31)
+        return (z >> 32) / float(1 << 31) - 1.0
+
+    rows, groups, vid = [], [], 0
+    for c in range(10):
+        center = [nxt() for _ in range(64)]
+        base_ids = []
+        for _m in range(8):
+            vec = [center[d] + 0.8 * nxt() for d in range(64)]
+            rows.append((vid, [float(x) for x in vec], 0))
+            base_ids.append((vid, vec))
+            vid += 1
+        if c < 5:  # plant a 4-member duplicate group on member 0
+            g = [base_ids[0][0]]
+            proto = base_ids[0][1]
+            for _ in range(3):
+                dup = [proto[d] + 0.01 * nxt() for d in range(64)]
+                rows.append((vid, [float(x) for x in dup], 0))
+                g.append(vid)
+                vid += 1
+            groups.append(g)
+    dst = str(tmp_path / "sf_semdedup")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{dst}/embeddings.parquet")
+
+    monkeypatch.setattr(S, "_SEMDEDUP_TAU", 0.95)
+    out = {
+        r.vec_id: r
+        for r in QUERIES["q_dedup_semantic"].fn(spark, dst).collect()
+    }
+    assert len(out) == vid  # one row per vector, always
+    dup_ids = {v for g in groups for v in g}
+    # every distinct (non-planted) vector is kept
+    for v, r in out.items():
+        if v not in dup_ids:
+            assert r.keep and r.keeper_id is None, (v, r)
+    # exactly one survivor per planted group, and the dropped members
+    # name it (all-pairs-similar group => keeper is the group maximum)
+    for g in groups:
+        kept = [v for v in g if out[v].keep]
+        assert len(kept) == 1, (g, kept)
+        for v in g:
+            if v != kept[0]:
+                assert out[v].keeper_id == kept[0], (v, out[v])
+
+
 def test_knn_ann_recall_clustered_corpus(spark, tmp_path_factory):
     """The regime the approximate build exists for: clustered embeddings
     (25 centers × 20 members, the shape of real model embeddings). LSH

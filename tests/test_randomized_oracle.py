@@ -17,8 +17,18 @@ and NULL ordering never matters because ordering keys are non-null.
 from __future__ import annotations
 
 import duckdb
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# The hypothesis sweeps re-plan a Spark query per generated example (6-12
+# examples x ~0.5-5 s of job floors each), making this module ~27 of the
+# full suite's ~40 minutes (round-11 --durations). The coverage is
+# degenerate-INPUT semantics, orthogonal to the operator/oracle gates —
+# so the module is the fast lane's main exclusion (VERDICT r10 item 8):
+#   python -m pytest tests/ -q -m "not heavy"   # ~13 min verify loop
+#   python -m pytest tests/ -q                  # the full gate, unchanged
+pytestmark = pytest.mark.heavy
 
 # rows: (k small group key, v nullable int); a unique id is prepended by
 # _frames via enumerate()
