@@ -96,6 +96,7 @@ HEADLINE = (
     # operators were invisible to the per-round regression bar)
     "q_embed_knn_ann",             # LSH tables + NN-descent k-NN build
     "q_sim_graph_search",          # beam search over the k-NN graph
+    "q_dedup_semantic",            # SemDeDup: kmeans + in-cluster pruning
 )
 
 

@@ -24,6 +24,9 @@ _QUERIES = [
     "q_sim_centroid",
     "q_embed_knn_graph",
     "q_sim_graph_search",
+    # round 11: zero-norm vectors must score NULL cosine on both engines
+    # (scorer membership mask / oracle NULLIF) and always be KEPT
+    "q_dedup_semantic",
 ]
 
 
