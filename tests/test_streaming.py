@@ -1456,6 +1456,25 @@ def test_websocket_multi_child_process_crash_respawns(spark, tmp_path):
         import os
         import signal
 
+        def _is_descendant(pid: int, ancestor: int) -> bool:
+            # walk the ppid chain so a PARALLEL session's feed children
+            # are never touched (ADVICE r10: a machine-wide cmdline
+            # match would SIGKILL another test run's or a concurrent
+            # bench's decoders)
+            while pid > 1:
+                try:
+                    with open(f"/proc/{pid}/stat", "rb") as fh:
+                        # field 4 is ppid; comm (field 2) may contain
+                        # spaces but is parenthesized — split after ')'
+                        pid = int(fh.read().rsplit(b")", 1)[1].split()[1])
+                except OSError:
+                    return False
+                if pid == ancestor:
+                    return True
+            return False
+
+        me = os.getpid()
+
         def _feed_proc_pids() -> set[int]:
             pids = set()
             for entry in os.listdir("/proc"):
@@ -1466,7 +1485,10 @@ def test_websocket_multi_child_process_crash_respawns(spark, tmp_path):
                         argv = fh.read().split(b"\0")
                 except OSError:
                     continue
-                if b"ws_to_kafka_spark.sources.feed_proc" in argv:
+                if (
+                    b"ws_to_kafka_spark.sources.feed_proc" in argv
+                    and _is_descendant(int(entry), me)
+                ):
                     pids.add(int(entry))
             return pids
 
@@ -1508,6 +1530,21 @@ def test_websocket_multi_no_child_leak_after_stop(spark, tmp_path):
         register_websocket_multi_source,
     )
 
+    def _is_descendant(pid: int, ancestor: int) -> bool:
+        # session-scoped (ADVICE r10): a concurrent session's live feed
+        # children must not fail THIS session's leak assertion
+        while pid > 1:
+            try:
+                with open(f"/proc/{pid}/stat", "rb") as fh:
+                    pid = int(fh.read().rsplit(b")", 1)[1].split()[1])
+            except OSError:
+                return False
+            if pid == ancestor:
+                return True
+        return False
+
+    me = os.getpid()
+
     def feed_proc_pids() -> set[int]:
         pids = set()
         for entry in os.listdir("/proc"):
@@ -1518,7 +1555,10 @@ def test_websocket_multi_no_child_leak_after_stop(spark, tmp_path):
                     argv = fh.read()
             except OSError:
                 continue
-            if b"ws_to_kafka_spark.sources.feed_proc" in argv:
+            if (
+                b"ws_to_kafka_spark.sources.feed_proc" in argv
+                and _is_descendant(int(entry), me)
+            ):
                 pids.add(int(entry))
         return pids
 
