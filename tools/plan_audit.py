@@ -70,6 +70,8 @@ EXPECTED_NESTED_LOOP = {
     "q_sample_negative",  # orders × broadcast 1-row max-partkey frame
     "q_vocab_heavyhitters",  # ≤k candidates × broadcast 1-row token total
     "q_sim_graph_search",  # ≤3-row query frame × broadcast seed stride
+    "q_dedup_semantic",  # q_embed_kmeans's Lloyd passes inlined: corpus ×
+    #                      broadcast ≤8-row centroid frame per pass
 }
 
 # Queries whose plan contains a Window/Sort over Exchange SinglePartition
