@@ -1670,3 +1670,99 @@ def test_transform_with_state_checkpoint_restart(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old_provider)
+
+
+def test_feed_blob_slice_micros_exact_round_trip():
+    """ADVICE r10 receipt: process-mode ws_timestamp must be bit-exact
+    to the child-recorded integer micros. The old float path
+    (fromtimestamp(ts_us / 1e6)) has ~0.5 µs ulp at current epochs, so
+    odd-microsecond values near 1.7e9 s could come back one µs off; the
+    integer-timedelta conversion cannot."""
+    import struct
+    from datetime import timedelta, timezone
+
+    from ws_to_kafka_spark.sources.websocket import _EPOCH_UTC, _FeedBlobSlice
+
+    # sweep precision-critical values: odd micros around the float64
+    # 0.5 µs-ulp regime, plus epoch boundaries
+    ts_values = [
+        1_700_000_000_123_457,  # odd micros at ~1.7e9 s
+        1_700_000_000_999_999,
+        2_000_000_000_000_001,
+        1,
+        0,
+    ]
+    body = b"".join(
+        struct.pack("<QI", ts, 1) + b"x" for ts in ts_values
+    )
+    part = _FeedBlobSlice(
+        feed_id=0, start=0, end=len(ts_values),
+        batches=[(0, len(ts_values), body)],
+    )
+    got = [row[1] for row in part.rows_iter()]
+    for ts_us, dt in zip(ts_values, got):
+        assert dt.tzinfo == timezone.utc
+        assert dt == _EPOCH_UTC + timedelta(microseconds=ts_us)
+        # and the round-trip back to integer micros is lossless
+        assert (
+            (dt - _EPOCH_UTC) // timedelta(microseconds=1) == ts_us
+        ), ts_us
+
+
+def test_feed_proc_reader_survives_non_wserror(monkeypatch):
+    """ADVICE r10 receipt: a non-WsError escape from the decode loop
+    (decode bug, unwrapped OSError) must NOT kill the reader thread
+    silently — the child would stay alive with a dead reader and the
+    parent pump would block forever with no respawn. The redial loop
+    now logs and backs off for ANY exception, same as connection loss."""
+    import threading
+
+    from ws_to_kafka_spark.sources import feed_proc, ws_client
+
+    dials = []
+
+    class ExplodingClient:
+        def __init__(self, url):
+            dials.append(url)
+
+        def connect(self):
+            if len(dials) == 1:
+                raise ValueError("decode bug standing in for any escape")
+            # second dial: deliver one frame, then raise mid-iteration
+            return None
+
+        def send(self, msg):
+            pass
+
+        def frames(self):
+            yield b"frame-1"
+            raise RuntimeError("mid-stream non-WsError")
+
+        def close_socket(self):
+            pass
+
+    monkeypatch.setattr(ws_client, "WsClient", ExplodingClient)
+
+    pending: list = []
+    lock = threading.Lock()
+    stop = threading.Event()
+    cfg = {"url": "ws://test", "reconnect_delay": 0.01}
+    t = threading.Thread(
+        target=feed_proc._reader_loop,
+        args=(cfg, pending, lock, stop, {"client": None}),
+        daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        with lock:
+            n = len(pending)
+        if len(dials) >= 3 and n >= 1:
+            break  # survived the ValueError AND the mid-stream RuntimeError
+        time.sleep(0.02)
+    stop.set()
+    t.join(timeout=5)
+    assert not t.is_alive()
+    assert len(dials) >= 3, f"reader did not redial past the escapes: {dials}"
+    with lock:
+        assert len(pending) >= 1, "the delivered frame was lost"
