@@ -812,6 +812,36 @@ def test_semdedup_planted_duplicate_groups(spark, tmp_path, monkeypatch):
                 assert out[v].keeper_id == kept[0], (v, out[v])
 
 
+def test_score_pairs_dispatch_paths_bit_identical(spark, sf_dir, monkeypatch):
+    """The _score_pairs_exact physical dispatch (round 11) must be
+    invisible in results: the broadcast-gather path (fixtures, corpora
+    under _SCORE_BCAST_MAX_VECS) and the shuffle-join path (the 100 TB
+    fallback) share the arithmetic expression-for-expression, so
+    forcing the join path by zeroing the cap must reproduce
+    q_dedup_semantic and q_embed_knn_ann BIT-IDENTICALLY — the SCC
+    local-kernel/distributed equivalence discipline applied to the
+    scorer gate. Without this pin no test executes the join path at
+    all (every fixture fits the broadcast gate)."""
+    from ws_to_kafka_spark.operators import similarity as S
+
+    def snap_sem():
+        return {
+            tuple(r)
+            for r in QUERIES["q_dedup_semantic"].fn(spark, sf_dir).collect()
+        }
+
+    def snap_knn():
+        return {
+            tuple(r)
+            for r in QUERIES["q_embed_knn_ann"].fn(spark, sf_dir).collect()
+        }
+
+    bcast_sem, bcast_knn = snap_sem(), snap_knn()
+    monkeypatch.setattr(S, "_SCORE_BCAST_MAX_VECS", 0)
+    assert snap_sem() == bcast_sem
+    assert snap_knn() == bcast_knn
+
+
 def test_knn_ann_recall_clustered_corpus(spark, tmp_path_factory):
     """The regime the approximate build exists for: clustered embeddings
     (25 centers × 20 members, the shape of real model embeddings). LSH
