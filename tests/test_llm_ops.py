@@ -812,6 +812,67 @@ def test_semdedup_planted_duplicate_groups(spark, tmp_path, monkeypatch):
                 assert out[v].keeper_id == kept[0], (v, out[v])
 
 
+def test_semdedup_adaptive_k_beyond_fixture_scale(spark, tmp_path):
+    """q_dedup_semantic's n-adaptive cluster count (k = max(8, n//250))
+    engages only ABOVE fixture sizes — this pin constructs a
+    3000-vector corpus (k = 12) and requires (a) more than the fixed 8
+    clusters actually materialize and (b) exact oracle agreement, i.e.
+    the scalar-subquery k in the DuckDB chain computes the same value
+    as the driver-side //. Without this, the linearity claim's
+    mechanism is never executed by any gate (every fixture sits at
+    k = 8)."""
+    import duckdb
+
+    ctr = 0xADA9
+    def nxt():
+        nonlocal ctr
+        ctr = (ctr + 0x9E3779B97F4A7C15) % (1 << 64)
+        z = ctr
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        z = z ^ (z >> 31)
+        return (z >> 32) / float(1 << 31) - 1.0
+
+    rows = [
+        (i, [float(nxt()) for _ in range(64)], 0) for i in range(3000)
+    ]
+    dst = str(tmp_path / "sf_adaptk")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{dst}/embeddings.parquet")
+
+    spec = QUERIES["q_dedup_semantic"]
+    df = spec.fn(spark, dst)
+    got = {r.vec_id: r for r in df.collect()}
+    n_clusters = df.select("cluster_id").distinct().count()
+    assert n_clusters > 8, f"adaptive k did not engage: {n_clusters}"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{dst}/embeddings.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    want = {row[cols.index("vec_id")]: dict(zip(cols, row)) for row in cur.fetchall()}
+    assert set(got) == set(want) and len(got) == 3000
+    for vid, r in got.items():
+        w = want[vid]
+        # decision columns: EXACT cross-engine agreement
+        assert (r.cluster_id, r.keep, r.keeper_id) == (
+            w["cluster_id"], w["keep"], w["keeper_id"]
+        ), (vid, r, w)
+        # d2 passes through ROUND(x, 6) of NON-integer arithmetic
+        # (centroid coords are IEEE divisions), so at this super-fixture
+        # scale a row can land on a rounding boundary where the engines'
+        # last-ulp disagreement shows in the 6th decimal (observed: one
+        # of 3000 rows, 16922118.756879 vs ...878 — the CLAUDE.md
+        # float-determinism note). The registered oracle's exact gate
+        # runs at fixture scale where this has never fired; here d2
+        # gets an ulp-scale tolerance and the decisions stay exact.
+        assert abs(r.d2 - w["d2"]) <= 2e-6, (vid, r.d2, w["d2"])
+
+
 def test_score_pairs_dispatch_paths_bit_identical(spark, sf_dir, monkeypatch):
     """The _score_pairs_exact physical dispatch (round 11) must be
     invisible in results: the broadcast-gather path (fixtures, corpora
