@@ -867,9 +867,11 @@ def test_semdedup_adaptive_k_beyond_fixture_scale(spark, tmp_path):
         # scale a row can land on a rounding boundary where the engines'
         # last-ulp disagreement shows in the 6th decimal (observed: one
         # of 3000 rows, 16922118.756879 vs ...878 — the CLAUDE.md
-        # float-determinism note). The registered oracle's exact gate
-        # runs at fixture scale where this has never fired; here d2
-        # gets an ulp-scale tolerance and the decisions stay exact.
+        # float-determinism note). d2 is DISPLAY-ONLY since round 12:
+        # keep/keeper decisions order on the exact int64 ikey
+        # (= cnt²·d2, cnt² cancelling within a cluster), so the
+        # tolerance below covers only the cosmetic column and the
+        # decision assertions above are structurally boundary-proof.
         assert abs(r.d2 - w["d2"]) <= 2e-6, (vid, r.d2, w["d2"])
 
 
