@@ -905,6 +905,33 @@ def test_score_pairs_dispatch_paths_bit_identical(spark, sf_dir, monkeypatch):
     assert snap_knn() == bcast_knn
 
 
+def test_kmeans_twolevel_dispatch_bit_identical(spark, sf_dir, monkeypatch):
+    """The two-level Lloyd-assignment dispatch (round 12: super-centroid
+    probe with triangle-inequality pruning above _KM_TWOLEVEL_MIN_K
+    centroids — the scale path that makes q_dedup_semantic's assignment
+    stage n·O(√k) instead of n·k) must be EXACT, not approximate: the
+    pruning bound is sound and the surviving candidates run the same
+    d2 expression + argmin window as the exhaustive crossJoin, so
+    forcing the probe path at fixture scale (k=8, 4 supers of 2) must
+    reproduce the whole kmeans family and SemDeDup BIT-IDENTICALLY —
+    the scorer-gate / SCC dispatch-equivalence discipline. Without
+    this pin no fixture gate executes the probe path at all (it
+    engages organically only at k > 64, i.e. corpora above ~16k
+    vectors)."""
+    from ws_to_kafka_spark.operators import similarity as S
+
+    def snap(q):
+        return {tuple(r) for r in QUERIES[q].fn(spark, sf_dir).collect()}
+
+    exact = {
+        q: snap(q)
+        for q in ("q_embed_kmeans", "q_embed_outliers", "q_dedup_semantic")
+    }
+    monkeypatch.setattr(S, "_KM_FORCE_TWOLEVEL", True)
+    for q, want in exact.items():
+        assert snap(q) == want, f"two-level probe diverged on {q}"
+
+
 def test_knn_ann_recall_clustered_corpus(spark, tmp_path_factory):
     """The regime the approximate build exists for: clustered embeddings
     (25 centers × 20 members, the shape of real model embeddings). LSH
