@@ -359,6 +359,7 @@ def main() -> None:
     full_line = json.dumps(payload)
     _STDOUT_BUDGET = 1950
     candidates = [payload]
+    slim = None
     if isinstance(payload.get("streaming"), dict):
         slim_keys = (
             "ingest_fps", "microbatch_ms_p50", "multi_scaling_vs_1conn",
@@ -378,19 +379,44 @@ def main() -> None:
         for k in ("metric", "value", "unit", "queries", "sf")
         if k in payload
     }
-    candidates.append(
-        {
-            **core,
-            **{k: payload[k] for k in core_extra if k in payload},
-            "full": "BENCH_LAST.json",
+    extras = {k: payload[k] for k in core_extra if k in payload}
+    with_streaming = {"streaming": slim} if slim is not None else {}
+    # compaction ladder (round-12: the streaming block must survive
+    # further down the ladder than it used to — VERDICT r11 item 3
+    # found the r-numbered artifact's parsed line had dropped it):
+    # 3dp queries → 2dp queries → fewer ratio extras → finally the
+    # ADVICE candidate with NO per-query map at all, which is bounded
+    # regardless of how many queries the headline set grows to.
+    core2 = dict(core)
+    if isinstance(core2.get("queries"), dict):
+        core2["queries"] = {
+            k: round(v, 2) for k, v in core2["queries"].items()
         }
-    )
-    candidates.append({**core, "full": "BENCH_LAST.json"})
+    candidates += [
+        {**core, **extras, **with_streaming, "full": "BENCH_LAST.json"},
+        {**core2, **extras, **with_streaming, "full": "BENCH_LAST.json"},
+        {**core2, **extras, "full": "BENCH_LAST.json"},
+        {
+            **{k: payload[k] for k in ("metric", "value", "unit", "sf")
+               if k in payload},
+            **extras,
+            **with_streaming,
+            "n_queries": len(core.get("queries") or {}),
+            "full": "BENCH_LAST.json",
+        },
+    ]
     line = full_line
     for cand in candidates:
         line = json.dumps(cand)
         if len(line) <= _STDOUT_BUDGET:
             break
+    if len(line) > _STDOUT_BUDGET:
+        print(
+            f"bench: WARNING stdout line {len(line)} chars exceeds the "
+            f"{_STDOUT_BUDGET} budget even with no per-query map — the "
+            "driver's 2000-char tail will truncate it",
+            file=sys.stderr,
+        )
     try:
         spark.stop()
     except Exception:  # noqa: BLE001 - stop() failure must not void the numbers

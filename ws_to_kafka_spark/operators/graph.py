@@ -2438,13 +2438,32 @@ def q_graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             if changed == 0:
                 break
         if changed != 0:
+            # Round-cap exhaustion is AMBIGUOUS when n_comps > the cap:
+            # levels grow one per round, so the max_l >= n_comps cycle
+            # invariant above can only have fired for condensations with
+            # <= _SCC_MAX_INNER components — a surviving cycle in a
+            # larger condensation lands HERE instead (round-12 ADVICE:
+            # don't coach the operator into raising caps against a real
+            # cycle). Distinguish the two scale-independently: on a DAG
+            # every component's level is FINAL once no in-neighbor
+            # changed, so total changes across rounds are bounded by
+            # n_comps; a cycle keeps re-raising levels forever.
+            if stats.max_l is not None and stats.max_l >= _SCC_MAX_INNER:
+                hint = (
+                    "this is EITHER a condensation deeper than the cap OR "
+                    "a cycle that survived the SCC contraction (a cycle "
+                    "re-raises levels every round and always exhausts the "
+                    "cap when the component count exceeds it); verify "
+                    "acyclicity before raising any cap"
+                )
+            else:
+                hint = "the level front stalled below the cap"
             raise RuntimeError(
-                f"condensation DAG is deeper than {_SCC_MAX_INNER} levels — "
-                "the distributed single-hop level loop exhausted its round "
-                "cap on a (so far) acyclic graph; raise "
-                "ws_to_kafka_spark.operators.graph._SCC_MAX_INNER or "
+                f"condensation level loop exhausted {_SCC_MAX_INNER} "
+                f"rounds with {changed} labels still changing — {hint}; "
+                "caps: ws_to_kafka_spark.operators.graph._SCC_MAX_INNER, "
                 "_SCC_LOCAL_EDGE_CAP (the local Kahn kernel is "
-                "depth-independent)"
+                "depth-independent and detects cycles exactly)"
             )
     sizes = assigned.groupBy("scc_id").agg(F.count("*").alias("n_nodes"))
     return sizes.join(

@@ -946,12 +946,14 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_STEPS = 3  # unrolled merge rounds (DuckDB oracle chains the same 3)
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_sql() -> str:
     """Unrolled BPE merge chain (the _pagerank_oracle mechanical-unroll
-    pattern). Each step: count adjacent symbol pairs over the word-TYPE
-    table, pick the global top pair (count desc, then pair text), apply
-    the merge with two literal replace() passes (see q_bpe_merges for why
-    two passes == greedy left-to-right)."""
+    pattern), shared by the q_bpe_merges and q_bpe_apply oracles. Each
+    step: count adjacent symbol pairs over the word-TYPE table, pick
+    the global top pair (count desc, then pair text), apply the merge
+    with two literal replace() passes (see q_bpe_merges for why two
+    passes == greedy left-to-right). The word column rides along so
+    the final w{_BPE_STEPS} maps word → merged symbol string."""
     steps = []
     for i in range(1, _BPE_STEPS + 1):
         steps.append(f"""p{i} AS (
@@ -962,28 +964,32 @@ def _bpe_oracle() -> str:
     ), t{i} AS (
       SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
     ), w{i} AS (
-      SELECT replace(replace(ws,
+      SELECT word, replace(replace(ws,
                ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' '),
                ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ')
                AS ws, freq
       FROM w{i - 1} CROSS JOIN t{i} t
     )""")
     chain = ",\n    ".join(steps)
+    return f"""words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), w0 AS (
+      SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS ws, freq
+      FROM words
+    ),
+    {chain}"""
+
+
+def _bpe_oracle() -> str:
     out = "\n    UNION ALL ".join(
         f"SELECT {i} AS step, a AS sym_a, b AS sym_b, a || b AS merged, "
         f"cnt AS pair_count FROM t{i}"
         for i in range(1, _BPE_STEPS + 1)
     )
     return f"""
-    WITH words AS (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
-      WHERE word <> '' GROUP BY word
-    ), w0 AS (
-      SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS ws, freq
-      FROM words
-    ),
-    {chain}
+    WITH {_bpe_chain_sql()}
     SELECT CAST(step AS INT) AS step, sym_a, sym_b, merged, pair_count
     FROM ({out})
     """
@@ -1018,6 +1024,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of rounds — cost is linear in rounds with constant shuffle
     width, and rounds can batch k merges per recount as real trainers do.
     """
+    out, _w = _bpe_merge_frames(spark, sf_dir)
+    return out
+
+
+def _bpe_merge_frames(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer plumbing: (steps, w_final) — the induced
+    merge table consumed by q_bpe_merges and the word-TYPE table after
+    all `_BPE_STEPS` merges (word, ws, freq) consumed by q_bpe_apply."""
     docs = tables.load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1026,6 +1040,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     w = words.select(
+        "word",
         F.concat(
             F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
         ).alias("ws"),
@@ -1064,11 +1079,103 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .select(
+                "word",
                 F.replace(F.replace(F.col("ws"), pat, rep), pat, rep).alias("ws"),
                 "freq",
             )
         )
-    return out
+    return out, w
+
+
+@register(
+    "q_bpe_apply",
+    oracle=f"""
+    WITH {_bpe_chain_sql()}, tok AS (
+      SELECT word, CAST(len(string_split(trim(ws), ' ')) AS BIGINT) AS n_tok
+      FROM w{_BPE_STEPS}
+    ), lw AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY lang, word
+    ), per AS (
+      SELECT lang,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+             CAST(SUM(cnt * tok.n_tok) AS BIGINT) AS n_tokens
+      FROM lw JOIN tok USING (word) GROUP BY lang
+    ), nd AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT nd.lang, nd.n_docs, per.n_words, per.n_chars, per.n_tokens,
+           FLOOR(per.n_tokens / NULLIF(per.n_words, 0) * 10000 + 0.5)
+             / 10000 AS tokens_per_word,
+           FLOOR(per.n_chars / NULLIF(per.n_tokens, 0) * 10000 + 0.5)
+             / 10000 AS chars_per_token
+    FROM nd LEFT JOIN per USING (lang)
+    """,
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the induced BPE merges back to the corpus — the missing
+    half of the tokenization loop every training pipeline runs (train
+    merges, then TOKENIZE the corpus and report budget statistics).
+    Per language: document/word/char/token totals, tokens-per-word
+    (fertility) and chars-per-token (compression ratio) — the numbers
+    a tokenizer evaluation reports per language (round-12 VERDICT
+    item 7).
+
+    Semantics: the `_BPE_STEPS` merge rules from q_bpe_merges (same
+    shared chain, same greedy two-pass literal replace) are applied in
+    induction order to every word TYPE; a word's token count is its
+    surviving symbol count, and per-language totals weight each type
+    by its (lang, word) occurrence count. Ratios of exact integers
+    routinely land ON half-way points, so both engines display-round
+    with the floor-scale form (the q_ts_seasonality rule) and guard
+    the empty-language division with NULLIF.
+
+    Scale: tokenization cost is per word TYPE (Zipf: types ≪ tokens),
+    exactly how production tokenizers cache; the corpus-sized work is
+    two map-side-combining counts (word types, (lang, word) pairs) and
+    one broadcast-ready join of the per-lang type table against the
+    tiny tokenized-type table. No per-token shuffle anywhere.
+    """
+    _steps, w = _bpe_merge_frames(spark, sf_dir)
+    tok = w.select(
+        "word", F.size(F.split(F.trim("ws"), " ")).cast("long").alias("n_tok")
+    )
+    docs = tables.load(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per = (
+        lw.join(tok, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("word").cast("long")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+        )
+    )
+    nd = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tpw = (
+        F.col("n_tokens") / F.nullif(F.col("n_words"), F.lit(0))
+    ).cast("double")
+    cpt = (
+        F.col("n_chars") / F.nullif(F.col("n_tokens"), F.lit(0))
+    ).cast("double")
+    return nd.join(per, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        (F.floor(tpw * 10000 + F.lit(0.5)) / 10000).alias("tokens_per_word"),
+        (F.floor(cpt * 10000 + F.lit(0.5)) / 10000).alias("chars_per_token"),
+    )
 
 
 _FH_DIM = 64  # hashed feature-space dimensionality

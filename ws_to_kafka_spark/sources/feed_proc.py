@@ -38,8 +38,15 @@ def _reader_loop(cfg: dict, pending: list, lock: threading.Lock,
 
     reconnect = float(cfg.get("reconnect_delay", 5.0))
     while not stop.is_set():
-        client = WsClient(cfg["url"])
+        # constructor INSIDE the try and the finally guarded: an
+        # exception from either (bad URL parse, close on a half-dead
+        # socket) must hit the same backoff-redial as everything else,
+        # not escape the loop and kill the reader thread while the
+        # flush loop keeps the child alive (round-12 ADVICE — the two
+        # remaining silent kill paths of the round-10 broad-except fix)
+        client = None
         try:
+            client = WsClient(cfg["url"])
             client.connect()
             if cfg.get("subscribe"):
                 client.send(cfg["subscribe"])
@@ -66,7 +73,11 @@ def _reader_loop(cfg: dict, pending: list, lock: threading.Lock,
             sys.stderr.flush()
         finally:
             client_box["client"] = None
-            client.close_socket()
+            if client is not None:
+                try:
+                    client.close_socket()
+                except Exception:  # noqa: BLE001 — half-dead socket
+                    pass
         if not stop.is_set():
             stop.wait(reconnect)
 
