@@ -62,6 +62,7 @@ EXPECTED_NESTED_LOOP = {
     "q_embed_kmeans",  # corpus × broadcast ≤8-row centroid frame per Lloyd pass
     "q_embed_outliers",  # same Lloyd passes + broadcast 8-row cutoff frame
     "q_bpe_merges",  # word types × broadcast 1-row merge-rule frame per round
+    "q_bpe_apply",  # same shared merge chain: 1-row rule frame per round
     "q_sim_rrf",  # corpus × broadcast 2-row query frame (the q_sim_topk shape)
     "q_embed_pca",  # 64-row direction frame × broadcast 1-row max-norm frames
     "q_win_ratio",  # orders × broadcast 1-row grand-total frame
