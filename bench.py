@@ -97,6 +97,8 @@ HEADLINE = (
     "q_embed_knn_ann",             # LSH tables + NN-descent k-NN build
     "q_sim_graph_search",          # beam search over the k-NN graph
     "q_dedup_semantic",            # SemDeDup: kmeans + in-cluster pruning
+    # round-12 addition
+    "q_bpe_apply",                 # BPE tokenizer-apply: per-lang token budget
 )
 
 
@@ -263,10 +265,10 @@ def main() -> None:
     try:
         from tools.stream_bench import measure as stream_measure
 
-        # 50k frames: enough arrival time (~10 s) for several non-warmup
-        # microbatches, so the latency p50 summarizes a distribution
-        # instead of a single batch
-        s = stream_measure(spark, n=50000, queryName="bench_stream")
+        # 100k frames / 25k-row batches: a multi-second steady-state
+        # window (the round-11 measurement-window lesson) at the
+        # frontier-measured operating point — see tools/stream_bench.py
+        s = stream_measure(spark, n=150000, queryName="bench_stream")
         payload["streaming"] = {
             "ingest_fps": s["value"],
             "steady_state_fps": s["steady_state_fps"],
@@ -362,7 +364,8 @@ def main() -> None:
     slim = None
     if isinstance(payload.get("streaming"), dict):
         slim_keys = (
-            "ingest_fps", "microbatch_ms_p50", "multi_scaling_vs_1conn",
+            "ingest_fps", "steady_state_fps", "microbatch_ms_p50",
+            "microbatch_ms_max", "multi_scaling_vs_1conn",
             "per_socket_retention", "error", "multi_error",
         )
         slim = {

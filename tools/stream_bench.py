@@ -47,9 +47,17 @@ def measure(spark, n: int = 20000, queryName: str = "stream_bench") -> dict:
     ]
     server = RecordingWsServer(frames_per_connection=frames)
     register_websocket_source(spark)
-    # Cap each microbatch at ~1/8 of the run so the latency numbers
+    # Cap each microbatch at ~1/4 of the run so the latency numbers
     # summarize a DISTRIBUTION of bounded batches (the production
     # admission-control setting) instead of one giant drain batch.
+    # Round-12 operating point (STREAM_FRONTIER.json): 25k-row batches
+    # at a 500 ms trigger measured 76.2k steady fps at p50 256 ms /
+    # max 738 ms — wider admission amortizes the ~95 ms fixed commit
+    # cost that dominated 6.25k-row batches, and the 100k-frame window
+    # gives steady-state a multi-second sample (the round-11
+    # measurement-window lesson). retention must exceed n or the
+    # worker's deque silently evicts frames the engine hasn't admitted
+    # yet and the run deadlines short.
     # Trigger/cap sizing (round-6 item 7): measured per-batch breakdown
     # at this scale is ~95 ms of FIXED driver-side commit cost
     # (walCommit ~47 + commitOffsets ~46 — the offset/commit logs are
@@ -65,7 +73,8 @@ def measure(spark, n: int = 20000, queryName: str = "stream_bench") -> dict:
     raw = (
         spark.readStream.format("websocket")
         .option("url", server.url)
-        .option("max_records_per_batch", str(max(1, n // 8)))
+        .option("max_records_per_batch", str(max(1, n // 4)))
+        .option("retention", str(n + 1000))
         .load()
     )
     start = time.perf_counter()
