@@ -615,6 +615,70 @@ class _FeedBlobSlice(InputPartition):
                 off += ln
                 idx += 1
 
+    def batches_iter(self):
+        """The engine path (round 12): unpack each child-packed batch
+        into ONE pyarrow RecordBatch — plan_data_source_read's
+        records_to_arrow_batches passes RecordBatch elements straight
+        into the Arrow stream, skipping the per-row converter that made
+        the executor unpack per-frame-Python-object bound. Timestamps
+        go in as exact int64 epoch micros (the same instants
+        rows_iter's timedelta arithmetic produces — the ADVICE-r10
+        exactness pin covers both). rows_iter stays for replay/tests."""
+        import pyarrow as pa
+        import struct
+
+        schema = _multi_arrow_schema()
+        for first, n, body in self.batches:
+            vals: list[bytes] = []
+            tss: list[int] = []
+            off = 0
+            idx = first
+            for _ in range(n):
+                ts_us, ln = struct.unpack_from("<QI", body, off)
+                off += 12
+                if self.start <= idx < self.end:
+                    vals.append(body[off:off + ln])
+                    tss.append(ts_us)
+                off += ln
+                idx += 1
+            if not vals:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vals, type=schema[0].type),
+                    pa.array(tss, type=schema[1].type),
+                    pa.array([self.feed_id] * len(vals), type=schema[2].type),
+                ],
+                schema=schema,
+            )
+
+
+_MULTI_ARROW_SCHEMA = None
+
+
+def _multi_arrow_schema():
+    global _MULTI_ARROW_SCHEMA
+    if _MULTI_ARROW_SCHEMA is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import (  # built directly: executors have
+            BinaryType,                  # no live context for DDL parsing
+            IntegerType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        _MULTI_ARROW_SCHEMA = to_arrow_schema(
+            StructType(
+                [
+                    StructField("value", BinaryType()),
+                    StructField("ws_timestamp", TimestampType()),
+                    StructField("feed_id", IntegerType()),
+                ]
+            )
+        )
+    return _MULTI_ARROW_SCHEMA
+
 
 class MultiWebSocketStreamReader(DataSourceStreamReader):
     """N-connection stream reader: each configured url/subscription gets
@@ -812,7 +876,7 @@ class MultiWebSocketStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         if isinstance(partition, _FeedBlobSlice):
-            return partition.rows_iter()
+            return partition.batches_iter()
         return iter(partition.rows)
 
     def commit(self, end: dict) -> None:
