@@ -368,13 +368,17 @@ def test_scc_deep_chain_round_count_sublinear(spark, tmp_path, monkeypatch):
 def test_condensation_depth_cap_raises_depth_error(
     spark, tmp_path, monkeypatch
 ):
-    """ADVICE r10: a condensation DAG deeper than _SCC_MAX_INNER must
-    raise the DEPTH-specific error, not the misleading cycle-invariant
-    message — single-hop level propagation covers only `cap` levels,
-    unlike the doubling loops' ~2^cap. Chain of 8 singletons (7 levels),
-    cap monkeypatched to 4, distributed level path forced (the SCC
-    assignment itself is pre-cached via a normal local-kernel run so
-    the tightened cap only hits the level loop)."""
+    """ADVICE r10 + r12: a condensation level loop that exhausts
+    _SCC_MAX_INNER with the level front at the cap must say the honest
+    thing — at that point a deeper-than-cap DAG and a surviving cycle
+    are INDISTINGUISHABLE (levels grow one per round, so the
+    max_l >= n_comps cycle invariant can only have fired for
+    condensations with <= cap components; r12 ADVICE caught the old
+    depth-specific wording coaching operators to raise caps against a
+    real cycle). Chain of 8 singletons (7 levels), cap monkeypatched
+    to 4, distributed level path forced (the SCC assignment itself is
+    pre-cached via a normal local-kernel run so the tightened cap only
+    hits the level loop)."""
     from ws_to_kafka_spark.operators import graph as G
     from ws_to_kafka_spark.operators.dedup import evict_sf_dir
 
@@ -387,7 +391,10 @@ def test_condensation_depth_cap_raises_depth_error(
         assert len(res) == 8  # caches the SCC assignment (local kernel)
         monkeypatch.setattr(G, "_SCC_FORCE_DISTRIBUTED", True)
         monkeypatch.setattr(G, "_SCC_MAX_INNER", 4)
-        with pytest.raises(RuntimeError, match="deeper than 4 levels"):
+        with pytest.raises(
+            RuntimeError,
+            match="EITHER a condensation deeper than the cap OR a cycle",
+        ):
             QUERIES["q_graph_condensation"].fn(spark, dst)
     finally:
         evict_sf_dir(dst)
