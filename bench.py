@@ -289,10 +289,10 @@ def main() -> None:
             from tools.stream_bench import measure_multi as stream_measure_multi
 
             m1 = stream_measure_multi(
-                spark, n=50000, n_feeds=1, queryName="bench_stream_multi1"
+                spark, n=100000, n_feeds=1, queryName="bench_stream_multi1"
             )
             m4 = stream_measure_multi(
-                spark, n=50000, n_feeds=4, queryName="bench_stream_multi4"
+                spark, n=100000, n_feeds=4, queryName="bench_stream_multi4"
             )
             payload["streaming"]["multi_1conn_fps"] = m1["value"]
             payload["streaming"]["multi_4conn_fps"] = m4["value"]

@@ -274,7 +274,13 @@ def measure_multi(
         raw = (
             spark.readStream.format("websocket_multi")
             .option("urls", json.dumps(urls))
-            .option("max_records_per_batch", str(max(1, per // 8)))
+            # per-feed admission at the round-12 frontier operating
+            # point (quarter-of-run batches; see `measure`) — the old
+            # per//8 caps starved 4-feed runs down to ~1.5k-row batches
+            # where the fixed per-batch commit cost dominated every
+            # steady-state number
+            .option("max_records_per_batch", str(max(1, per // 4)))
+            .option("retention", str(per + 1000))
             .load()
         )
         start = time.perf_counter()
