@@ -932,6 +932,38 @@ def test_kmeans_twolevel_dispatch_bit_identical(spark, sf_dir, monkeypatch):
         assert snap(q) == want, f"two-level probe diverged on {q}"
 
 
+def test_kmeans_twolevel_tiny_and_empty_corpus(spark, tmp_path, monkeypatch):
+    """Degenerate-corpus pins for the forced two-level path: k < 4
+    centroids must not index the super matrix past its end (the round-12
+    kp = min(k, max(4, √k)) bound — max-outermost computed kp=4 > k and
+    S[s] raised on the empty supers), and an empty corpus must yield an
+    empty assignment, matching the exhaustive path on both."""
+    from ws_to_kafka_spark.operators import similarity as S
+
+    tiny = str(tmp_path / "sf_tiny")
+    rows = [(i, [float((i * 7 + d) % 13) / 13 for d in range(64)], 0)
+            for i in range(3)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tiny}/embeddings.parquet")
+    empty = str(tmp_path / "sf_empty")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{empty}/embeddings.parquet")
+
+    def snap(sf):
+        return {
+            tuple(r)
+            for r in QUERIES["q_dedup_semantic"].fn(spark, sf).collect()
+        }
+
+    want_tiny, want_empty = snap(tiny), snap(empty)
+    assert len(want_tiny) == 3 and want_empty == set()
+    monkeypatch.setattr(S, "_KM_FORCE_TWOLEVEL", True)
+    assert snap(tiny) == want_tiny
+    assert snap(empty) == want_empty
+
+
 def test_knn_ann_recall_clustered_corpus(spark, tmp_path_factory):
     """The regime the approximate build exists for: clustered embeddings
     (25 centers × 20 members, the shape of real model embeddings). LSH
