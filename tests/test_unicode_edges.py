@@ -57,6 +57,10 @@ _TEXT_QUERIES = [
     # (JVM regex code-point '.', RE2 UTF-8 '.') — not bytes, not UTF-16
     # units, or the CJK/emoji docs diverge
     "q_bpe_merges",
+    # the apply half additionally rides length(word) (CHARs on both
+    # engines, never bytes — n_chars and chars_per_token flip otherwise)
+    # and per-(lang, word) counts over the same symbol splitting
+    "q_bpe_apply",
     # char-class/word-boundary regex counts and length() must both be
     # CHARacter-based so symbol_density agrees on multi-byte text, and
     # the integer-compare verdict (n_symbols*50 >= n_chars) can't flip
