@@ -265,9 +265,11 @@ def main() -> None:
     try:
         from tools.stream_bench import measure as stream_measure
 
-        # 100k frames / 25k-row batches: a multi-second steady-state
-        # window (the round-11 measurement-window lesson) at the
-        # frontier-measured operating point — see tools/stream_bench.py
+        # 150k frames / 37.5k-row admission batches (n//4 cap): a
+        # multi-second steady-state window (the round-11
+        # measurement-window lesson) inside the measured frontier's
+        # flat region (STREAM_FRONTIER.json: 117-122k fps at 50-100k
+        # admission, capped latency) — see tools/stream_bench.py
         s = stream_measure(spark, n=150000, queryName="bench_stream")
         payload["streaming"] = {
             "ingest_fps": s["value"],

@@ -158,6 +158,16 @@ def _graph_ann_split(spark, sf_dir: str) -> dict:
 
     spark.catalog.clearCache()
     _SHINGLE_CACHE.clear()
+    # Corpus score broadcast too (round-12 ADVICE): a warm
+    # _SCORE_BCAST_CACHE entry would exclude the toPandas+broadcast cost
+    # from the ann build_sec measured here.
+    from ws_to_kafka_spark.operators.similarity import _SCORE_BCAST_CACHE
+
+    for _k in list(_SCORE_BCAST_CACHE):
+        try:
+            _SCORE_BCAST_CACHE.pop(_k).unpersist()
+        except Exception:
+            pass
     out: dict = {}
     edge_sets = {}
     for name, builder in (

@@ -50,12 +50,14 @@ def measure(spark, n: int = 20000, queryName: str = "stream_bench") -> dict:
     # Cap each microbatch at ~1/4 of the run so the latency numbers
     # summarize a DISTRIBUTION of bounded batches (the production
     # admission-control setting) instead of one giant drain batch.
-    # Round-12 operating point (STREAM_FRONTIER.json): 25k-row batches
-    # at a 500 ms trigger measured 76.2k steady fps at p50 256 ms /
-    # max 738 ms — wider admission amortizes the ~95 ms fixed commit
-    # cost that dominated 6.25k-row batches, and the 100k-frame window
-    # gives steady-state a multi-second sample (the round-11
-    # measurement-window lesson). retention must exceed n or the
+    # Round-12 frontier (STREAM_FRONTIER.json): 25k-row batches at a
+    # 500 ms trigger measured 76.2k steady fps at p50 256 ms / max
+    # 738 ms, flat to 117-122k fps at 50-100k admission — wider
+    # admission amortizes the ~95 ms fixed commit cost that dominated
+    # 6.25k-row batches. bench.py calls this with n=150000, i.e.
+    # 37.5k-row admission batches inside that flat region, and the
+    # 150k-frame window gives steady-state a multi-second sample (the
+    # round-11 measurement-window lesson). retention must exceed n or the
     # worker's deque silently evicts frames the engine hasn't admitted
     # yet and the run deadlines short.
     # Trigger/cap sizing (round-6 item 7): measured per-batch breakdown

@@ -127,7 +127,15 @@ def evict_sf_dir(sf_dir: str, kind_prefix: str = "") -> None:
     constructed per-example corpora — hypothesis tmp dirs otherwise
     accumulate persisted frames for the whole test session — and for
     benches that must re-measure a COLD build instead of the cached
-    read-back (round-9 ADVICE on tools/patch_sf_split.py)."""
+    read-back (round-9 ADVICE on tools/patch_sf_split.py).
+
+    Also evicts the corpus score broadcast ``similarity._SCORE_BCAST_CACHE``
+    keyed ``(applicationId, sf_dir)`` (round-12 ADVICE: a corpus rewritten
+    under the same sf_dir within one application would otherwise be scored
+    against the stale broadcast, and cold re-measures would keep the warm
+    broadcast, under-billing the toPandas+broadcast cost). The broadcast
+    is treated as virtual kind ``"score_bcast"`` so prefix-scoped
+    evictions (e.g. ``"scc_"``) leave it alone."""
     for k in [
         k
         for k in _SHINGLE_CACHE
@@ -137,6 +145,16 @@ def evict_sf_dir(sf_dir: str, kind_prefix: str = "") -> None:
             _SHINGLE_CACHE.pop(k).unpersist()
         except Exception:
             pass  # the owning context may already be gone
+    if "score_bcast".startswith(kind_prefix):
+        from . import similarity
+
+        for k in [
+            k for k in similarity._SCORE_BCAST_CACHE if k[1] == sf_dir
+        ]:
+            try:
+                similarity._SCORE_BCAST_CACHE.pop(k).unpersist()
+            except Exception:
+                pass  # the owning context may already be gone
 
 
 def _cached_frame(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:

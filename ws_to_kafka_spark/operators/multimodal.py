@@ -907,6 +907,10 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: narrow transformation — one Arrow pass per scan partition, no
     shuffle, features are ~40 bytes/row regardless of payload size.
     """
+    # NOT spread (round-13 interleaved A/B): the PPM/PNG mix costs
+    # ~0.15 ms/doc, and the repartition + 32-task Python-worker overhead
+    # measured 1.80x SLOWER than the single-split scan (0.73 s -> 1.32 s);
+    # only the multi-second codecs (q_mm_jpeg, q_mm_video) cross over.
     docs = tables.load(spark, sf_dir, "documents")
     mm = with_mixed_image_payload(docs)
     return mm.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
@@ -933,7 +937,7 @@ def q_mm_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _render_jpeg(texts: pd.Series) -> pd.Series:
         return texts.map(render_jpeg_py)
 
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.spread(tables.load(spark, sf_dir, "documents"))
     mm = docs.select("doc_id", _render_jpeg(F.col("text")).alias("payload"))
     return mm.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
 
@@ -1039,6 +1043,9 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     read and REPLACED inside their scan partition, never shuffled; the
     output raster is 4x smaller, so any downstream exchange moves a
     quarter of the input volume."""
+    # NOT spread: measured 1.20x slower with the 32-way repartition
+    # (1.71 s -> 2.06 s, round-13 A/B) — the pool/re-encode kernel is too
+    # cheap to amortize the exchange + per-task Arrow/worker overhead.
     docs = tables.load(spark, sf_dir, "documents")
     mm = with_mixed_image_payload(docs)
     return mm.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
@@ -1161,6 +1168,8 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _render_wav(texts: pd.Series) -> pd.Series:
         return texts.map(render_wav_py)
 
+    # NOT spread: the WAV render/decode is ~0.2 ms/doc; the 32-way
+    # repartition measured 1.98x slower (0.99 s -> 1.96 s, round-13 A/B).
     docs = tables.load(spark, sf_dir, "documents")
     mm = docs.select("doc_id", _render_wav(F.col("text")).alias("payload"))
     return mm.mapInPandas(_extract_audio, schema=_AUDIO_SCHEMA)
@@ -1284,6 +1293,6 @@ def q_mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _render_mjpeg(texts: pd.Series) -> pd.Series:
         return texts.map(render_mjpeg_py)
 
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = tables.spread(tables.load(spark, sf_dir, "documents"))
     mm = docs.select("doc_id", _render_mjpeg(F.col("text")).alias("payload"))
     return mm.mapInPandas(_extract_video, schema=_VIDEO_SCHEMA)

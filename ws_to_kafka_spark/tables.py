@@ -53,6 +53,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow scan frame to engine parallelism
+    BEFORE expensive per-row work (Python codecs, heavy tokenization).
+
+    The local fixtures are single-row-group parquet files, so every scan
+    is ONE split regardless of core count (a row group is the parquet
+    parallelism floor — ``maxPartitionBytes`` cannot split inside one),
+    and a multi-second-per-task Python stage then runs 1-wide on a
+    32-core session. The gate makes this scale-ADAPTIVE, not a local
+    tuning constant: at production scale the scan already has at least
+    engine parallelism and this is a structural no-op — no payload-sized
+    shuffle is ever added where data is big. Locally it moves only the
+    pre-render columns (e.g. doc_id + text) through one exchange.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def read_json(
     spark: SparkSession,
     path: str,
