@@ -180,6 +180,72 @@ def _cached_frame(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFra
     return frame
 
 
+def min_label_fixpoint(
+    edges: DataFrame, max_iters: int, what: str
+) -> DataFrame:
+    """Min-label propagation to a convergence FIXPOINT over a SYMMETRIC
+    ``(u, v)`` edge frame; returns the converged ``(v, label)`` frame or
+    raises if ``max_iters`` rounds don't converge. Shared by
+    q_dedup_clusters, q_graph_components and q_graph_modularity (the
+    three loops were identical copies through round 12).
+
+    Round-13 plan shape (job census: components was 58 jobs,
+    modularity 70 — the registry's worst structural outliers):
+
+    * union + ONE grouped agg per round instead of join + agg + join
+      (the q_graph_scc round-11 lesson): neighbor contributions and the
+      node's own label meet in a single ``groupBy(v)`` whose own-row
+      carries the old label, so a round costs one join-side exchange
+      plus one agg exchange — the third (re-join labels on v) is gone.
+      Exact: labels' v is unique, every contrib v appears in labels
+      (symmetric edges ⇒ endpoints == label keys), ``min`` over
+      {old} ∪ {neighbor labels} ≡ least(old, coalesce(min(nbr), old)),
+      and chg = new < old is computed from the same values.
+    * ``localCheckpoint(eager=False)``: the convergence count is the
+      action that materializes the checkpoint — ONE job per round where
+      eager-checkpoint-then-count paid two. Lineage truncation is
+      unchanged (first action persists the RDD; later rounds and the
+      final consumer read the materialized blocks).
+    """
+    labels = edges.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    changed = -1
+    for _ in range(max_iters):
+        contrib = edges.join(labels.withColumnRenamed("v", "u"), "u").select(
+            "v", "label", F.lit(False).alias("own")
+        )
+        both = contrib.unionByName(
+            labels.select("v", "label", F.lit(True).alias("own"))
+        )
+        new_labels = (
+            both.groupBy("v")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("old"),
+            )
+            .select(
+                "v",
+                "label",
+                (F.col("label") < F.col("old")).alias("chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("v", "label")
+        if changed == 0:
+            break
+    if changed != 0:
+        # Falling through with unconverged labels would silently split a
+        # component (a diameter > max_iters chain). Fail loudly; the cap
+        # is a runaway guard, not an accuracy knob.
+        raise RuntimeError(
+            f"{what} did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — rounds needed = diameter"
+        )
+    return labels
+
+
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -858,40 +924,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("u", "v")
-    labels = edges.select(F.col("u").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
+    labels = min_label_fixpoint(
+        edges, _CC_MAX_ITERS, "dedup-cluster connected components"
     )
-    changed = -1
-    for _ in range(_CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("v", "u"), "u")
-            .groupBy("v")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_label = F.least("label", F.coalesce("nbr_label", F.col("label")))
-        # the changed flag rides along through the checkpoint, so the
-        # convergence check is a scan of already-materialized partitions
-        # — no second shuffle/join per round
-        new_labels = (
-            labels.join(nbr_min, "v", "left")
-            .select("v", new_label.alias("label"),
-                    (new_label < F.col("label")).alias("chg"))
-            .localCheckpoint()
-        )
-        changed = new_labels.filter("chg").count()
-        labels = new_labels.select("v", "label")
-        if changed == 0:
-            break
-    if changed != 0:
-        # Falling through with unconverged labels would silently split one
-        # duplicate group into several clusters (a diameter-16+ chain, e.g.
-        # sliding near-dups of templated docs). Fail loudly; the cap is a
-        # runaway guard, not an accuracy knob.
-        raise RuntimeError(
-            f"connected components did not converge in {_CC_MAX_ITERS} "
-            f"rounds ({changed} labels still changing) — raise _CC_MAX_ITERS "
-            "for this graph (rounds needed = component diameter)"
-        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )

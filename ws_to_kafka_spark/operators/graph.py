@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .. import tables
-from .dedup import _cached_frame
+from .dedup import _cached_frame, min_label_fixpoint
 from .registry import register
 
 _N_ITER = 5
@@ -741,32 +741,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
-    labels = edges.select(F.col("u").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    )
-    changed = -1
-    for _ in range(_COMP_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("v", "u"), "u")
-            .groupBy("v")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_label = F.least("label", F.coalesce("nbr_label", F.col("label")))
-        new_labels = (
-            labels.join(nbr_min, "v", "left")
-            .select("v", new_label.alias("label"),
-                    (new_label < F.col("label")).alias("chg"))
-            .localCheckpoint()
-        )
-        changed = new_labels.filter("chg").count()
-        labels = new_labels.select("v", "label")
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            f"components did not converge in {_COMP_MAX_ITERS} rounds "
-            f"({changed} labels still changing) — rounds needed = diameter"
-        )
+    labels = min_label_fixpoint(edges, _COMP_MAX_ITERS, "components")
     return (
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(F.count("*").alias("n_nodes"))
@@ -864,15 +839,27 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("u").alias("nv"), "lbl")
             .agg(F.count("*").alias("cnt"))
         )
+        # winner = lexicographic min of (-cnt, lbl) — the identical
+        # total order the previous row_number window used (cnt desc,
+        # lbl asc), as a map-side-combining agg: no per-partition sort,
+        # and partial agg collapses label candidates before the
+        # exchange. localCheckpoint(eager=False): the plan is truncated
+        # to a LogicalRDD leaf immediately (Catalyst never re-embeds
+        # earlier rounds) but materialization rides the final action —
+        # one job for the whole query instead of one per round
+        # (round-13 job census; the q_graph_truss peel already uses
+        # the lazy form).
         labels = (
-            counts.withColumn("rn", F.row_number().over(
-                W.partitionBy("nv").orderBy(
-                    F.col("cnt").desc(), F.col("lbl").asc()
-                )
-            ))
-            .filter(F.col("rn") == 1)
-            .select(F.col("nv").alias("v"), "lbl")
-            .localCheckpoint()
+            counts.groupBy("nv")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("nv").alias("v"), F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community_id"))
@@ -1054,7 +1041,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionAll(nxt).localCheckpoint()
+        # lazy: dist is a union of already-persisted checkpoint RDDs, so
+        # the eager re-materialization job per hop bought nothing — the
+        # leaf-plan truncation (what the checkpoint is FOR) happens at
+        # wrap time either way (round-13 job census)
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     node_str = (
         F.when(
@@ -1562,31 +1553,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
-    labels = edges.select(F.col("u").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    )
-    changed = -1
-    for _ in range(_COMP_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("v", "u"), "u")
-            .groupBy("v")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_label = F.least("label", F.coalesce("nbr_label", F.col("label")))
-        new_labels = (
-            labels.join(nbr_min, "v", "left")
-            .select("v", new_label.alias("label"),
-                    (new_label < F.col("label")).alias("chg"))
-            .localCheckpoint()
-        )
-        changed = new_labels.filter("chg").count()
-        labels = new_labels.select("v", "label")
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            f"modularity labeling did not converge in {_COMP_MAX_ITERS} rounds"
-        )
+    labels = min_label_fixpoint(edges, _COMP_MAX_ITERS, "modularity labeling")
     deg = edges.groupBy(F.col("u").alias("v")).agg(
         F.count("*").cast("long").alias("d")
     )
