@@ -12,6 +12,15 @@ whole headline set (JVM + per-query codegen compile + caches), then each
 query is billed the MEDIAN of 3 measured runs with rounds interleaved —
 see the inline comments in ``main`` for why. Per-query deltas against the
 pinned ``BENCH_BASELINE.json`` go to stderr; stdout stays one line.
+
+Host-phase sentinel (round 14, VERDICT r13 item 7): a FIXED,
+data-independent probe job (constant 32-partition ``range`` + hash-sum,
+median of 3) is timed immediately before and after the measured rounds
+and emitted as ``host_sentinel`` — round 13 lost its entire perf signal
+to 1.6-3x host-contention phases that flagged 59 false regressions, and
+the sentinel lets the comparison normalize or discard a slow-host run.
+Additions-only: the one-line JSON contract, ``$SPARK_GRAFT_SF_DIR`` /
+``$SPARK_GRAFT_CPUS`` handling and the query timing path are unchanged.
 """
 
 from __future__ import annotations
@@ -100,6 +109,31 @@ HEADLINE = (
     # round-12 addition
     "q_bpe_apply",                 # BPE tokenizer-apply: per-lang token budget
 )
+
+
+def host_sentinel(spark, warm: bool = False) -> float:
+    """Median-of-3 wall time of a FIXED, data-independent JVM agg job
+    (32-partition range + xxhash64 sum through the noop sink — no
+    parquet, no Python workers, no caches). Identical work every call,
+    so its time moves ONLY with host contention/scheduling state; the
+    pre/post pair in the payload timestamps the measurement window's
+    host phase. ``warm=True`` runs one unmeasured pass first (Janino
+    codegen compile bills ~1-2 s to the first run of the generated
+    class — that's JVM state, not host phase)."""
+    from pyspark.sql import functions as F
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .agg(F.sum(F.xxhash64("id")).alias("h"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    if warm:
+        probe()
+    return round(sorted(probe() for _ in range(3))[1], 3)
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
@@ -224,6 +258,9 @@ def compare_to_baseline(
 def main() -> None:
     spark = get_spark("bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    # Host-phase sentinel, pre-suite (see module docstring): warm once
+    # (codegen), then median of 3.
+    sentinel_pre = host_sentinel(spark, warm=True)
     # Warmup: one unmeasured pass over the WHOLE headline set — JVM +
     # whole-stage-codegen compile (Janino bills ~1-2 s to every distinct
     # generated class on its first run, with high machine-state variance),
@@ -242,6 +279,9 @@ def main() -> None:
     for _ in range(3):
         for name in HEADLINE:
             samples[name].append(run_once(spark, name, SF_DIR))
+    # Post-suite sentinel brackets the measured rounds (the streaming
+    # section below has its own windows and is excluded on purpose).
+    sentinel_post = host_sentinel(spark)
     per_query = {
         name: round(sorted(ts)[1], 3) for name, ts in samples.items()
     }
@@ -253,6 +293,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "host_sentinel": {"pre_sec": sentinel_pre, "post_sec": sentinel_post},
     }
     if comparison:
         payload.update(comparison)
@@ -377,7 +418,7 @@ def main() -> None:
         candidates.append({**payload, "streaming": slim})
     core_extra = (
         "baseline_common_ratio", "baseline_ratio_median",
-        "regressed_over_2x", "ext_pin_ratios",
+        "regressed_over_2x", "ext_pin_ratios", "host_sentinel",
     )
     core = {
         k: payload[k]

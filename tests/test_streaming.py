@@ -1717,7 +1717,7 @@ def test_feed_blob_slice_vectorized_batches_match_rows_iter():
     including on PARTIAL slices (start/end interior to a packed batch),
     multi-batch partitions, and batches whose selected range is empty."""
     import struct
-    from datetime import timezone
+    from datetime import timedelta, timezone
 
     import pyarrow as pa
 
@@ -1736,6 +1736,7 @@ def test_feed_blob_slice_vectorized_batches_match_rows_iter():
         (2_000_000_000_000_001 + i, b"y" * (3 + (i % 7))) for i in range(25)
     ]
     batches = [(0, 40, pack(frames_a)), (40, 25, pack(frames_b))]
+    all_ts = [ts for ts, _ in frames_a] + [ts for ts, _ in frames_b]
     for start, end in [(0, 65), (7, 52), (40, 65), (0, 40), (41, 41)]:
         part = _FeedBlobSlice(feed_id=2, start=start, end=end, batches=batches)
         ref = list(part.rows_iter())
@@ -1745,17 +1746,98 @@ def test_feed_blob_slice_vectorized_batches_match_rows_iter():
             continue
         tbl = pa.Table.from_batches(got)
         assert tbl.num_rows == len(ref)
-        for (v0, dt0, f0), v1, t1, f1 in zip(
+        for (v0, dt0, f0), v1, t1, f1, ts_us in zip(
             ref,
             tbl.column("value").to_pylist(),
             tbl.column("ws_timestamp").to_pylist(),
             tbl.column("feed_id").to_pylist(),
+            all_ts[start:end],
         ):
             assert v0 == v1 and f0 == f1
             dt1 = t1 if t1.tzinfo else t1.replace(tzinfo=timezone.utc)
             assert dt0 == dt1
-            # lossless back to integer micros (the ADVICE-r10 pin)
-            assert (dt1 - _EPOCH_UTC).total_seconds() is not None
+            # lossless back to integer micros (the ADVICE-r10 pin):
+            # the round-tripped micros must equal the PACKED wire value
+            # (the old `.total_seconds() is not None` was vacuous)
+            assert (dt1 - _EPOCH_UTC) // timedelta(microseconds=1) == ts_us
+
+
+def test_feed_blob_slice_offset_bound_enforced(monkeypatch):
+    """VERDICT r13 item 8: ``batches_iter`` packs payloads behind int32
+    Arrow binary offsets; a batch whose SELECTED payload total exceeds
+    2 GiB used to silently wrap ``offsets.astype(np.int32)`` into a
+    corrupt column. The bound is now enforced loudly. The module bound
+    is injected scaled-down so the test runs on bytes, not gigabytes."""
+    import struct
+
+    from ws_to_kafka_spark.sources import websocket as ws_mod
+    from ws_to_kafka_spark.sources.websocket import _FeedBlobSlice
+
+    def pack(payloads):
+        return b"".join(
+            struct.pack("<QI", 1_700_000_000_000_000 + i, len(p)) + p
+            for i, p in enumerate(payloads)
+        )
+
+    payloads = [b"abc", b"defg", b"hi"]  # selected total = 9 bytes
+    part = _FeedBlobSlice(
+        feed_id=0, start=0, end=3, batches=[(0, 3, pack(payloads))]
+    )
+    monkeypatch.setattr(ws_mod, "_BIN_OFFSET_MAX", 8)
+    with pytest.raises(ValueError, match="offset bound"):
+        list(part.batches_iter())
+    # exactly AT the bound is fine (offsets fit), and values are intact
+    monkeypatch.setattr(ws_mod, "_BIN_OFFSET_MAX", 9)
+    got = list(part.batches_iter())
+    assert [v.as_py() for b in got for v in b.column(0)] == payloads
+
+
+def test_feed_proc_pack_frames_bit_identical():
+    """Round-14 pin (VERDICT r13 item 2): the child's vectorized flush
+    packing (``feed_proc.pack_frames`` — numpy structured headers + one
+    C-level join) must produce the BYTE-IDENTICAL wire body as the old
+    per-frame ``struct.pack("<QI", ts, len) + payload`` loop, on both
+    sides of the small-batch dispatch threshold, and the executor's
+    ``_FeedBlobSlice`` must round-trip it losslessly."""
+    import struct
+    from datetime import timedelta
+
+    from ws_to_kafka_spark.sources import feed_proc
+    from ws_to_kafka_spark.sources.websocket import _EPOCH_UTC, _FeedBlobSlice
+
+    def reference(frames):
+        return b"".join(
+            struct.pack("<QI", ts, len(p)) + p for ts, p in frames
+        )
+
+    cases = {
+        "empty": [],
+        "single": [(1_700_000_000_000_001, b"")],
+        # below the vectorized threshold: plain loop path
+        "small": [
+            (1_700_000_000_000_000 + i, bytes([i % 251]) * (i % 7))
+            for i in range(feed_proc._PACK_VEC_MIN - 1)
+        ],
+        # above it: numpy path, mixed sizes incl. zero-length payloads
+        "large": [
+            (2_000_000_000_000_000 + 37 * i, (b"%d|" % i) * (i % 29))
+            for i in range(5 * feed_proc._PACK_VEC_MIN)
+        ],
+    }
+    for name, frames in cases.items():
+        got = feed_proc.pack_frames(list(frames))
+        assert got == reference(frames), name
+        if frames:
+            part = _FeedBlobSlice(
+                feed_id=1, start=0, end=len(frames),
+                batches=[(0, len(frames), got)],
+            )
+            rows = list(part.rows_iter())
+            assert [r[0] for r in rows] == [p for _, p in frames], name
+            assert [
+                (r[1] - _EPOCH_UTC) // timedelta(microseconds=1)
+                for r in rows
+            ] == [ts for ts, _ in frames], name
 
 
 def test_feed_proc_reader_survives_non_wserror(monkeypatch):

@@ -49,6 +49,11 @@ from datetime import datetime, timedelta, timezone
 #: (_FeedBlobSlice.rows_iter; ADVICE r10).
 _EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
+#: Arrow `binary` (non-large) offsets are int32: one batch's gathered
+#: payload must stay under 2 GiB or the offsets buffer wraps. Module
+#: constant (not a literal) so the boundary test can scale it down.
+_BIN_OFFSET_MAX = 2**31 - 1
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
@@ -671,7 +676,16 @@ class _FeedBlobSlice(InputPartition):
             )
             data = np.frombuffer(body, dtype=np.uint8)[pos]
             # int32 offsets: a child batch body is bounded by the pipe
-            # flush cadence (~15 ms of frames), far under 2 GiB
+            # flush cadence (~15 ms of frames), far under 2 GiB — but the
+            # bound is an operating-point assumption, so ENFORCE it: a
+            # silent astype wrap would hand Arrow a corrupt offsets
+            # buffer (garbage rows, no error). Loud failure instead.
+            if total > _BIN_OFFSET_MAX:
+                raise ValueError(
+                    f"packed batch payload {total} B exceeds the 2 GiB "
+                    "Arrow binary-offset bound (int32); shrink the child "
+                    "flush cadence or batch admission cap"
+                )
             val_arr = pa.Array.from_buffers(
                 pa.binary(),
                 m,

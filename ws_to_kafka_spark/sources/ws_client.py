@@ -75,7 +75,14 @@ class WsClient:
             raise ValueError(f"not a websocket url: {url!r}")
         self._ssl_context = ssl_context
         self._sock: socket.socket | None = None
+        # read buffer + consume position: _recv_exact OVER-reads the
+        # socket in ~64 KiB chunks and serves frames from the buffer, so
+        # a high-rate feed costs ~1 recv syscall per buffer fill instead
+        # of 2-3 per frame (round 14 — the per-frame syscalls, not the
+        # header packing, were the ~145k fps child cap). The position
+        # index avoids re-slicing the remainder on every frame.
         self._rbuf = b""  # bytes received past the handshake terminator
+        self._rpos = 0
         self._write_lock = threading.Lock()
 
     # -- connection ---------------------------------------------------------
@@ -154,6 +161,7 @@ class WsClient:
         # 101 response — anything past the header terminator is frame data
         # and must feed the frame reader, not be dropped.
         self._rbuf = rest
+        self._rpos = 0
         return headers
 
     # -- frames -------------------------------------------------------------
@@ -200,14 +208,20 @@ class WsClient:
         sock = self._sock
         if sock is None:
             raise WsError("not connected")
-        buf = b""
-        if self._rbuf:  # handshake-coalesced bytes first
-            take, self._rbuf = self._rbuf[:n], self._rbuf[n:]
-            buf += take
+        buf, pos = self._rbuf, self._rpos
+        if len(buf) - pos >= n:  # fast path: served from the buffer
+            self._rpos = pos + n
+            return buf[pos:pos + n]
+        parts = [buf[pos:]] if pos < len(buf) else []
+        have = len(buf) - pos
         probed = False
-        while len(buf) < n:
+        while have < n:
             try:
-                chunk = sock.recv(n - len(buf))
+                # over-read: recv returns as soon as ANY bytes arrive
+                # (no added latency on quiet feeds), and on a hot feed
+                # one syscall pulls ~64 KiB of future frames into the
+                # buffer instead of exactly this frame's remainder
+                chunk = sock.recv(max(n - have, 65536))
             except socket.timeout as exc:
                 # Idle timeout → probe with a ping and keep reading; only a
                 # SECOND silent interval fails the connection. This is the
@@ -224,9 +238,12 @@ class WsClient:
                 raise WsError(f"read failed: {exc}") from exc
             if not chunk:
                 raise WsError("connection closed")
-            buf += chunk
+            parts.append(chunk)
+            have += len(chunk)
             probed = False
-        return buf
+        buf = parts[0] if len(parts) == 1 else b"".join(parts)
+        self._rbuf, self._rpos = buf, n
+        return buf[:n]
 
     def read_frame(self) -> Frame:
         """Read one frame, reassembling continuations, answering pings."""
