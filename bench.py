@@ -125,8 +125,11 @@ def host_sentinel(spark, warm: bool = False) -> float:
     def probe() -> float:
         t0 = time.perf_counter()
         (
+            # bit_xor, not sum: 20M signed xxhash64 values overflow a
+            # long under ANSI mode (caught by the sf0.01 smoke); xor is
+            # overflow-free and still forces the per-row hash
             spark.range(0, 20_000_000, 1, 32)
-            .agg(F.sum(F.xxhash64("id")).alias("h"))
+            .agg(F.expr("bit_xor(xxhash64(id))").alias("h"))
             .write.format("noop").mode("overwrite").save()
         )
         return time.perf_counter() - t0
