@@ -964,6 +964,62 @@ def test_kmeans_twolevel_tiny_and_empty_corpus(spark, tmp_path, monkeypatch):
     assert snap(empty) == want_empty
 
 
+def test_kmeans_converge_loop_bit_identical_and_exits(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-14 pin (VERDICT r13 item 4): the size-gated driver-fed
+    Lloyd convergence loop must (a) reproduce the embedded fixed-round
+    plan BIT-IDENTICALLY on the fixtures (where it never exits early —
+    both paths run all _KM_UPDATES), and (b) actually EXIT on a corpus
+    whose assignment reaches its exact fixed point after one update
+    (tight, well-separated clusters), still bit-identical to the
+    fixed-round result — the exit fires only when the remaining passes
+    are provably no-ops, so equality holds by construction and this
+    pins it. Covers the exhaustive AND forced two-level paths."""
+    from ws_to_kafka_spark.operators import similarity as S
+
+    def snap(q, sf):
+        return {tuple(r) for r in QUERIES[q].fn(spark, sf).collect()}
+
+    # (a) fixture equality + no early exit on unconverged data
+    want = {
+        q: snap(q, sf_dir)
+        for q in ("q_embed_kmeans", "q_embed_outliers", "q_dedup_semantic")
+    }
+    monkeypatch.setattr(S, "_KM_FORCE_CONVERGE", True)
+    for q, w in want.items():
+        assert snap(q, sf_dir) == w, f"converge loop diverged on {q}"
+    assert S._KM_LAST_UPDATES_RUN == S._KM_UPDATES  # fixtures don't converge
+
+    # (b) converged corpus: 8 tight, far-apart clusters — assignment is
+    # stable after the first update, so update 2's centroids equal
+    # update 1's bit-for-bit and the loop exits one pass early
+    rows, next_id = [], 8
+    for c in range(8):
+        # seed (vec_id = c: centroid seeding takes the first k vec_ids)
+        base = [200.0 * (c + 1) if d == c else 0.0 for d in range(64)]
+        rows.append((c, base))
+        for m in range(5):  # tight members: within-cluster spread ~1,
+            v = list(base)  # between-cluster separation ~200+
+            v[32 + m] = 0.25 * (m + 1)
+            rows.append((next_id, v))
+            next_id += 1
+    conv = str(tmp_path / "sf_conv")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(f"{conv}/embeddings.parquet")
+
+    monkeypatch.setattr(S, "_KM_FORCE_CONVERGE", False)
+    ref = snap("q_embed_kmeans", conv)
+    assert S._KM_LAST_UPDATES_RUN == S._KM_UPDATES
+    monkeypatch.setattr(S, "_KM_FORCE_CONVERGE", True)
+    assert snap("q_embed_kmeans", conv) == ref
+    assert S._KM_LAST_UPDATES_RUN < S._KM_UPDATES, (
+        "converged corpus did not trigger the fixed-point exit"
+    )
+
+
 def test_knn_ann_recall_clustered_corpus(spark, tmp_path_factory):
     """The regime the approximate build exists for: clustered embeddings
     (25 centers × 20 members, the shape of real model embeddings). LSH

@@ -651,6 +651,15 @@ def q_graph_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pa, pb = po.alias("pa"), po.alias("pb")
+    # LAZY checkpoints per peel (round 14, VERDICT item 9 audit): sup is
+    # referenced 3x per peel (histogram, total, threshold filter) and
+    # edges 2x by the next support pass (degree explode + rank join) —
+    # without truncation the plan embeds the whole previous peel once
+    # per reference. eager=False truncates the LOGICAL plan immediately
+    # (what Catalyst re-optimization cost scales with) while folding the
+    # materialization into the first consuming job instead of paying a
+    # dedicated scheduling round-trip per frame; the persisted RDD is
+    # shared by the remaining references.
     edges = (
         pa.join(pb, "l_orderkey")
         .where(F.col("pa.l_partkey") < F.col("pb.l_partkey"))
@@ -658,11 +667,12 @@ def q_graph_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pa.l_partkey").alias("a"), F.col("pb.l_partkey").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sup = None
     for _ in range(_TRUSS_PEELS):
-        sup = support_of(edges)
-        edges = median_keep(sup)
+        sup = support_of(edges).localCheckpoint(eager=False)
+        edges = median_keep(sup).localCheckpoint(eager=False)
     return sup.join(edges, ["a", "b"]).select("a", "b", "support")
 
 
@@ -1109,12 +1119,32 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence check, same per-round plan. All values are exact
     integer counts — no float anywhere.
 
-    Scale: the symmetric edge list is the SHARED cached index
-    (coorder_part_edges, pre-partitioned on u — triangles/components
-    reuse it), so each round joins the O(|E|) side without re-shuffling
-    it; only the O(|V|) survivor list moves. Per round: two semi-joins
-    (u-side co-partitioned; v-side shuffles the survivor list, not the
-    edges) + one count aggregate on u. Degree skew on hub parts is the
+    Scale (round 14 — the round-13 census had this as the registry's
+    stage outlier, 118 stages / 1162 tasks, because each peel embedded
+    the previous survivor subtree TWICE with no persistence, doubling
+    the lineage per peel): the symmetric edge list is the SHARED cached
+    index (coorder_part_edges, pre-partitioned on u — triangles/
+    components reuse it) and now NEVER moves. Per peel:
+
+    1. view the symmetric index as partitioned-by-its-v column (a pure
+       column rename — Spark's alias-aware output partitioning carries
+       hash(u) through the projection), so the v-endpoint survival
+       semi-join is co-partitioned for the edges: only the O(|V|)
+       survivor list shuffles (or broadcasts — post-checkpoint stats
+       are actual sizes, so Catalyst picks BHJ when it fits and SMJ at
+       scale);
+    2. count surviving v-neighbors per u as ONE map-side-combined agg —
+       the exchange carries (u, partial_count) pairs, never edge rows
+       (guide §2.3, aggregate before you shuffle);
+    3. restrict to u ∈ survivors with a semi-join on the tiny count
+       frame. (deg(u) over edges with BOTH endpoints surviving ==
+       deg(u) over v-surviving edges restricted to surviving u —
+       identical rows and counts, oracle-verified.)
+
+    The survivor list is localCheckpoint'ed per peel: a flat O(|V|)
+    leaf instead of a per-peel-doubling subtree (semi-join/agg stats
+    shrink, so plain checkpoint — no _ckpt_nostats needed per the
+    round-10 doubling classifier). Degree skew on hub parts is the
     module's salted_sum case; counts here are per-node degrees bounded
     by basket overlap, far from the straggler regime.
     """
@@ -1138,15 +1168,23 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = _cached_frame(spark, sf_dir, "coorder_part_edges", build_edges)
-    active = edges.select("u").distinct().select(F.col("u").alias("v"))
+    # the same symmetric edge SET, exposed partitioned by its v column:
+    # row (a, b) keyed on a becomes (u=b, v=a) still keyed on the
+    # attribute now named v — a rename, not a shuffle
+    edges_by_v = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    active = (
+        edges.select("u").distinct().select(F.col("u").alias("v"))
+        .localCheckpoint()
+    )
 
     def survivors_degree(act: DataFrame) -> DataFrame:
-        x = act.select(F.col("v").alias("u"))
-        return (
-            edges.join(x, "u")
-            .join(act, "v")
+        deg = (
+            edges_by_v.join(act, "v", "left_semi")
             .groupBy("u")
             .agg(F.count("*").alias("deg"))
+        )
+        return deg.join(
+            act.select(F.col("v").alias("u")), "u", "left_semi"
         )
 
     for _ in range(_KCORE_PEELS):
@@ -1154,6 +1192,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             survivors_degree(active)
             .filter(F.col("deg") >= _KCORE_K)
             .select(F.col("u").alias("v"))
+            .localCheckpoint()
         )
     return survivors_degree(active).select(
         F.col("u").alias("part"), F.col("deg").cast("long").alias("core_degree")
