@@ -907,10 +907,12 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: narrow transformation — one Arrow pass per scan partition, no
     shuffle, features are ~40 bytes/row regardless of payload size.
     """
-    # NOT spread (round-13 interleaved A/B): the PPM/PNG mix costs
-    # ~0.15 ms/doc, and the repartition + 32-task Python-worker overhead
-    # measured 1.80x SLOWER than the single-split scan (0.73 s -> 1.32 s);
-    # only the multi-second codecs (q_mm_jpeg, q_mm_video) cross over.
+    # NOT spread — measured twice: 32-way was 1.80x SLOWER (round 13,
+    # 0.73 s -> 1.32 s) and the round-14 8-way middle ground STILL
+    # measured 1.35x slower (interleaved A/B, 0.77 s -> 1.04 s medians)
+    # — the PPM/PNG mix at ~0.15 ms/doc is under the exchange +
+    # Python-worker amortization point at any width; only the heavier
+    # codecs cross over (jpeg/video at 32, resize/audio at 8).
     docs = tables.load(spark, sf_dir, "documents")
     mm = with_mixed_image_payload(docs)
     return mm.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
@@ -1043,10 +1045,11 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     read and REPLACED inside their scan partition, never shuffled; the
     output raster is 4x smaller, so any downstream exchange moves a
     quarter of the input volume."""
-    # NOT spread: measured 1.20x slower with the 32-way repartition
-    # (1.71 s -> 2.06 s, round-13 A/B) — the pool/re-encode kernel is too
-    # cheap to amortize the exchange + per-task Arrow/worker overhead.
-    docs = tables.load(spark, sf_dir, "documents")
+    # spread(width=8): the 32-way repartition measured 1.20x slower in
+    # round 13 (1.71 s -> 2.06 s — pool/re-encode too cheap for 32
+    # workers); the round-14 8-way middle ground measured 0.552x
+    # (2.00 s -> 1.10 s medians, interleaved A/B) — kept.
+    docs = tables.spread(tables.load(spark, sf_dir, "documents"), width=8)
     mm = with_mixed_image_payload(docs)
     return mm.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
 
@@ -1168,9 +1171,11 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _render_wav(texts: pd.Series) -> pd.Series:
         return texts.map(render_wav_py)
 
-    # NOT spread: the WAV render/decode is ~0.2 ms/doc; the 32-way
-    # repartition measured 1.98x slower (0.99 s -> 1.96 s, round-13 A/B).
-    docs = tables.load(spark, sf_dir, "documents")
+    # spread(width=8): the WAV render/decode is ~0.2 ms/doc — 32-way
+    # measured 1.98x slower in round 13 (0.99 s -> 1.96 s); the
+    # round-14 8-way middle ground measured 0.707x (1.07 s -> 0.76 s
+    # medians, interleaved A/B) — kept.
+    docs = tables.spread(tables.load(spark, sf_dir, "documents"), width=8)
     mm = docs.select("doc_id", _render_wav(F.col("text")).alias("payload"))
     return mm.mapInPandas(_extract_audio, schema=_AUDIO_SCHEMA)
 
