@@ -12,6 +12,11 @@ import pytest
 
 from ws_to_kafka_spark import tables
 
+# Plan/scale evidence (shuffle-free bucketed joins), not operator
+# correctness; the module fixture writes bucketed tables (~30 s setup on
+# the r14 host) — full-gate only (fast-lane budget, VERDICT r13 item 6).
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def bucketed(spark, sf_dir, tmp_path_factory):

@@ -295,6 +295,8 @@ def test_scc_distributed_path_matches_local_kernel(
         evict_sf_dir(dst)
 
 
+@pytest.mark.heavy  # ~38 s: 12-cycle chain exercising the ROUND COUNT
+# past the old outer cap — round-count evidence (fast-lane budget, r14)
 def test_scc_chained_cycles_beyond_old_outer_cap(spark, tmp_path, monkeypatch):
     """Round-9 ADVICE regression: a chain of TWELVE 2-cycles (each
     bridged to the next, ids increasing so every cycle is reachable
